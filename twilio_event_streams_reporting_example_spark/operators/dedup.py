@@ -1,0 +1,428 @@
+"""Deduplication suite (north-star operators, BASELINE.json).
+
+Four tiers, all designed so the blocking step bounds the pair space —
+nothing here is O(n²) at scale:
+
+  exact           hash-groupBy on md5(text); one shuffle on the hash.
+  n-gram Jaccard  shingle explode → equi-join on shingle (blocking) →
+                  integer intersection/union counts.
+  MinHash + LSH   shingle→minhash signature→band buckets→bucket equi-join;
+                  candidate pairs only where a band collides.
+  SimHash         64→32-bit sign fingerprint; byte-blocked pair join +
+                  bit_count hamming filter.
+
+Determinism: token/shingle hashes come from md5 (same bytes in Spark and
+DuckDB), minhash permutations are (a·x+b) mod p over int64 — exact in both
+engines, so every query here has a strict value-hash oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+NUM_HASHES = 16
+BAND_ROWS = 4  # 16 hashes → 4 bands × 4 rows
+SIMHASH_BITS = 32
+JACCARD_MIN_PCT = 10  # report pairs with jaccard >= 0.10
+
+
+def _mh_const(kind: str, i: int) -> int:
+    h = int(hashlib.md5(f"minhash_{kind}_{i}".encode()).hexdigest()[:15], 16)
+    return h % (MERSENNE_P - 1) + 1  # in [1, p-1]
+
+
+MH_A = [_mh_const("a", i) for i in range(NUM_HASHES)]
+MH_B = [_mh_const("b", i) for i in range(NUM_HASHES)]
+
+
+# ------------------------------------------------------------ tokenization
+
+def tokens(text: Column) -> Column:
+    """Lowercase whitespace tokens, empties removed — the shared tokenizer
+    for dedup + textstats (same regex in the oracles)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_hash(tok: Column) -> Column:
+    """60-bit int from md5 — cross-engine-stable token hash."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+_SQL_TOKENS = r"list_filter(regexp_split_to_array(lower({col}), '\s+'), t -> t <> '')"
+_SQL_TOKHASH = "CAST(('0x' || substr(md5({tok}), 1, 15)) AS BIGINT)"
+
+# (doc_id, token, pos) CTE body — parallel unnest zips tokens with 0-based
+# positions, matching Spark's posexplode (DuckDB has no WITH ORDINALITY).
+_SQL_TOK_POS_CTE = f"""
+      tok AS (
+        SELECT doc_id, unnest(toks) AS token, unnest(range(0, len(toks))) AS pos
+        FROM (SELECT doc_id, {_SQL_TOKENS.format(col="text")} AS toks FROM documents)
+      )
+"""
+
+_SQL_TOK_CTE = f"""
+      toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS.format(col="text")}) AS token
+        FROM documents
+      )
+"""
+
+
+def _exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) — one row per token, position-ordered."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle hashes per doc via lead() over positions
+    (identical formulation in the SQL oracles — no array-indexing dialect
+    differences)."""
+    tok = _exploded_tokens(df, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    shingle = F.concat_ws(" ", "token", *[F.lead("token", i).over(w) for i in range(1, n)])
+    return (
+        # Both window columns are materialized BEFORE the filter — a lead()
+        # evaluated after the filter would see the truncated partition and
+        # emit phantom (n-1)-gram shingles at the tail.
+        tok.withColumn("sh", shingle)
+        .withColumn("t2", F.lead("token", n - 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(F.col(id_col), token_hash(F.col("sh")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def _sql_shingles_cte(n: int = 3) -> str:
+    """DuckDB CTE producing (doc_id, shingle_hash) distinct word-3-gram
+    hashes — mirrors :func:`_shingles`."""
+    return f"""
+      {_SQL_TOK_POS_CTE},
+      led AS (
+        SELECT doc_id,
+          concat_ws(' ', token,
+            LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+            LEAD(token, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+          LEAD(token, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        FROM tok
+      ),
+      shingles AS (
+        SELECT DISTINCT doc_id,
+          {_SQL_TOKHASH.format(tok="shingle")} AS shingle_hash
+        FROM led WHERE t2 IS NOT NULL
+      )
+    """
+
+
+# ---------------------------------------------------------------- 1. exact
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT
+          md5(text) AS text_hash,
+          MIN(doc_id) AS keeper_doc_id,
+          COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy, keep lowest doc_id per identical text.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_exact_events",
+    oracle="""
+        SELECT user_id, event_type, MIN(event_id) AS keeper_event_id, COUNT(*) AS n_dupes
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) > 1
+    """,
+    doc=(
+        "Duplicate-delivery detection on the event log: the reference indexes "
+        "event_id but never dedups (events.js:488); this is the "
+        "dropDuplicates-equivalent audit view."
+    ),
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("keeper_event_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ------------------------------------------------------- 2. n-gram Jaccard
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_sql_shingles_cte()},
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT
+          p.doc_a, p.doc_b, p.inter,
+          sa.n_sh + sb.n_sh - p.inter AS uni
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE p.inter * 100 >= (sa.n_sh + sb.n_sh - p.inter) * {JACCARD_MIN_PCT}
+    """,
+    doc=(
+        "n-gram Jaccard near-dup: shingle equi-join is the blocking step "
+        "(pairs only exist where a shingle collides); integer inter/union "
+        "math keeps the threshold exact."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingles(docs, "doc_id", "text").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
+    pairs = (
+        a.join(b, ["shingle_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * JACCARD_MIN_PCT)
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+# --------------------------------------------------------- 3. MinHash + LSH
+
+def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k permutation minima over the shingle set.
+    Partial-aggregating mins — one shuffle on the doc id."""
+    x = F.col("shingle_hash") % MERSENNE_P
+    aggs = [
+        F.min((F.lit(MH_A[i]) * x + F.lit(MH_B[i])) % MERSENNE_P).alias(f"mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def _sql_minhash_exprs() -> str:
+    return ",\n          ".join(
+        f"MIN(({MH_A[i]} * (shingle_hash % {MERSENNE_P}) + {MH_B[i]}) % {MERSENNE_P}) AS mh_{i}"
+        for i in range(NUM_HASHES)
+    )
+
+
+def _band_key(band: int) -> Column:
+    cols = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+    return F.md5(F.concat_ws("_", *cols))
+
+
+def _sql_band_key(band: int) -> str:
+    cols = ", ".join(f"mh_{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    return f"md5(concat_ws('_', {cols}))"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_sql_shingles_cte()},
+        sig AS (
+          SELECT doc_id,
+          {_sql_minhash_exprs()}
+          FROM shingles GROUP BY doc_id
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS band_key FROM sig"
+            for b in range(NUM_HASHES // BAND_ROWS)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT
+          c.doc_a, c.doc_b,
+          ({" + ".join(
+            f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+          )}) AS matching_hashes
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    """,
+    doc=(
+        "MinHash+LSH near-dup: shingle→16-perm signature→4×4 band buckets→"
+        "bucket equi-join. Candidates exist only on band collision; the "
+        "signature join estimates Jaccard as matching/16."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signature(_shingles(docs, "doc_id", "text")).cache()
+    n_bands = NUM_HASHES // BAND_ROWS
+    bands = None
+    for b in range(n_bands):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"), _band_key(b).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(bb, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)])
+    matching = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matching.alias("matching_hashes"))
+    )
+
+
+# -------------------------------------------------------------- 4. SimHash
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE},
+        tf AS (
+          SELECT doc_id, {_SQL_TOKHASH.format(tok="token")} AS h, COUNT(*) AS cnt
+          FROM toks GROUP BY doc_id, token
+        ),
+        bitsums AS (
+          SELECT doc_id, b.b AS bit,
+                 CAST(SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
+          FROM tf CROSS JOIN (SELECT UNNEST(range({SIMHASH_BITS})) AS b) b
+          GROUP BY doc_id, b.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bitsums GROUP BY doc_id
+    """,
+    doc=(
+        "SimHash fingerprint: 32-bit sign-of-weighted-bit-sums per doc. "
+        "Near-dup pairs come from byte-blocked joins + bit_count hamming "
+        "(see simhash_neardup_pairs)."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_fingerprints(spark, docs)
+
+
+def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "doc_id", token_hash(F.col("token")).alias("h"), "cnt"
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    bitsums = (
+        tf.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias("s")
+        )
+    )
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE},
+        tf AS (
+          SELECT doc_id, {_SQL_TOKHASH.format(tok="token")} AS h, COUNT(*) AS cnt
+          FROM toks GROUP BY doc_id, token
+        ),
+        bitsums AS (
+          SELECT doc_id, b.b AS bit,
+                 CAST(SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
+          FROM tf CROSS JOIN (SELECT UNNEST(range({SIMHASH_BITS})) AS b) b
+          GROUP BY doc_id, b.b
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bitsums GROUP BY doc_id
+        ),
+        blocks AS (
+          SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) & 255 AS byte
+          FROM fp CROSS JOIN (SELECT UNNEST(range(4)) AS b) b
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+        FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.byte = b.byte AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+    """,
+    doc=(
+        "SimHash near-dup pairs: a pair is a candidate only if one of the 4 "
+        "fingerprint bytes matches (pigeonhole: hamming<=6 over 32 bits "
+        "usually collides on a byte) — byte-blocked join, never all-pairs."
+    ),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = simhash_fingerprints(spark, docs).cache()
+    blk = spark.range(4).select(F.col("id").cast("int").alias("blk"))
+    blocks = fp.crossJoin(F.broadcast(blk)).select(
+        "doc_id",
+        "simhash",
+        "blk",
+        F.expr("(simhash >> (blk * 8)) & 255").alias("byte"),
+    )
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "byte")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "byte")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["blk", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

@@ -1,0 +1,84 @@
+"""Latest-state-per-key (SCD-1 dimension) — SURVEY.md §2.1 S7 / §2.2 F8.
+
+The reference mutates one row per worker in place, latest attributes win
+(reference routes/events.js:225-256). Spark-first: the event log is the
+source of truth and the dimension is a VIEW — ``row_number() = 1`` over a
+descending event-time window. Deterministic (total tie-break), idempotent
+under duplicate delivery, and exactly the shape AQE compiles to one
+shuffle + one sorted pass per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def latest_state(df: DataFrame, key: str, ts: str, order_tiebreak: str) -> DataFrame:
+    """Keep the latest row per key (ts desc, tie-break desc — matching an
+    upsert stream where the last-arriving event wins)."""
+    w = W.partitionBy(key).orderBy(F.col(ts).desc(), F.col(order_tiebreak).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def first_state(df: DataFrame, key: str, ts: str, order_tiebreak: str) -> DataFrame:
+    """First row per key — e.g. date_joined = ts of worker.created (S7)."""
+    w = W.partitionBy(key).orderBy(F.col(ts), F.col(order_tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "user_current_state",
+    oracle="""
+        SELECT
+          user_id,
+          last_event_type,
+          date_trunc('second', last_ts) AS last_seen,
+          date_trunc('second', first_ts) AS first_seen,
+          n_events,
+          CAST(last_value AS DOUBLE) AS last_value
+        FROM (
+          SELECT
+            user_id,
+            event_type AS last_event_type,
+            ts AS last_ts,
+            value AS last_value,
+            MIN(ts) OVER (PARTITION BY user_id) AS first_ts,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+    """,
+    doc=(
+        "SCD-1 current-state dimension: latest event per user + lifecycle "
+        "columns (first_seen ~ date_joined, reference events.js:230-246)."
+    ),
+)
+def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_all = W.partitionBy("user_id")
+    enriched = ev.withColumn("first_ts", F.min("ts").over(w_all)).withColumn(
+        "n_events", F.count(F.lit(1)).over(w_all)
+    )
+    latest = latest_state(enriched, key="user_id", ts="ts", order_tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.date_trunc("second", "ts").alias("last_seen"),
+        F.date_trunc("second", "first_ts").alias("first_seen"),
+        "n_events",
+        F.col("value").alias("last_value"),
+    )

@@ -1,0 +1,218 @@
+"""Text analysis operators (north star): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in expression work — split/explode/agg — so the whole
+module rides whole-stage codegen; no Python UDFs. Counts and flags are
+integers/booleans, fingerprints are modular int64 math: every query here
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from .dedup import _SQL_TOK_CTE, _SQL_TOK_POS_CTE, _SQL_TOKHASH, token_hash, tokens
+
+# Marker stopword sets for the language-ID heuristic (n-gram/stopword
+# scoring). On real corpora these separate languages; on the synthetic
+# word-soup fixture the result is deterministic either way.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+FP_P = 2147483647  # fingerprint modulus (2^31-1)
+FP_POWS = [pow(31, k, FP_P) for k in range(16)]  # rolling-hash power table
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE}
+        SELECT
+          d.doc_id,
+          d.n_chars,
+          COALESCE(t.n_tokens, 0) AS n_tokens,
+          COALESCE(t.n_distinct_tokens, 0) AS n_distinct_tokens,
+          COALESCE(t.total_token_chars, 0) AS total_token_chars,
+          CAST(t.total_token_chars AS DOUBLE) / t.n_tokens AS avg_token_len
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT token) AS n_distinct_tokens,
+                 CAST(SUM(length(token)) AS BIGINT) AS total_token_chars
+          FROM toks GROUP BY doc_id
+        ) t ON d.doc_id = t.doc_id
+    """,
+    doc="Token counting: whitespace tokenizer + per-doc counts/lengths.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.sum(F.length("token")).alias("total_token_chars"),
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+            F.coalesce("total_token_chars", F.lit(0)).alias("total_token_chars"),
+            (F.col("total_token_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        )
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE},
+        s AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT token) AS n_distinct,
+                 CAST(SUM(length(token)) AS BIGINT) AS tok_chars,
+                 CAST(SUM(CASE WHEN token IN ({_STOP_IN}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+          FROM toks GROUP BY doc_id
+        )
+        SELECT
+          doc_id,
+          n_tokens,
+          stop_hits,
+          (n_tokens BETWEEN 20 AND 100000) AS len_ok,
+          (tok_chars * 10 BETWEEN n_tokens * 20 AND n_tokens * 120) AS word_len_ok,
+          (n_distinct * 10 >= n_tokens) AS diversity_ok,
+          (stop_hits * 100 >= n_tokens) AS stopword_ok,
+          (CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+           + CASE WHEN tok_chars * 10 BETWEEN n_tokens * 20 AND n_tokens * 120 THEN 1 ELSE 0 END
+           + CASE WHEN n_distinct * 10 >= n_tokens THEN 1 ELSE 0 END
+           + CASE WHEN stop_hits * 100 >= n_tokens THEN 1 ELSE 0 END) AS quality_score
+        FROM s
+    """,
+    doc=(
+        "Quality scoring: length / mean-word-length / lexical-diversity / "
+        "stopword-ratio gates, integer-ratio math (Gopher-style rules)."
+    ),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    s = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(F.length("token")).alias("tok_chars"),
+        F.sum(F.when(F.col("token").isin(STOPWORDS), 1).otherwise(0)).alias("stop_hits"),
+    )
+    len_ok = F.col("n_tokens").between(20, 100000)
+    word_len_ok = (F.col("tok_chars") * 10 >= F.col("n_tokens") * 20) & (
+        F.col("tok_chars") * 10 <= F.col("n_tokens") * 120
+    )
+    diversity_ok = F.col("n_distinct") * 10 >= F.col("n_tokens")
+    stopword_ok = F.col("stop_hits") * 100 >= F.col("n_tokens")
+    score = (
+        len_ok.cast("int") + word_len_ok.cast("int")
+        + diversity_ok.cast("int") + stopword_ok.cast("int")
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        len_ok.alias("len_ok"),
+        word_len_ok.alias("word_len_ok"),
+        diversity_ok.alias("diversity_ok"),
+        stopword_ok.alias("stopword_ok"),
+        score.alias("quality_score"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"CAST(SUM(CASE WHEN token IN ({markers}) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+@register(
+    "language_id",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE},
+        scores AS (
+          SELECT doc_id,
+            {", ".join(f"{_sql_lang_score(lg)} AS score_{lg}" for lg in sorted(LANG_MARKERS))}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {", ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS))},
+          CASE
+            {" ".join(
+              f"WHEN score_{lg} = greatest({', '.join('score_' + l2 for l2 in sorted(LANG_MARKERS))}) THEN '{lg}'"
+              for lg in sorted(LANG_MARKERS)
+            )}
+          END AS predicted_lang
+        FROM scores
+    """,
+    doc=(
+        "Language-ID heuristic: marker-stopword hit counts per language, "
+        "argmax with alphabetical tie-break (first WHEN wins)."
+    ),
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    langs = sorted(LANG_MARKERS)
+    scores = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token").isin(LANG_MARKERS[lg]), 1).otherwise(0)).alias(f"score_{lg}")
+            for lg in langs
+        ]
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    expr = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return scores.select(
+        "doc_id", *[f"score_{lg}" for lg in langs], expr.alias("predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH {_SQL_TOK_POS_CTE}
+        SELECT doc_id,
+          CAST(SUM((({_SQL_TOKHASH.format(tok="token")} % {FP_P})
+               * ([{", ".join(str(p) for p in FP_POWS)}][(pos % 16) + 1])) % {FP_P}) % {FP_P} AS BIGINT)
+            AS fingerprint,
+          COUNT(*) AS n_tokens
+        FROM tok GROUP BY doc_id
+    """,
+    doc=(
+        "Document fingerprint: positional polynomial rolling hash over token "
+        "hashes mod 2^31-1 — order-sensitive (unlike minhash), exact int math."
+    ),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+    pow_table = F.array(*[F.lit(p) for p in FP_POWS])
+    term = (
+        (token_hash(F.col("token")) % FP_P)
+        * F.element_at(pow_table, (F.col("pos") % 16) + 1).cast("long")
+    ) % FP_P
+    return tok.groupBy("doc_id").agg(
+        (F.sum(term) % FP_P).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -1,0 +1,223 @@
+"""Relational reporting queries over the star schema.
+
+The reference stops at a denormalized fact table and full scans
+(reference routes/index.js:9-10, SURVEY.md §2.6-§2.7); a usable engine
+must also serve the aggregation layer Flex Insights would run on top.
+These queries are that layer, expressed so Catalyst gets full pushdown:
+
+  - filters before joins/aggs → parquet ``PushedFilters``;
+  - explicit column selection → pruned ``ReadSchema``;
+  - dimension joins broadcast (``F.broadcast``) — at 100 TB the fact side
+    never shuffles for a dim join;
+  - money math via DECIMAL (exact, order-independent) cast to DOUBLE at
+    the edge so results hash-match any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def _dec(col: str) -> F.Column:
+    # Exact money arithmetic: the inputs are 2-decimal doubles; DECIMAL(18,2)
+    # round-trips them exactly and makes SUM order-independent.
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _cents(col: str) -> F.Column:
+    # For doubles that are NOT 2-decimal exact (e.g. o_totalprice): floor to
+    # integer cents. floor() on a double is IEEE-deterministic, so both
+    # engines sum identical bigints in any order.
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan + filter + groupBy + 5 aggregates.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT
+          n.n_name AS nation,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+    """,
+    doc="Multi-join star query: fact → orders → customer → nation, dims broadcast.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        # customer/nation are tiny dimensions at every SF: broadcast so the
+        # 100 TB fact side never shuffles for them.
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_segment",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_name, total_spend_cents, rk
+        FROM (
+          SELECT
+            c.c_mktsegment,
+            c.c_custkey,
+            c.c_name,
+            CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spend_cents,
+            ROW_NUMBER() OVER (
+              PARTITION BY c.c_mktsegment
+              ORDER BY SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) DESC, c.c_custkey
+            ) AS rk
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, c.c_custkey, c.c_name
+        )
+        WHERE rk <= 5
+    """,
+    doc="Top-K per group: agg then ranked window with deterministic tie-break.",
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    spend = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(F.sum(_cents("o_totalprice")).alias("total_spend_cents"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend_cents").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "total_spend_cents", "rk")
+    )
+
+
+@register(
+    "order_priority_rollup",
+    oracle="""
+        SELECT
+          COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+          COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Grouping-sets coverage: ROLLUP over status/priority (SURVEY §2.7 gap).",
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_price_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price_cents",
+        )
+    )
+
+
+@register(
+    "events_filter_project",
+    oracle="""
+        SELECT
+          event_id,
+          date_trunc('second', ts) AS ts_sec,
+          user_id,
+          CASE event_type
+            WHEN 'purchase' THEN 'Purchase'
+            WHEN 'signup' THEN 'Signup'
+            ELSE event_type
+          END AS event_kind,
+          CAST(value AS DOUBLE) AS value,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+        WHERE event_type IN ('purchase', 'signup', 'error')
+          AND value > 5.0
+    """,
+    doc=(
+        "Filter + wide projection + nested-JSON extraction + CASE mapping "
+        "(SURVEY §2.2 F1/F2, §2.3 P2-P5; JSON parse mirrors S3 "
+        "reference events.js:492-497)."
+    ),
+)
+def events_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "signup", "error") & (F.col("value") > 5.0))
+        .select(
+            "event_id",
+            F.date_trunc("second", "ts").alias("ts_sec"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.lit("Purchase"))
+            .when(F.col("event_type") == "signup", F.lit("Signup"))
+            .otherwise(F.col("event_type"))
+            .alias("event_kind"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Local test default is ``local[$SPARK_GRAFT_CPUS]`` (driver-only JVM); the
+same configs are what we would set on a 1000-executor cluster, with the
+exception of shuffle partitions which scale with cluster cores / input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "twilio_event_streams_reporting_example_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Scale notes (100 TB target):
+      - AQE on: runtime coalescing of small shuffle partitions, skew-join
+        splitting, and dynamic broadcast conversion are the single biggest
+        free win on a big cluster.
+      - UTC session timezone: required for oracle comparability and for any
+        cross-region cluster (never depend on executor-local TZ).
+      - Arrow on: all Pandas-UDF paths batch-transfer via Arrow.
+      - shuffle partitions: locally = #cores; on a real cluster this should
+        be sized so each task reads 100-200 MB of shuffle data (AQE coalesce
+        makes the exact number less critical as long as it's not too low).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # The driver's events table carries TIMESTAMP(NANOS) parquet, which
+        # Spark has no native type for: read as long and convert in the
+        # loader (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Map merge semantics used by the custom-data merge operator (P9):
+        # the reference's `{...task_custom, ...worker_attrs}` spread is
+        # last-wins (routes/events.js:353-356 in the reference).
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Parquet table loaders for the driver's synthetic star schema + event/LLM
+tables (TESTDATA.md).
+
+Columnar parquet scan is the engine's default source: Catalyst pushes
+filters and prunes columns at the scan (check ``PushedFilters`` /
+``ReadSchema`` in ``df.explain("formatted")``), which replaces the
+reference's LokiJS full-collection scans (reference routes/index.js:9-10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # The caller may hand us a session without the nanos config (e.g.
+        # the verify driver builds its own); it is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
+        # (spark.sql.legacy.parquet.nanosAsLong); convert to a proper
+        # TimestampType at microsecond precision (truncating, matching
+        # DuckDB's nanos→micros handling).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
