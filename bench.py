@@ -1,0 +1,68 @@
+"""Benchmark entrypoint (driver contract).
+
+Times every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line to stdout:
+
+    {"metric": "total_query_wall_time", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is forced with a ``noop``-format write so the full plan runs
+(scan → shuffle → final projection) without collecting results to the
+driver — the same way you'd measure a query on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+
+def _force(df) -> None:
+    # noop sink: full computation, zero serialization to the driver.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from twilio_event_streams_reporting_example_spark.registry import all_queries
+    from twilio_event_streams_reporting_example_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(all_queries().items()):
+        try:
+            # Build once (analysis outside the timer), run cold once.
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _force(df)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0  # sentinel: query errored, not timed
+        finally:
+            spark.catalog.clearCache()
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    result = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

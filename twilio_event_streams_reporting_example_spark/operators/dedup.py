@@ -32,6 +32,11 @@ NUM_HASHES = 16
 BAND_ROWS = 4  # 16 hashes → 4 bands × 4 rows
 SIMHASH_BITS = 32
 JACCARD_MIN_PCT = 10  # report pairs with jaccard >= 0.10
+# Hot-shingle cap: a stopword 3-gram appearing in 1% of a 10B-doc corpus
+# creates a 10^14-pair join key. Shingles with doc-frequency above this are
+# dropped from the blocking universe (standard MinHash/Jaccard practice;
+# only pathologically common shingles are affected). Mirrored in oracles.
+MAX_SHINGLE_DF = 100
 
 
 def _mh_const(kind: str, i: int) -> int:
@@ -84,14 +89,18 @@ def _exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
     """Distinct word n-gram shingle hashes per doc via lead() over positions
     (identical formulation in the SQL oracles — no array-indexing dialect
-    differences)."""
+    differences). Shingles appearing in more than ``max_df`` docs are dropped
+    (hot-key defense for the downstream blocking self-join; one extra window
+    shuffle on shingle_hash, which the self-join needed anyway)."""
     tok = _exploded_tokens(df, id_col, text_col)
     w = W.partitionBy(id_col).orderBy("pos")
     shingle = F.concat_ws(" ", "token", *[F.lead("token", i).over(w) for i in range(1, n)])
-    return (
+    sh = (
         # Both window columns are materialized BEFORE the filter — a lead()
         # evaluated after the filter would see the truncated partition and
         # emit phantom (n-1)-gram shingles at the tail.
@@ -101,11 +110,19 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
         .select(F.col(id_col), token_hash(F.col("sh")).alias("shingle_hash"))
         .distinct()
     )
+    if max_df is not None:
+        df_w = W.partitionBy("shingle_hash")
+        sh = (
+            sh.withColumn("sh_df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("sh_df") <= max_df)
+            .drop("sh_df")
+        )
+    return sh
 
 
-def _sql_shingles_cte(n: int = 3) -> str:
+def _sql_shingles_cte(n: int = 3, max_df: int = MAX_SHINGLE_DF) -> str:
     """DuckDB CTE producing (doc_id, shingle_hash) distinct word-3-gram
-    hashes — mirrors :func:`_shingles`."""
+    hashes — mirrors :func:`_shingles`, including the hot-shingle DF cap."""
     return f"""
       {_SQL_TOK_POS_CTE},
       led AS (
@@ -116,10 +133,17 @@ def _sql_shingles_cte(n: int = 3) -> str:
           LEAD(token, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
         FROM tok
       ),
-      shingles AS (
+      shingles_all AS (
         SELECT DISTINCT doc_id,
           {_SQL_TOKHASH.format(tok="shingle")} AS shingle_hash
         FROM led WHERE t2 IS NOT NULL
+      ),
+      shingles AS (
+        SELECT doc_id, shingle_hash FROM (
+          SELECT doc_id, shingle_hash,
+                 COUNT(*) OVER (PARTITION BY shingle_hash) AS sh_df
+          FROM shingles_all
+        ) WHERE sh_df <= {max_df}
       )
     """
 
@@ -149,23 +173,64 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_events",
     oracle="""
-        SELECT user_id, event_type, MIN(event_id) AS keeper_event_id, COUNT(*) AS n_dupes
+        SELECT
+          COUNT(*) AS n_deliveries,
+          COUNT(DISTINCT event_id) AS n_unique_events,
+          COUNT(*) - COUNT(DISTINCT event_id) AS n_duplicate_deliveries,
+          COUNT(DISTINCT md5(concat_ws('|', ts, user_id, event_type, value, props)))
+            AS n_unique_payloads
+        FROM events
+    """,
+    doc=(
+        "Duplicate-delivery audit keyed on event identity: the reference "
+        "indexes event_id but never dedups (events.js:488), so at-least-once "
+        "delivery double-inserts. This is the dropDuplicates(['event_id']) "
+        "summary — n_duplicate_deliveries is the number of rows dedup would "
+        "drop; n_unique_payloads additionally catches redelivery under a "
+        "fresh id. Two partial-aggregated counts, one shuffle."
+    ),
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    payload_hash = F.md5(
+        F.concat_ws(
+            "|",
+            # Match DuckDB's concat_ws rendering of a timestamp (no 'T').
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_deliveries"),
+        F.countDistinct("event_id").alias("n_unique_events"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_duplicate_deliveries"),
+        F.countDistinct(payload_hash).alias("n_unique_payloads"),
+    )
+
+
+@register(
+    "event_type_frequency",
+    oracle="""
+        SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
         FROM events
         GROUP BY user_id, event_type
         HAVING COUNT(*) > 1
     """,
     doc=(
-        "Duplicate-delivery detection on the event log: the reference indexes "
-        "event_id but never dedups (events.js:488); this is the "
-        "dropDuplicates-equivalent audit view."
+        "Per-user event-type multiplicity audit (NOT dedup — distinct events "
+        "of the same type are legitimate). Kept from round 1 under an honest "
+        "name; duplicate-delivery semantics live in dedup_exact_events."
     ),
 )
-def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_type_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy("user_id", "event_type")
-        .agg(F.min("event_id").alias("keeper_event_id"), F.count(F.lit(1)).alias("n_dupes"))
-        .filter(F.col("n_dupes") > 1)
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 1)
     )
 
 

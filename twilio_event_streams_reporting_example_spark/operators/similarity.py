@@ -14,8 +14,11 @@ Scale design:
     results are reproducible (and oracle-checkable).
 
 Exactness: both engines fold the dot product left-to-right in double
-precision → bit-identical scores (verified empirically), so ranking and
-hashes match without rounding.
+precision → bit-identical scores (verified empirically). As a defense
+against a future DuckDB reordering/FMA change, every exposed score is
+additionally rounded to 9 decimals identically on both sides (SCORE_DP);
+ranking happens on the rounded score with an id tie-break, so a sub-1e-9
+drift cannot flip results.
 """
 
 from __future__ import annotations
@@ -34,22 +37,32 @@ TOP_K = 10
 LSH_K = 6  # hyperplanes → 2^6 buckets
 DIM = 64
 NEARDUP_THRESHOLD = 0.35
+SCORE_DP = 9  # decimals kept on every exposed cosine score (both engines)
+# Near-dup banded LSH: a pair is a candidate iff ALL planes of SOME band
+# agree. More bands → higher recall; more planes/band → fewer candidates.
+# For true near-dups (cosine >= 0.9, plane-agreement p ~ 0.856) recall is
+# 1-(1-p^3)^5 ~ 0.99; candidate volume per band is ~n²/2^3 per bucket set.
+NEARDUP_BANDS = 5
+NEARDUP_BAND_PLANES = 3
 
 
-def _hyperplanes() -> list[list[float]]:
+def _planes(prefix: str, n: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — identical constants
     are embedded in the oracle SQL, so no RNG/library dependency."""
     planes = []
-    for i in range(LSH_K):
+    for i in range(n):
         row = []
         for j in range(DIM):
-            h = int(hashlib.md5(f"plane_{i}_{j}".encode()).hexdigest()[:15], 16)
+            h = int(hashlib.md5(f"{prefix}_{i}_{j}".encode()).hexdigest()[:15], 16)
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
     return planes
 
 
-HYPERPLANES = _hyperplanes()
+HYPERPLANES = _planes("plane", LSH_K)
+# Independent plane set for the near-dup bands (band b uses planes
+# [b*BAND_PLANES, (b+1)*BAND_PLANES)).
+NEARDUP_PLANES = _planes("ndplane", NEARDUP_BANDS * NEARDUP_BAND_PLANES)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -74,6 +87,21 @@ def lsh_bucket(vec: Column) -> Column:
     return bucket
 
 
+def band_bucket(vec: Column, band: int) -> Column:
+    """Near-dup band signature: bucket id over this band's plane set."""
+    bucket = F.lit(0)
+    for j in range(NEARDUP_BAND_PLANES):
+        plane = NEARDUP_PLANES[band * NEARDUP_BAND_PLANES + j]
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, plane_col) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def rounded(score: Column) -> Column:
+    """Cross-engine score stabilization: round to SCORE_DP decimals."""
+    return F.round(score, SCORE_DP)
+
+
 def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
     """Exact top-k cosine neighbors per query.
 
@@ -90,7 +118,7 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int) -> DataFra
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("score"),
+        rounded(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -98,22 +126,32 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int) -> DataFra
 
 # ---------------------------------------------------------------- SQL helpers
 
-def _sql_plane_array(i: int) -> str:
-    return "[" + ", ".join(repr(x) for x in HYPERPLANES[i]) + "]"
+def _sql_plane_array(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
 def _sql_bucket(vec_expr: str) -> str:
     terms = [
-        f"(CASE WHEN list_dot_product({vec_expr}, {_sql_plane_array(i)}::DOUBLE[]) >= 0 "
+        f"(CASE WHEN list_dot_product({vec_expr}, {_sql_plane_array(HYPERPLANES[i])}::DOUBLE[]) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(LSH_K)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_band_bucket(vec_expr: str, band: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"{_sql_plane_array(NEARDUP_PLANES[band * NEARDUP_BAND_PLANES + j])}::DOUBLE[]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(NEARDUP_BAND_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _COSINE_SQL = (
-    "list_dot_product(q.v, c.v) / "
-    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+    f"round(list_dot_product(q.v, c.v) / "
+    f"(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), {SCORE_DP})"
 )
 
 
@@ -196,7 +234,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "bucket",
-        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("score"),
+        rounded(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -206,20 +244,36 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ND_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sql_band_bucket('v', b)} AS bkt FROM e"
+    for b in range(NEARDUP_BANDS)
+)
+
+
 @register(
     "embedding_neardup_pairs",
     oracle=f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bands AS ({_ND_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkt = b.bkt
+          WHERE a.vec_id < b.vec_id
         )
-        SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COSINE_SQL} AS score
-        FROM e q JOIN e c ON q.vec_id < c.vec_id
+        SELECT cand.id_a, cand.id_b, {_COSINE_SQL} AS score
+        FROM cand
+        JOIN e q ON q.vec_id = cand.id_a
+        JOIN e c ON c.vec_id = cand.id_b
         WHERE {_COSINE_SQL} > {NEARDUP_THRESHOLD}
     """,
     doc=(
-        "Embedding-cosine near-dup pairs (dedup north star). Demo runs the "
-        "exact all-pairs form; at scale the LSH bucket join above is the "
-        "blocking step (same rescoring expression)."
+        "Embedding-cosine near-dup pairs (dedup north star), banded-LSH "
+        "blocked: a pair is rescored only if all planes of some band agree "
+        "(candidate volume bounded by bucket sizes, never all-pairs — the "
+        "plan is bucket equi-joins, no BroadcastNestedLoopJoin). Recall for "
+        "true near-dups (cos>=0.9) ~ 0.99 at 5 bands x 3 planes."
     ),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,15 +281,30 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir).select(
             F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
         )
+    ).cache()
+    bands = None
+    for b in range(NEARDUP_BANDS):
+        part = emb.select(
+            "id", F.lit(b).alias("band"), band_bucket(F.col("v"), b).alias("bkt")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("id").alias("id_a"), "band", "bkt")
+    b_ = bands.select(F.col("id").alias("id_b"), "band", "bkt")
+    cand = (
+        a.join(b_, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    qa = emb.select(F.col("id").alias("id_a"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    cb = emb.select(F.col("id").alias("id_b"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(qa, "id_a")
+        .join(cb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("score"),
+            rounded(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("score"),
         )
         .filter(F.col("score") > NEARDUP_THRESHOLD)
     )

@@ -32,9 +32,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # The caller may hand us a session without our configs (e.g. the verify
+    # driver builds its own); both are runtime-settable. UTC is required for
+    # oracle comparability: toPandas() renders timestamps in session-local
+    # time, so a non-UTC driver session would value-mismatch DuckDB on every
+    # date_trunc'd column even though the results are correct in UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The caller may hand us a session without the nanos config (e.g.
-        # the verify driver builds its own); it is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
