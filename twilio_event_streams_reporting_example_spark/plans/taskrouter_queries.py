@@ -1,12 +1,248 @@
-"""Driver-checkable queries for the TaskRouter pipeline (golden fixture).
+"""Registered TaskRouter queries + golden oracles.
 
-The driver's parquet tables are generic, so these queries build the
-reference-shaped CloudEvent fixture inline (deterministic literal rows per
-FIXTURES.md §3) and run the real pipeline over it; the oracles are golden
-VALUES rows hand-derived from the reference's semantics
-(reference routes/events.js:513-667).
+The oracle for each query is a literal ``VALUES`` table rendered from
+``taskrouter/sim.py`` — an INDEPENDENT pure-Python row-at-a-time replay
+of the reference semantics over the same fixture. The Spark engine
+(plans/taskrouter.py) derives everything set-wise; agreement between
+the two implementations is the correctness claim.
 
-Populated together with plans/taskrouter.py.
+The queries run on the deterministic CloudEvent fixture (the driver's
+parquet tables don't contain TaskRouter events), so ``sf_dir`` is
+ignored — DuckDB evaluates the golden VALUES directly.
 """
 
 from __future__ import annotations
+
+import datetime as dt
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..taskrouter import schema as S
+from ..taskrouter.fixture import fixture_df
+from ..taskrouter.sim import run_fixture_sim
+
+# ------------------------------------------------------ oracle rendering
+
+
+def _sql_lit(v, sqltype: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {sqltype})"
+    if sqltype == "TIMESTAMP":
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if sqltype == "BIGINT":
+        return f"CAST({int(v)} AS BIGINT)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def golden_values_sql(rows: list[dict], columns: list[tuple[str, str]]) -> str:
+    """Literal VALUES table with explicit per-value casts (stable types
+    even for all-NULL columns)."""
+    col_list = ", ".join(f'"{c}"' for c, _ in columns)
+    vals = ",\n".join(
+        "(" + ", ".join(_sql_lit(r[c], t) for c, t in columns) + ")" for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n{vals}\n) AS t({col_list})"
+
+
+@lru_cache(maxsize=1)
+def _sim():
+    return run_fixture_sim()
+
+
+# ------------------------------------------------------------- fact table
+
+
+@register(
+    "taskrouter_segments",
+    oracle=golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS),
+    doc=(
+        "The conversations segment fact table over the CloudEvent fixture: "
+        "every state-machine transition (reference events.js:513-667) and "
+        "the full ~65-column wide projection (events.js:337-485). Golden "
+        "oracle = independent row-at-a-time reference simulator."
+    ),
+)
+def taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_segments_df
+
+    return taskrouter_segments_df(spark, fixture_df(spark))
+
+
+@register(
+    "taskrouter_agents",
+    oracle=golden_values_sql(_sim().agent_rows(), S.AGENT_COLUMNS),
+    doc=(
+        "Agents current-state dimension (SCD-1 latest-wins recompute of the "
+        "reference's upsert, events.js:225-296) with date_joined/date_left "
+        "lifecycle."
+    ),
+)
+def taskrouter_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_agents_df
+
+    return taskrouter_agents_df(spark, fixture_df(spark))
+
+
+# ----------------------------------------------------------- report (O2/O3)
+
+_REPORT_CONV_COLS = [
+    ("conversation_id_short", "VARCHAR"),
+    ("segment_kind", "VARCHAR"),
+    ("segment_external_id_short", "VARCHAR"),
+    ("reservation_sid", "VARCHAR"),
+    ("date_str", "VARCHAR"),
+    ("time_str", "VARCHAR"),
+    ("activity", "VARCHAR"),
+    ("activity_time", "BIGINT"),
+    ("abandoned", "VARCHAR"),
+    ("abandoned_phase", "VARCHAR"),
+    ("abandon_time", "BIGINT"),
+    ("queue_time", "BIGINT"),
+    ("ring_time", "BIGINT"),
+    ("talk_time", "BIGINT"),
+    ("wrapup_time", "BIGINT"),
+]
+
+
+def _report_conv_rows(rows: list[dict]) -> list[dict]:
+    out = []
+    for r in rows:
+        out.append(
+            {
+                "conversation_id_short": (r["conversation_id"] or "")[:10],
+                "segment_kind": r["segment_kind"],
+                "segment_external_id_short": (r["segment_external_id"] or "")[:10],
+                "reservation_sid": r["reservation_sid"],
+                "date_str": r["date"].strftime("%Y-%m-%d") if r["date"] else None,
+                "time_str": r["time"].strftime("%H:%M:%S") if r["time"] else None,
+                "activity": r["activity"],
+                "activity_time": r["activity_time"],
+                "abandoned": r["abandoned"],
+                "abandoned_phase": r["abandoned_phase"],
+                "abandon_time": r["abandon_time"],
+                "queue_time": r["queue_time"],
+                "ring_time": r["ring_time"],
+                "talk_time": r["talk_time"],
+                "wrapup_time": r["wrapup_time"],
+            }
+        )
+    return out
+
+
+def _report_conversations_df(spark: SparkSession) -> DataFrame:
+    """O2 presentation projection (reference routes/index.js:9-30,
+    views/index.pug:47-83): id prefix truncation via substring(1,10) and
+    date/time formatting. The reference formats per LOCALE/TIMEZONE env;
+    the engine standardizes on ISO formats in the UTC session timezone —
+    a documented presentation choice, not a semantic one."""
+    from .taskrouter import taskrouter_segments_df
+
+    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    return seg.select(
+        F.substring("conversation_id", 1, 10).alias("conversation_id_short"),
+        "segment_kind",
+        F.substring("segment_external_id", 1, 10).alias("segment_external_id_short"),
+        "reservation_sid",
+        F.date_format("date", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("time", "HH:mm:ss").alias("time_str"),
+        "activity",
+        "activity_time",
+        "abandoned",
+        "abandoned_phase",
+        "abandon_time",
+        "queue_time",
+        "ring_time",
+        "talk_time",
+        "wrapup_time",
+    )
+
+
+@register(
+    "taskrouter_report_conversations",
+    oracle=golden_values_sql(_report_conv_rows(_sim().segment_rows()), _REPORT_CONV_COLS),
+    doc="O2 report surface: the conversations table as the report renders it.",
+)
+def taskrouter_report_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _report_conversations_df(spark)
+
+
+@register(
+    "taskrouter_conversation_lookup",
+    oracle=golden_values_sql(
+        [r for r in _report_conv_rows(_sim().segment_rows())
+         if r["conversation_id_short"] == "TK009"],
+        _REPORT_CONV_COLS,
+    ),
+    doc=(
+        "O3: the reference destructures filter_conv_id from req.params but "
+        "the route defines no params, so the filter is dead (routes/"
+        "index.js:8, a bug). This is that filter implemented as intended: "
+        "point lookup by conversation_id — at scale this prunes partitions "
+        "instead of scanning."
+    ),
+)
+def taskrouter_conversation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _report_conversations_df(spark).filter(
+        F.col("conversation_id_short") == "TK009"
+    )
+
+
+_REPORT_AGENT_COLS = [
+    ("agent_id", "VARCHAR"),
+    ("joined", "VARCHAR"),
+    ("left", "VARCHAR"),
+    ("email", "VARCHAR"),
+    ("agent_uuid", "VARCHAR"),
+    ("role", "VARCHAR"),
+    ("team_name", "VARCHAR"),
+    ("department_name", "VARCHAR"),
+    ("manager", "VARCHAR"),
+    ("state", "VARCHAR"),
+]
+
+
+@register(
+    "taskrouter_report_agents",
+    oracle=golden_values_sql(
+        [
+            {
+                "agent_id": a["agent_id"],
+                "joined": a["date_joined"].strftime("%Y-%m-%d %H:%M:%S")
+                if a["date_joined"]
+                else None,
+                "left": a["date_left"].strftime("%Y-%m-%d %H:%M:%S")
+                if a["date_left"]
+                else None,
+                "email": a["email"],
+                "agent_uuid": a["agent_uuid"],
+                "role": a["role"],
+                "team_name": a["team_name"],
+                "department_name": a["department_name"],
+                "manager": a["manager"],
+                "state": a["state"],
+            }
+            for a in _sim().agent_rows()
+        ],
+        _REPORT_AGENT_COLS,
+    ),
+    doc="O2 report surface: the agents table as the report renders it.",
+)
+def taskrouter_report_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_agents_df
+
+    ag = taskrouter_agents_df(spark, fixture_df(spark))
+    return ag.select(
+        "agent_id",
+        F.date_format("date_joined", "yyyy-MM-dd HH:mm:ss").alias("joined"),
+        F.date_format("date_left", "yyyy-MM-dd HH:mm:ss").alias("left"),
+        "email",
+        "agent_uuid",
+        "role",
+        "team_name",
+        "department_name",
+        "manager",
+        "state",
+    )
