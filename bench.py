@@ -40,6 +40,8 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
+        if name.startswith("streaming_"):
+            continue  # streaming harness queries: parity-tested, not a batch benchmark
         try:
             # Build once (analysis outside the timer), run cold once.
             df = spec.fn(spark, sf_dir)

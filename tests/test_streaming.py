@@ -1,0 +1,104 @@
+"""Streaming/batch parity: the stateful streaming lifecycle must agree
+with the batch recompute on every terminal segment (SURVEY §5.3)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+TERMINAL_KINDS = [
+    "QUEUE",
+    "CONVERSATION",
+    "REJECTED CONVERSATION",
+    "MISSED CONVERSATION",
+    "REVOKED CONVERSATION",
+]
+
+PARITY_COLS = [
+    "segment_kind",
+    "conversation_id",
+    "reservation_sid",
+    "agent_uuid",
+    "date",
+    "queue_time",
+    "ring_time",
+    "talk_time",
+    "wrapup_time",
+    "abandoned",
+    "abandon_time",
+]
+
+
+@pytest.fixture(scope="module")
+def streamed(spark):
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        yield run_fixture_stream(spark, d).cache()
+
+
+def test_streaming_matches_batch_on_terminal_segments(spark, streamed):
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import fixture_df
+
+    batch = (
+        taskrouter_segments_df(spark, fixture_df(spark))
+        .filter(F.col("segment_kind").isin(TERMINAL_KINDS))
+        .select(*PARITY_COLS)
+    )
+    stream = streamed.filter(F.col("segment_kind").isin(TERMINAL_KINDS)).select(
+        *PARITY_COLS
+    )
+    assert batch.count() == stream.count()
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_streaming_corrupted_conversation_timeout(streamed):
+    """The never-completed accepted reservation (RS011) must time out into
+    CORRUPTED CONVERSATION — the reference declares the kind but can never
+    produce it (events.js:30)."""
+    corrupted = streamed.filter(
+        F.col("segment_kind") == "CORRUPTED CONVERSATION"
+    ).collect()
+    assert len(corrupted) == 1
+    assert corrupted[0]["reservation_sid"] == "RS011"
+    assert corrupted[0]["ring_time"] == 30
+
+
+def test_stream_state_machine_pure_fn_replay():
+    """The per-task state machine is a pure function — replay one task's
+    events split across arbitrary batch boundaries and expect identical
+    emissions (cross-batch state correctness without a streaming query)."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        _segment_rows_for_task,
+    )
+
+    events = [
+        {"eventtype": "task-queue.entered", "ts": "2024-05-01T10:00:00.100000",
+         "task_sid": "T", "reservation_sid": None, "worker_sid": None,
+         "custom_conversation_id": None},
+        {"eventtype": "reservation.created", "ts": "2024-05-01T10:00:05.900000",
+         "task_sid": "T", "reservation_sid": "R", "worker_sid": "W",
+         "custom_conversation_id": None},
+        {"eventtype": "reservation.accepted", "ts": "2024-05-01T10:00:15.400000",
+         "task_sid": "T", "reservation_sid": "R", "worker_sid": "W",
+         "custom_conversation_id": None},
+        {"eventtype": "reservation.completed", "ts": "2024-05-01T10:06:00.200000",
+         "task_sid": "T", "reservation_sid": "R", "worker_sid": "W",
+         "custom_conversation_id": None},
+    ]
+    one_shot, _, open1 = _segment_rows_for_task(list(events), {}, timed_out=False)
+    # replay split at every boundary
+    for cut in range(1, len(events)):
+        st: dict = {}
+        rows = []
+        r1, st, _ = _segment_rows_for_task(events[:cut], st, timed_out=False)
+        r2, st, open2 = _segment_rows_for_task(events[cut:], st, timed_out=False)
+        rows = r1 + r2
+        assert rows == one_shot, f"split at {cut} diverged"
+        assert open2 == open1

@@ -42,7 +42,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exprs import seconds_between, truncate_ms
+from ..functions.exprs import (
+    coalesce_chain,
+    hierarchy_join,
+    js_falsy_to_null,
+    map_channel,
+    map_direction,
+    roles_join,
+    seconds_between,
+    truncate_ms,
+)
 from ..taskrouter import schema as S
 
 # --------------------------------------------------------------- ingest
@@ -95,9 +104,7 @@ _NULL_LONG = F.lit(None).cast("long")
 _NULL_TS = F.lit(None).cast("timestamp")
 
 
-def _falsy(col: Column) -> Column:
-    """JS ``||`` treats '' as missing (strings only)."""
-    return F.nullif(col, F.lit(""))
+_falsy = js_falsy_to_null  # JS ``||`` treats '' as missing (strings only)
 
 
 def _hier(col: Column) -> Column:
@@ -106,7 +113,7 @@ def _hier(col: Column) -> Column:
     get_json_object: arrays arrive as '["a","b"]' JSON, scalars plain."""
     return F.when(
         col.startswith("["),
-        F.array_join(F.from_json(col, "array<string>"), " ▸ "),
+        hierarchy_join(F.from_json(col, "array<string>")),
     ).otherwise(col)
 
 
@@ -136,12 +143,12 @@ def default_segment_exprs(df: DataFrame) -> dict[str, Column]:
     ts_sec = truncate_ms(F.col("ts"))
 
     exprs: dict[str, Column] = {
-        "conversation_id": F.coalesce(
+        "conversation_id": coalesce_chain(
             cust("conversation_id", falsy=True),
             _falsy(F.col("task_sid")),
             _falsy(F.col("worker_sid")),
         ),
-        "segment_external_id": F.coalesce(
+        "segment_external_id": coalesce_chain(
             _falsy(F.col("task_sid")), _falsy(F.col("worker_sid"))
         ),
         "reservation_sid": F.coalesce(F.col("reservation_sid"), F.lit("")),
@@ -155,20 +162,11 @@ def default_segment_exprs(df: DataFrame) -> dict[str, Column]:
         "campaign": cust("campaign"),
         "case": cust("case"),
         # events.js:420 — voice→'Call', chat→'Chat', else pass-through
-        "channel": F.coalesce(
-            cust("channel", falsy=True),
-            F.when(tcun == "voice", F.lit("Call")),
-            F.when(tcun == "chat", F.lit("Chat")).otherwise(tcun),
-        ),
+        "channel": F.coalesce(cust("channel", falsy=True), map_channel(tcun)),
         "content": cust("content"),
         "destination": cust("destination"),
         # events.js:443 — note the default 'Inbound' branch
-        "direction": F.coalesce(
-            cust("direction", falsy=True),
-            F.when(dir_raw == "inbound", F.lit("Inbound")),
-            F.when(dir_raw == "internal", F.lit("Internal")),
-            F.when(dir_raw == "outbound", F.lit("Outbound")).otherwise(F.lit("Inbound")),
-        ),
+        "direction": F.coalesce(cust("direction", falsy=True), map_direction(dir_raw)),
         "external_contact": F.coalesce(
             cust("external_contact", falsy=True),
             F.when(dir_raw == "outbound", F.col("ta").getField("from")).otherwise(
@@ -527,9 +525,7 @@ def taskrouter_agents_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
         wa.getField("agent_id").alias("agent_id"),
         wa.getField("location").alias("location"),
         wa.getField("phone").alias("phone"),
-        F.when(wa.getField("roles").isNotNull(), F.array_join(wa.getField("roles"), ", "))
-        .otherwise(wa.getField("role"))
-        .alias("role"),
+        roles_join(wa.getField("roles"), wa.getField("role")).alias("role"),
         wa.getField("team_id").alias("team_id"),
         wa.getField("team_name").alias("team_name"),
         wa.getField("team_name_in_hierarchy").alias("team_name_in_hierarchy"),

@@ -204,6 +204,67 @@ _REPORT_AGENT_COLS = [
 ]
 
 
+# ------------------------------------------------------------- streaming
+
+_STREAM_COLS = [
+    ("segment_kind", "VARCHAR"),
+    ("conversation_id", "VARCHAR"),
+    ("reservation_sid", "VARCHAR"),
+    ("agent_uuid", "VARCHAR"),
+    ("date", "TIMESTAMP"),
+    ("queue_time", "BIGINT"),
+    ("ring_time", "BIGINT"),
+    ("talk_time", "BIGINT"),
+    ("wrapup_time", "BIGINT"),
+    ("abandoned", "VARCHAR"),
+    ("abandon_time", "BIGINT"),
+]
+_STREAM_TERMINAL = {
+    "QUEUE",
+    "CONVERSATION",
+    "REJECTED CONVERSATION",
+    "MISSED CONVERSATION",
+    "REVOKED CONVERSATION",
+}
+
+
+def _stream_golden_rows() -> list[dict]:
+    """Expected streaming output = the simulator's terminal conversation
+    segments, plus every CONVERSATION IN PROGRESS relabeled CORRUPTED
+    CONVERSATION (the event-time timeout converts conversations still
+    open when the watermark passes — the engine's semantics for the
+    reference's declared-but-never-produced kind, events.js:30)."""
+    names = [c for c, _ in _STREAM_COLS]
+    rows = []
+    for r in _sim().segment_rows():
+        kind = r["segment_kind"]
+        if kind in _STREAM_TERMINAL:
+            rows.append({c: r[c] for c in names})
+        elif kind == "CONVERSATION IN PROGRESS":
+            rows.append({**{c: r[c] for c in names}, "segment_kind": "CORRUPTED CONVERSATION"})
+    return rows
+
+
+@register(
+    "streaming_taskrouter_segments",
+    oracle=golden_values_sql(_stream_golden_rows(), _STREAM_COLS),
+    doc=(
+        "Structured Streaming lifecycle over the fixture (watermark + "
+        "dropDuplicatesWithinWatermark + applyInPandasWithState keyed by "
+        "task_sid, event-time timeout → CORRUPTED CONVERSATION). The "
+        "oracle is the batch simulator's terminal segments — streaming/"
+        "batch parity IS the correctness claim."
+    ),
+)
+def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.taskrouter_stream import run_fixture_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        return run_fixture_stream(spark, d)
+
+
 @register(
     "taskrouter_report_agents",
     oracle=golden_values_sql(

@@ -1,0 +1,328 @@
+"""Structured Streaming TaskRouter pipeline (SURVEY.md Phase 2).
+
+Design (idiomatic Spark streaming, fixing the reference's disclaimed
+hazards — README.md:13 out-of-order, events.js:488 duplicate delivery):
+
+  readStream (CloudEvent JSON lines)
+    → envelope from_json + type filter              (S1, S3, F1)
+    → withWatermark(ts) + dropDuplicatesWithinWatermark(event_id)
+    → applyInPandasWithState keyed by task_sid      (§2.5 state machine)
+        emits QUEUE / CONVERSATION / terminal segments as reservations
+        resolve; event-time timeout emits CORRUPTED CONVERSATION —
+        giving meaning to the reference's declared-but-never-produced
+        kind (events.js:30)
+    → append sink
+
+The stateful operator keys on **task_sid** (not reservation_sid):
+every event of one conversation — queue entries, task aborts, and all
+reservation.* events — carries it, so one state key sees the whole
+lifecycle and the transfer re-queue case stays within one partition.
+State is O(open reservations per task), bounded by the timeout.
+
+The streaming path emits the CORE segment columns (ids + measures).
+The full ~65-column wide projection is a stateless per-row map and is
+shared with the batch engine; parity of the correlation/measure logic
+is what the batch-parity test asserts (streaming output == batch
+recompute on the same fixture, terminal kinds).
+
+This is the documented Pandas-UDF path (custom operator tier (b)):
+the per-key sequential state machine is genuinely order-dependent
+imperative logic that built-in operators can't express.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..taskrouter import schema as S
+
+WATERMARK_DELAY = "10 minutes"
+# open conversation with no terminal event for this long → CORRUPTED
+CONVERSATION_TIMEOUT = dt.timedelta(minutes=10)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_kind", T.StringType()),
+        T.StructField("conversation_id", T.StringType()),
+        T.StructField("reservation_sid", T.StringType()),
+        T.StructField("agent_uuid", T.StringType()),
+        T.StructField("date", T.TimestampType()),
+        T.StructField("queue_time", T.LongType()),
+        T.StructField("ring_time", T.LongType()),
+        T.StructField("talk_time", T.LongType()),
+        T.StructField("wrapup_time", T.LongType()),
+        T.StructField("abandoned", T.StringType()),
+        T.StructField("abandon_time", T.LongType()),
+    ]
+)
+
+# State: one JSON document per task (entry anchor + per-reservation
+# correlation anchors). JSON keeps the schema evolvable; the payload is
+# tiny (a handful of timestamps per open reservation).
+STATE_SCHEMA = T.StructType([T.StructField("state_json", T.StringType())])
+
+
+def _trunc_s(iso_us: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(iso_us).replace(microsecond=0)
+
+
+def _secs(end_iso: str, start_iso: str) -> int:
+    return int((_trunc_s(end_iso) - _trunc_s(start_iso)).total_seconds())
+
+
+def _segment_rows_for_task(
+    events: list[dict], st: dict, timed_out: bool
+) -> tuple[list[dict], dict, bool]:
+    """Advance one task's state machine over new (ts-ordered) events.
+
+    Returns (emitted rows, new state, has_open_state). Pure function —
+    unit-testable without a streaming query."""
+    out: list[dict] = []
+    res: dict[str, Any] = st.setdefault("res", {})  # reservation_sid → anchors
+
+    def emit(kind, rsid, ev, date_iso=None, **measures):
+        out.append(
+            {
+                "segment_kind": kind,
+                "conversation_id": ev.get("custom_conversation_id") or ev.get("task_sid"),
+                "reservation_sid": rsid or "",
+                "agent_uuid": ev.get("worker_sid") or "",
+                "date": _trunc_s(date_iso or ev["ts"]),
+                "queue_time": measures.get("queue_time"),
+                "ring_time": measures.get("ring_time"),
+                "talk_time": measures.get("talk_time"),
+                "wrapup_time": measures.get("wrapup_time"),
+                "abandoned": measures.get("abandoned", "N"),
+                "abandon_time": measures.get("abandon_time"),
+            }
+        )
+
+    for ev in events:
+        et = ev["eventtype"]
+        ts = ev["ts"]
+        rsid = ev.get("reservation_sid")
+        if et in (S.ET_TASK_QUEUE_ENTERED, S.ET_TASK_TRANSFER_INITIATED):
+            st["entry_ts"] = ts
+        elif et == S.ET_RESERVATION_CREATED:
+            res.setdefault(rsid, {})["created_ts"] = ts
+        elif et == S.ET_RESERVATION_ACCEPTED:
+            r = res.setdefault(rsid, {})
+            if "accepted_ts" in r:
+                continue  # first accepted wins (reference F3)
+            r["accepted_ts"] = ts
+            r["accepted_ev"] = ev
+            entry = st.pop("entry_ts", None)
+            r["queue_time"] = _secs(ts, entry) if entry else None
+            r["ring_time"] = _secs(ts, r["created_ts"]) if "created_ts" in r else None
+            if entry:
+                emit(
+                    S.QUEUE_SEGMENT, rsid, ev, date_iso=entry, queue_time=r["queue_time"]
+                )
+        elif et == S.ET_RESERVATION_WRAPUP:
+            res.setdefault(rsid, {})["wrapup_ts"] = ts
+        elif et == S.ET_RESERVATION_COMPLETED:
+            r = res.pop(rsid, None)
+            if not r or "accepted_ts" not in r:
+                continue  # no IN PROGRESS to finalize (events.js:308-310)
+            wrap_ts = r.get("wrapup_ts")
+            emit(
+                S.CONVO_SEG,
+                rsid,
+                r["accepted_ev"],
+                date_iso=r["accepted_ts"],
+                queue_time=r["queue_time"],
+                ring_time=r["ring_time"],
+                talk_time=_secs(wrap_ts or ts, r["accepted_ts"]),
+                wrapup_time=_secs(ts, wrap_ts) if wrap_ts else 0,
+            )
+        elif et in (
+            S.ET_RESERVATION_REJECTED,
+            S.ET_RESERVATION_TIMEOUT,
+            S.ET_RESERVATION_CANCELED,
+            S.ET_RESERVATION_RESCINDED,
+        ):
+            kind = {
+                S.ET_RESERVATION_REJECTED: S.CONVO_REJECTED,
+                S.ET_RESERVATION_TIMEOUT: S.CONVO_MISSED,
+                S.ET_RESERVATION_CANCELED: S.CONVO_MISSED,
+                S.ET_RESERVATION_RESCINDED: S.CONVO_REVOKED,
+            }[et]
+            r = res.pop(rsid, None) or {}
+            ring = _secs(ts, r["created_ts"]) if "created_ts" in r else None
+            emit(kind, rsid, ev, ring_time=ring)
+        elif et in (S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED):
+            entry = st.pop("entry_ts", None)
+            q = _secs(ts, entry) if entry else None
+            common = dict(queue_time=q, abandon_time=q, abandoned="Yes")
+            if entry:
+                emit(S.QUEUE_SEGMENT, None, ev, date_iso=entry, **common)
+            emit(S.CONVO_SEG, None, ev, **common)
+        st["last_ts"] = ts
+
+    if timed_out:
+        # watermark passed the conversation timeout: every still-open
+        # accepted reservation is abandoned state → CORRUPTED CONVERSATION
+        for rsid, r in list(res.items()):
+            if "accepted_ts" in r:
+                emit(
+                    S.CONVO_CORRUPTED,
+                    rsid,
+                    r["accepted_ev"],
+                    date_iso=r["accepted_ts"],
+                    queue_time=r.get("queue_time"),
+                    ring_time=r.get("ring_time"),
+                )
+                res.pop(rsid)
+
+    has_open = bool(res) or "entry_ts" in st
+    return out, st, has_open
+
+
+def _lifecycle_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    st = json.loads(state.get[0]) if state.exists else {}
+    if state.hasTimedOut:
+        rows, st, has_open = _segment_rows_for_task([], st, timed_out=True)
+        state.remove()
+    else:
+        events: list[dict] = []
+        for pdf in pdf_iter:
+            for rec in pdf.to_dict("records"):
+                ts = rec["ts"]
+                events.append(
+                    {
+                        "eventtype": rec["eventtype"],
+                        "ts": ts.isoformat() if hasattr(ts, "isoformat") else str(ts),
+                        "task_sid": rec["task_sid"],
+                        "reservation_sid": rec["reservation_sid"],
+                        "worker_sid": rec["worker_sid"],
+                        "custom_conversation_id": rec["custom_conversation_id"],
+                    }
+                )
+        events.sort(key=lambda e: e["ts"])
+        rows, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
+        if has_open:
+            state.update((json.dumps(st),))
+            last = dt.datetime.fromisoformat(st["last_ts"])
+            state.setTimeoutTimestamp(
+                int((last + CONVERSATION_TIMEOUT).timestamp() * 1000)
+            )
+        elif state.exists:
+            state.remove()
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def parse_stream(raw: DataFrame) -> DataFrame:
+    """CloudEvent JSON lines → watermarked, deduplicated event stream.
+
+    ``raw``: a streaming DataFrame with a string ``value`` column (file/
+    Kafka source shape)."""
+    env = raw.select(F.from_json("value", S.ENVELOPE_STRUCT).alias("e")).select(
+        F.col("e.id").alias("event_id"),
+        F.col("e.type").alias("type"),
+        F.col("e.data.payload").alias("p"),
+    )
+    ev = (
+        env.filter(F.col("type").startswith(S.TASKROUTER_PREFIX))
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.eventtype").alias("eventtype"),
+            F.col("p.timestamp").cast("timestamp").alias("ts"),
+            F.col("p.task_sid").alias("task_sid"),
+            F.col("p.reservation_sid").alias("reservation_sid"),
+            F.col("p.worker_sid").alias("worker_sid"),
+            F.get_json_object("p.task_attributes", "$.conversations.conversation_id").alias(
+                "custom_conversation_id"
+            ),
+        )
+    )
+    return ev.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def conversation_segments_stream(events: DataFrame) -> DataFrame:
+    """The stateful conversation lifecycle over a parsed event stream."""
+    return (
+        events.filter(F.col("task_sid").isNotNull())
+        .groupBy("task_sid")
+        .applyInPandasWithState(
+            _lifecycle_fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def write_event_log(events: DataFrame, path: str, checkpoint: str):
+    """S4: append every taskrouter event to the durable parquet log —
+    date-partitioned so downstream batch recomputes prune by day."""
+    return (
+        events.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+
+
+def run_fixture_stream(
+    spark: SparkSession, workdir: str, files: int = 6
+) -> DataFrame:
+    """Batch-parity harness: spool the fixture to ``files`` chronological
+    JSON-line files, stream them with availableNow (file-per-trigger →
+    the watermark advances between micro-batches, exercising cross-batch
+    state and event-time timeouts), and return the collected segments as
+    a batch DataFrame."""
+    import os
+
+    from ..taskrouter.fixture import FIXTURE_EVENTS
+
+    indir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    ordered = sorted(
+        FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"]
+    )
+    chunk = max(1, (len(ordered) + files - 1) // files)
+    for i in range(0, len(ordered), chunk):
+        path = os.path.join(indir, f"part-{i:04d}.json")
+        with open(path, "w") as f:
+            for e in ordered[i : i + chunk]:
+                f.write(json.dumps(e) + "\n")
+        # the file source picks files up oldest-mtime-first; force strictly
+        # increasing mtimes so arrival order is chronological (files written
+        # in the same clock tick would otherwise arrive in arbitrary order
+        # and legitimately be dropped as late past the watermark)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(indir)
+    )
+    seg = conversation_segments_stream(parse_stream(raw))
+    q = (
+        seg.writeStream.format("memory")
+        .queryName("tr_stream_segments")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT * FROM tr_stream_segments")
