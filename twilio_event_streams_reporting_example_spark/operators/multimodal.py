@@ -1,0 +1,182 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star leg (BASELINE.json): a 100 TB training-data pipeline carries
+image/audio/video alongside text as ``binary`` columns with a typed
+metadata struct, and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``) — never
+row-at-a-time Python.
+
+The container ships no image/audio libraries, so the DECODE step is a
+deterministic fake (payload bytes are synthesized from the documents
+table, so every derived feature is recomputable in SQL — full hash
+oracles). The real-decoder entry point is stubbed behind an import
+gate with ``NotImplementedError`` (clearly marked); the Spark-side
+plumbing — binary column, metadata struct, UDF signature, Arrow batch
+shape, partitioning — is real and oracle-tested.
+
+Scale notes:
+  - payload stays a single binary cell per row; Arrow moves it
+    zero-copy into pandas. Batch size is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at real image
+    sizes (~MBs) tune that down so a batch fits executor memory.
+  - feature extraction is embarrassingly parallel: no shuffle at all
+    (mapInPandas over the scan); only the optional per-format rollup
+    aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+FRAME_STRIDE = 7  # frame-sample: every 7th byte of a fake "video" payload
+
+_FORMATS = ["fake/image", "fake/audio", "fake/video"]
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal table: (doc_id, payload binary, meta struct).
+
+    The payload is the UTF-8 text bytes (deterministic stand-in for real
+    media); metadata mimics a decoded-container header. At 100 TB this
+    is the table layout: media inline as binary (or an object-store URI
+    column next to it), metadata queryable without touching bytes."""
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            ((F.col("doc_id") * 7) % 640 + 16).cast("int").alias("width"),
+            ((F.col("doc_id") * 13) % 480 + 16).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_real_media(payload: bytes, fmt: str):  # pragma: no cover
+    """STUB — real decoder entry point.
+
+    Decoding real media requires PIL/libav, which this environment does
+    not ship. The import gate keeps the pipeline importable; swap in a
+    real implementation on a cluster image that has the codecs."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decode needs an image/audio runtime (PIL/libav); "
+            "this environment ships none — the fake decoder below "
+            "exercises the identical Spark plumbing"
+        ) from e
+    raise NotImplementedError("wire the real decoder here")
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload + meta → per-item features.
+
+    The 'decode' is the deterministic fake (byte stats over the payload);
+    the batch shape (one Arrow batch in, one feature frame out) is
+    exactly what a real decoder kernel looks like."""
+    import hashlib
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "format": pdf["meta"].map(lambda m: m["format"]),
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                "n_frames": payloads.map(
+                    lambda b: (len(b) + FRAME_STRIDE - 1) // FRAME_STRIDE
+                ).astype("int64"),
+            }
+        )
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, format string, n_bytes long, checksum string, "
+    "width int, height int, n_frames long"
+)
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+        SELECT
+          doc_id,
+          ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS format,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS checksum,
+          CAST((doc_id * 7) % 640 + 16 AS INTEGER) AS width,
+          CAST((doc_id * 13) % 480 + 16 AS INTEGER) AS height,
+          CAST((octet_length(encode(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS BIGINT)
+            AS n_frames
+        FROM documents
+    """,
+    doc=(
+        "Multimodal decode/feature-extract plumbing: binary payload + "
+        "metadata struct through an Arrow-batched mapInPandas kernel. "
+        "Shuffle-free (pure scan→map); the fake decode makes every "
+        "feature SQL-recomputable, so the oracle is a full hash match."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return with_payload(docs).mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_format_rollup",
+    oracle=f"""
+        SELECT
+          ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS format,
+          COUNT(*) AS n_items,
+          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          CAST(MAX((octet_length(encode(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE})
+            AS BIGINT) AS max_frames
+        FROM documents
+        GROUP BY 1
+    """,
+    doc=(
+        "Per-format media rollup over the extracted features — the "
+        "storage-planning query a media corpus runs first (bytes per "
+        "modality). One partial-aggregated shuffle on format."
+    ),
+)
+def multimodal_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir)
+    return feats.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
+def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling plumbing: explode a video payload into every
+    ``stride``-th byte as one 'frame' row (what a real sampler does with
+    decoded frames). Demonstrates the binary→rows UDTF shape; bounded
+    output = ceil(n_bytes/stride) rows per item."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j, off in enumerate(range(0, len(b), stride)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(j)
+                    rows["frame_byte"].append(b[off])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, "doc_id long, frame_idx long, frame_byte int")

@@ -189,6 +189,86 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "score", "rk")
 
 
+def _local_topk_fn(k: int):
+    """mapInPandas factory: per-PARTITION top-k per query, accumulated
+    across Arrow batches. Emits ≤ |Q|·k rows per partition — the shuffle
+    after this carries partitions·|Q|·k rows instead of |Q|·N."""
+    import pandas as pd
+
+    def fn(batches):
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            # keep the running set bounded: same tie rule as the final
+            # window (score desc, neighbor_id asc)
+            acc = (
+                acc.sort_values(
+                    ["query_id", "score", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    return fn
+
+
+@register(
+    "knn_topk_partial",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT query_id, neighbor_id, score, rk FROM (
+          SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            {_COSINE_SQL} AS score,
+            ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY {_COSINE_SQL} DESC, c.vec_id
+            ) AS rk
+          FROM e q CROSS JOIN e c
+          WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        )
+        WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        "Scale-correct exact top-k: map-side partial top-k per partition "
+        "(mapInPandas, bounded accumulator) then a final window over the "
+        "reduced candidate set — the shuffle carries partitions×Q×k rows, "
+        "not Q×N. Same oracle as knn_bruteforce_cosine: results identical."
+    ),
+)
+def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = with_norm(emb.filter(F.col("id") < N_QUERIES)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = with_norm(emb.filter(F.col("id") >= N_QUERIES)).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        rounded(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("score"),
+    )
+    reduced = scored.mapInPandas(
+        _local_topk_fn(TOP_K), "query_id long, neighbor_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        reduced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
 @register(
     "knn_lsh_bucketed",
     oracle=f"""
