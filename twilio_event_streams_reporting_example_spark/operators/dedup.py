@@ -413,27 +413,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt")).select(
-        "doc_id", token_hash(F.col("token")).alias("h"), "cnt"
+    """One partial-aggregated shuffle on doc_id: each token OCCURRENCE
+    contributes ±1 to each of the 32 bit-sums (identical to tf-weighted
+    sums, without materializing a tf table or a ×32 bit crossJoin — the
+    32 conditional sums run inside one codegen'd hash aggregate)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token")).select(
+        "doc_id", token_hash(F.col("token")).alias("h")
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    bitsums = (
-        tf.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-            ).alias("s")
-        )
-    )
-    return bitsums.groupBy("doc_id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 @register(

@@ -37,9 +37,14 @@ def write_event_log(parsed: DataFrame, path: str) -> None:
 
 
 def write_segments(segments: DataFrame, path: str) -> None:
-    """S5: conversations fact, partitioned by segment date."""
+    """S5: conversations fact, partitioned by segment date.
+
+    The row id (P12, reference events.js:217 ``uuid()``) is minted at
+    write time — the queryable views stay deterministic (oracle-
+    hashable); only durable rows carry the synthetic key."""
     (
-        segments.withColumn("segment_date", F.to_date("date"))
+        segments.withColumn("uuid", F.expr("uuid()"))
+        .withColumn("segment_date", F.to_date("date"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("segment_date")
