@@ -474,13 +474,12 @@ def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     fp = simhash_fingerprints(spark, docs).cache()
-    blk = spark.range(4).select(F.col("id").cast("int").alias("blk"))
-    blocks = fp.crossJoin(F.broadcast(blk)).select(
+    # ×4 byte-block expansion via explode (generator, no join in the plan)
+    blocks = fp.select(
         "doc_id",
         "simhash",
-        "blk",
-        F.expr("(simhash >> (blk * 8)) & 255").alias("byte"),
-    )
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("blk"),
+    ).withColumn("byte", F.expr("(simhash >> (blk * 8)) & 255"))
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "byte")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "byte")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

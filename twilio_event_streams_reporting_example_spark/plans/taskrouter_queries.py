@@ -204,6 +204,49 @@ _REPORT_AGENT_COLS = [
 ]
 
 
+# ------------------------------------------------------------ KPI rollup
+
+
+@register(
+    "taskrouter_queue_kpis",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
+        SELECT
+          "queue",
+          segment_kind,
+          COUNT(*) AS n_segments,
+          CAST(SUM(queue_time) AS BIGINT) AS sum_queue_time,
+          CAST(SUM(ring_time) AS BIGINT) AS sum_ring_time,
+          CAST(SUM(talk_time) AS BIGINT) AS sum_talk_time,
+          CAST(SUM(wrapup_time) AS BIGINT) AS sum_wrapup_time,
+          CAST(SUM(CASE WHEN abandoned = 'Yes' THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        FROM seg
+        GROUP BY "queue", segment_kind
+    """,
+    doc=(
+        "Report-layer KPI rollup per (queue, segment_kind) — the GROUP BY "
+        "aggregation layer the reference stops short of (SURVEY §2.7: Flex "
+        "Insights aggregates, the reference only materializes segments). "
+        "Exact integer sums; the oracle aggregates the simulator's golden "
+        "rows in DuckDB, so both the fact table AND the rollup are "
+        "independently derived. At scale: one partial-aggregated shuffle "
+        "over the date-pruned fact."
+    ),
+)
+def taskrouter_queue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_segments_df
+
+    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    return seg.groupBy("queue", "segment_kind").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("queue_time").alias("sum_queue_time"),
+        F.sum("ring_time").alias("sum_ring_time"),
+        F.sum("talk_time").alias("sum_talk_time"),
+        F.sum("wrapup_time").alias("sum_wrapup_time"),
+        F.sum(F.when(F.col("abandoned") == "Yes", 1).otherwise(0)).alias("n_abandoned"),
+    )
+
+
 # ------------------------------------------------------------- streaming
 
 _STREAM_COLS = [
