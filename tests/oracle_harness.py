@@ -24,7 +24,10 @@ def _canon(v) -> str:
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Keep any tz offset: the driver's canonicalization does, so a
+        # TIMESTAMPTZ-producing oracle (e.g. DuckDB to_timestamp) must
+        # fail here too, not just in the driver.
+        return v.isoformat()
     if isinstance(v, bool):
         return str(bool(v))
     try:

@@ -100,8 +100,14 @@ def ingest_taskrouter(raw: DataFrame) -> DataFrame:
 
 # ------------------------------------------------- wide projection (P1-P12)
 
-_NULL_LONG = F.lit(None).cast("long")
-_NULL_TS = F.lit(None).cast("timestamp")
+def _null_long() -> Column:
+    # built lazily: F.lit needs an active SparkContext, and this module
+    # must stay importable before the session exists
+    return F.lit(None).cast("long")
+
+
+def _null_ts() -> Column:
+    return F.lit(None).cast("timestamp")
 
 
 _falsy = js_falsy_to_null  # JS ``||`` treats '' as missing (strings only)
@@ -465,7 +471,7 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
             "activity_time": F.when(
                 F.col("next_ts").isNotNull(), F.col("next_wtip")
             ).otherwise(
-                F.when(et == S.ET_WORKER_CREATED, F.col("wtip")).otherwise(_NULL_LONG)
+                F.when(et == S.ET_WORKER_CREATED, F.col("wtip")).otherwise(_null_long())
             ),
         },
     )
@@ -537,7 +543,7 @@ def taskrouter_agents_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
             "state"
         ),
         truncate_ms(F.col("first_ts")).alias("date_joined"),
-        F.when(is_deleted, truncate_ms(F.col("ts"))).otherwise(_NULL_TS).alias("date_left"),
+        F.when(is_deleted, truncate_ms(F.col("ts"))).otherwise(_null_ts()).alias("date_left"),
     ]
     out = latest.select(*cols)
     casts = {"BIGINT": "long", "VARCHAR": "string", "TIMESTAMP": "timestamp"}

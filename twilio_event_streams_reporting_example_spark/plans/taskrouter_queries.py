@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..taskrouter import schema as S
 from ..taskrouter.fixture import fixture_df
+from ..taskrouter.scale import scale_oracle_sql
 from ..taskrouter.sim import run_fixture_sim
 
 # ------------------------------------------------------ oracle rendering
@@ -202,6 +203,41 @@ _REPORT_AGENT_COLS = [
     ("manager", "VARCHAR"),
     ("state", "VARCHAR"),
 ]
+
+
+# ------------------------------------------------------------- scale run
+
+SCALE_N_TASKS = 10_000  # 50k events → 20k segments, generated executor-side
+
+
+@register(
+    "taskrouter_segments_scale",
+    oracle=scale_oracle_sql(SCALE_N_TASKS),
+    doc=(
+        "Throughput proof: the full ingest→correlate→project pipeline over "
+        "10k distributively-generated happy-path conversations (50k "
+        "CloudEvents). Event timings are closed-form in the task index, so "
+        "the 20k-row expected output is plain SQL — the scale run keeps a "
+        "full hash oracle instead of a rows-only check."
+    ),
+)
+def taskrouter_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..taskrouter.scale import synthetic_events
+    from .taskrouter import taskrouter_segments_df
+
+    raw = synthetic_events(spark, SCALE_N_TASKS)
+    seg = taskrouter_segments_df(spark, raw)
+    return seg.select(
+        "segment_kind",
+        "conversation_id",
+        "reservation_sid",
+        "agent_uuid",
+        "date",
+        "queue_time",
+        "ring_time",
+        "talk_time",
+        "wrapup_time",
+    )
 
 
 # ------------------------------------------------------------ KPI rollup
