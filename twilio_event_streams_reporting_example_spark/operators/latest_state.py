@@ -82,3 +82,46 @@ def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "user_current_state_maxby",
+    oracle="""
+        -- DuckDB arg_max takes no struct ordering: build a lexicographic
+        -- (ts, event_id) key instead — exact same total order as Spark's
+        -- max_by(col, struct(ts, event_id))
+        WITH keyed AS (
+          SELECT *,
+            strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+              || '|' || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord_key
+          FROM events
+        )
+        SELECT
+          user_id,
+          arg_max(event_type, ord_key) AS last_event_type,
+          date_trunc('second', MAX(ts)) AS last_seen,
+          date_trunc('second', MIN(ts)) AS first_seen,
+          COUNT(*) AS n_events,
+          CAST(arg_max(value, ord_key) AS DOUBLE) AS last_value
+        FROM keyed
+        GROUP BY user_id
+    """,
+    doc=(
+        "Skew-proof formulation of the same SCD-1 view: max_by/min over "
+        "one hash aggregate instead of a window sort. The aggregate "
+        "partial-combines map-side, so a hot user_id reduces to one state "
+        "per input partition before the shuffle — no single giant sorted "
+        "partition (the residual window-skew risk at 100 TB). Same rows "
+        "as user_current_state."
+    ),
+)
+def user_current_state_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ord_ = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_).alias("last_event_type"),
+        F.date_trunc("second", F.max("ts")).alias("last_seen"),
+        F.date_trunc("second", F.min("ts")).alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", ord_).alias("last_value"),
+    )
