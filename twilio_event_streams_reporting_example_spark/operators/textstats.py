@@ -216,3 +216,100 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(term) % FP_P).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+# --------------------------------------------------- composed corpus prep
+
+_SQL_LANG_SCORES = ", ".join(
+    "CAST(SUM(CASE WHEN token IN ({m}) THEN 1 ELSE 0 END) AS BIGINT) AS score_{lg}".format(
+        m=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg=lg
+    )
+    for lg in sorted(LANG_MARKERS)
+)
+_SQL_GREATEST = "greatest({})".format(
+    ", ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS))
+)
+_SQL_PRED_LANG = "CASE {} END".format(
+    " ".join(
+        f"WHEN score_{lg} = {_SQL_GREATEST} THEN '{lg}'" for lg in sorted(LANG_MARKERS)
+    )
+)
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+        WITH keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        tok AS (
+          SELECT d.doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        ),
+        s AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT token) AS n_distinct,
+                 CAST(SUM(length(token)) AS BIGINT) AS tok_chars,
+                 CAST(SUM(CASE WHEN token IN ({", ".join(f"'{w}'" for w in STOPWORDS)})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+                 {_SQL_LANG_SCORES}
+          FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, {_SQL_PRED_LANG} AS predicted_lang, n_tokens
+        FROM s
+        WHERE (n_tokens BETWEEN 20 AND 100000)
+          AND (tok_chars * 10 BETWEEN n_tokens * 20 AND n_tokens * 120)
+          AND (n_distinct * 10 >= n_tokens)
+          AND (stop_hits * 100 >= n_tokens)
+          AND {_SQL_PRED_LANG} = 'en'
+    """,
+    doc=(
+        "End-to-end training-corpus prep: exact dedup (keep lowest doc_id "
+        "per identical text) -> Gopher-style quality gates -> language "
+        "filter (en) -> surviving docs with token counts. The chained "
+        "use-case the north-star operators exist for, composed as ONE "
+        "plan: a dedup semi-join plus a single groupBy computing quality "
+        "AND language scores in the same partial-aggregated pass."
+    ),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    tok = kept.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+
+    langs = sorted(LANG_MARKERS)
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(F.length("token")).alias("tok_chars"),
+        F.sum(F.when(F.col("token").isin(STOPWORDS), 1).otherwise(0)).alias("stop_hits"),
+    ] + [
+        F.sum(F.when(F.col("token").isin(LANG_MARKERS[lg]), 1).otherwise(0)).alias(
+            f"score_{lg}"
+        )
+        for lg in langs
+    ]
+    s = tok.groupBy("doc_id").agg(*aggs)
+
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+
+    gates = (
+        F.col("n_tokens").between(20, 100000)
+        & (F.col("tok_chars") * 10 >= F.col("n_tokens") * 20)
+        & (F.col("tok_chars") * 10 <= F.col("n_tokens") * 120)
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens"))
+        & (F.col("stop_hits") * 100 >= F.col("n_tokens"))
+    )
+    return (
+        s.withColumn("predicted_lang", pred)
+        .filter(gates & (F.col("predicted_lang") == "en"))
+        .select("doc_id", "predicted_lang", "n_tokens")
+    )
