@@ -283,12 +283,14 @@ def _reservation_pivot(parsed: DataFrame) -> DataFrame:
     is_wrapup = et == S.ET_RESERVATION_WRAPUP
     is_completed = et == S.ET_RESERVATION_COMPLETED
     ord_ = F.struct("ts", "arrival_idx")
-    return (
+    piv = (
         parsed.filter(is_created | is_wrapup | is_completed)
         .groupBy("reservation_sid")
         .agg(
             F.max(F.when(is_created, F.col("ts"))).alias("created_ts"),
-            F.max(F.when(is_wrapup, F.col("ts"))).alias("wrapup_ts"),
+            # every wrapup ts (tiny list per reservation): the one the
+            # completed event SEES is resolved below against completed_ts
+            F.collect_list(F.when(is_wrapup, F.col("ts"))).alias("wrapup_ts_all"),
             F.min_by(F.when(is_completed, F.col("ts")), F.when(is_completed, ord_)).alias(
                 "completed_ts"
             ),
@@ -302,6 +304,16 @@ def _reservation_pivot(parsed: DataFrame) -> DataFrame:
             F.max(F.when(is_completed, F.lit(True))).alias("has_completed"),
         )
     )
+    # The reference resolves the wrapup lookup AT completed-processing
+    # time (events.js:181): in event-time order that means only wrapups
+    # strictly BEFORE the completed event count — a wrapup delivered
+    # after completion yields talk=completed-accepted and wrapup_time=0,
+    # not a retroactive recompute.
+    eligible = F.when(
+        F.col("completed_ts").isNotNull(),
+        F.filter("wrapup_ts_all", lambda w: w < F.col("completed_ts")),
+    ).otherwise(F.col("wrapup_ts_all"))
+    return piv.withColumn("wrapup_ts", F.array_max(eligible)).drop("wrapup_ts_all")
 
 
 # ---------------------------------------------------------- the segments

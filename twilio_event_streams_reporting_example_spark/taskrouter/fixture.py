@@ -330,6 +330,23 @@ def _build() -> list[dict]:
     ev.append(_ev("reservation.completed", "2024-05-01T11:20:00.000Z", task_sid="TK012",
                   reservation_sid="RS012", worker_sid="WK003", task_attributes=t12))
 
+    # --- T013/R013: wrapup delivered AFTER completed (Alice) -----------
+    # the completed event must not see it: talk = completed - accepted,
+    # wrapup_time = 0 (reference resolves the lookup at processing time)
+    t13 = {"direction": "inbound", "from": "+15551013", "to": "+15552013"}
+    ev.append(_ev("task-queue.entered", "2024-05-01T11:30:00.200Z", task_sid="TK013",
+                  task_attributes=t13))
+    ev.append(_ev("reservation.created", "2024-05-01T11:30:03.000Z", task_sid="TK013",
+                  reservation_sid="RS013", worker_sid="WK001", task_attributes=t13))
+    ev.append(_ev("reservation.accepted", "2024-05-01T11:30:10.700Z", task_sid="TK013",
+                  reservation_sid="RS013", worker_sid="WK001", task_attributes=t13,
+                  worker_attributes=ALICE_ATTRS))
+    ev.append(_ev("reservation.completed", "2024-05-01T11:33:10.100Z", task_sid="TK013",
+                  reservation_sid="RS013", worker_sid="WK001", task_attributes=t13,
+                  task_completed_reason="completed"))
+    ev.append(_ev("reservation.wrapup", "2024-05-01T11:34:00.000Z", task_sid="TK013",
+                  reservation_sid="RS013", worker_sid="WK001", task_attributes=t13))
+
     # --- Bob's day ends: activity → Offline, then deleted --------------
     ev.append(
         _ev("worker.activity.update", "2024-05-01T11:45:00.300Z", worker_sid="WK002",
