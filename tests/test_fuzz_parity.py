@@ -1,0 +1,162 @@
+"""Randomized engine↔simulator parity.
+
+The batch engine (set-wise windows/joins) and the reference simulator
+(row-at-a-time replay) are independent implementations of the same
+semantics. This fuzz harness generates random scenario mixes — random
+timings with ms jitter, random event subsets, shuffled arrival order,
+duplicate deliveries, custom-data overrides — and asserts both produce
+the IDENTICAL segment set. Seeds are fixed: failures reproduce.
+"""
+
+import datetime as dt
+import json
+import random
+
+import pytest
+
+from twilio_event_streams_reporting_example_spark.taskrouter.schema import (
+    SEGMENT_COLUMNS,
+)
+from twilio_event_streams_reporting_example_spark.taskrouter.sim import ReferenceSim
+
+BASE = dt.datetime(2024, 7, 1, 8, 0, 0)
+
+SCENARIOS = [
+    "happy",
+    "no_wrapup",
+    "rejected",
+    "timeout",
+    "canceled",
+    "rescinded",
+    "abandoned",
+    "transfer_failed",
+    "no_entry",
+    "completed_no_accept",
+    "late_wrapup",
+]
+
+
+def _iso(t: dt.datetime) -> str:
+    return t.strftime("%Y-%m-%dT%H:%M:%S.") + f"{t.microsecond // 1000:03d}Z"
+
+
+def _gen_events(seed: int, n_tasks: int) -> list[dict]:
+    rng = random.Random(seed)
+    events: list[dict] = []
+    eid = [0]
+
+    def ev(et, t, **payload):
+        eid[0] += 1
+        p = {"eventtype": et, "timestamp": _iso(t)}
+        p.update({k: v for k, v in payload.items() if v is not None})
+        return {
+            "id": f"F-{seed}-{eid[0]}",
+            "type": f"com.twilio.taskrouter.{et}",
+            "data": {"payload": p},
+        }
+
+    for i in range(n_tasks):
+        scen = rng.choice(SCENARIOS)
+        task = f"FT{seed}-{i}"
+        res = f"FR{seed}-{i}"
+        wk = f"FW{rng.randrange(3)}"
+        t0 = BASE + dt.timedelta(seconds=i * 600 + rng.randrange(60))
+
+        def j(lo, hi):  # jittered offset with random milliseconds
+            return dt.timedelta(seconds=rng.randrange(lo, hi), milliseconds=rng.randrange(1000))
+
+        custom = None
+        if rng.random() < 0.3:
+            custom = {"conversations": {"conversation_id": f"C-{seed}-{i}",
+                                        "queue_time": rng.randrange(500),
+                                        "channel": rng.choice(["Video", "SMS"])}}
+        ta = {"direction": rng.choice(["inbound", "outbound", "internal", "weird"]),
+              "from": "+1500", "to": "+1600", **(custom or {})}
+        common = dict(task_sid=task, task_attributes=json.dumps(ta),
+                      task_channel_unique_name=rng.choice(["voice", "chat", "video", None]),
+                      task_queue_name="Q", task_queue_sid="WQ", workflow_name="WF")
+
+        t_entry = t0
+        t_created = t0 + j(1, 10)
+        t_exit = t_created + j(1, 120)
+        if scen != "no_entry":
+            events.append(ev("task-queue.entered", t_entry, **common))
+        if scen in ("abandoned", "transfer_failed"):
+            et = "task.canceled" if scen == "abandoned" else "task.transfer-failed"
+            events.append(ev(et, t_exit, task_canceled_reason="gone", **common))
+            continue
+        events.append(ev("reservation.created", t_created, reservation_sid=res,
+                         worker_sid=wk, **common))
+        if scen == "rejected":
+            events.append(ev("reservation.rejected", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+        elif scen == "timeout":
+            events.append(ev("reservation.timeout", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+        elif scen == "canceled":
+            events.append(ev("reservation.canceled", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+        elif scen == "rescinded":
+            events.append(ev("reservation.rescinded", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+        elif scen == "completed_no_accept":
+            events.append(ev("reservation.completed", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+        else:
+            t_acc = t_exit
+            events.append(ev("reservation.accepted", t_acc, reservation_sid=res,
+                             worker_sid=wk, **common))
+            t_done = t_acc + j(30, 600)
+            if scen == "happy":
+                t_wrap = t_acc + j(5, 25)
+                events.append(ev("reservation.wrapup", t_wrap, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                events.append(ev("reservation.completed", t_done, reservation_sid=res,
+                                 worker_sid=wk, task_completed_reason="done", **common))
+            elif scen == "no_wrapup":
+                events.append(ev("reservation.completed", t_done, reservation_sid=res,
+                                 worker_sid=wk, **common))
+            elif scen == "late_wrapup":
+                events.append(ev("reservation.completed", t_done, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                events.append(ev("reservation.wrapup", t_done + j(1, 30),
+                                 reservation_sid=res, worker_sid=wk, **common))
+            # else: accepted never resolved → IN PROGRESS
+
+    # duplicate deliveries: re-send ~10% with the same id
+    dups = [e for e in events if rng.random() < 0.1]
+    events.extend(json.loads(json.dumps(e)) for e in dups)
+    rng.shuffle(events)  # arrival order is adversarial; event time governs
+    return events
+
+
+def _canon_rows(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(
+            (v.isoformat() if isinstance(v, dt.datetime) else v)
+            for v in (r[c] for c, _ in SEGMENT_COLUMNS)
+        ))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_engine_matches_simulator_on_random_scenarios(spark, seed):
+    events = _gen_events(seed, n_tasks=25)
+
+    sim_rows = _canon_rows(ReferenceSim(events).segment_rows())
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(events)], "arrival_idx bigint, raw string"
+    )
+    eng_rows = _canon_rows([r.asDict() for r in taskrouter_segments_df(spark, raw).collect()])
+
+    assert len(eng_rows) == len(sim_rows), (
+        f"seed {seed}: engine {len(eng_rows)} rows vs sim {len(sim_rows)}"
+    )
+    for a, b in zip(eng_rows, sim_rows):
+        assert a == b, f"seed {seed}: first diff\nengine: {a}\nsim:    {b}"
