@@ -102,3 +102,51 @@ def test_stream_state_machine_pure_fn_replay():
         rows = r1 + r2
         assert rows == one_shot, f"split at {cut} diverged"
         assert open2 == open1
+
+
+def test_foreachbatch_agents_upsert_matches_batch(spark):
+    """SURVEY Phase 2 item 12: the incremental foreachBatch dimension
+    upsert, fed the fixture in chronological micro-batches, must converge
+    to the same rows as the one-shot batch recompute."""
+    import json
+    import os
+    import tempfile
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_agents_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        agents_upsert_sink,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+        fixture_df,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        ordered = sorted(FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"])
+        chunk = (len(ordered) + 3) // 4
+        for i in range(0, len(ordered), chunk):
+            path = os.path.join(indir, f"part-{i:04d}.json")
+            with open(path, "w") as f:
+                for e in ordered[i : i + chunk]:
+                    f.write(json.dumps(e) + "\n")
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(indir)
+        dim_path = os.path.join(d, "agents_dim")
+        q = (
+            agents_upsert_sink(spark, raw, dim_path)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        streamed = spark.read.parquet(dim_path).drop("last_ts")
+        batch = taskrouter_agents_df(spark, fixture_df(spark))
+        assert streamed.count() == batch.count()
+        assert streamed.select(batch.columns).exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed.select(batch.columns)).count() == 0

@@ -509,12 +509,19 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
 # ------------------------------------------------------- agents dimension
 
 
-def taskrouter_agents_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
+def taskrouter_agents_df(
+    spark: SparkSession, raw: DataFrame, with_ordering: bool = False
+) -> DataFrame:
     """Agents current-state dimension (S7 upsert → latest-wins recompute):
     latest worker.* event per worker supplies the 16 attribute columns
     (each reference upsert fully overwrites them, events.js:240-246);
     date_joined = first event's ts; state/date_left from the latest
-    event's type. One window shuffle on worker_sid."""
+    event's type. One window shuffle on worker_sid.
+
+    ``with_ordering=True`` appends a ``last_ts`` column (the latest
+    event's raw timestamp) so incremental upsert sinks can merge this
+    batch's rows against an existing dimension (streaming foreachBatch
+    path)."""
     parsed = ingest_taskrouter(raw)
     et = F.col("eventtype")
     workers = parsed.filter(
@@ -557,8 +564,9 @@ def taskrouter_agents_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
         truncate_ms(F.col("first_ts")).alias("date_joined"),
         F.when(is_deleted, truncate_ms(F.col("ts"))).otherwise(_null_ts()).alias("date_left"),
     ]
-    out = latest.select(*cols)
+    out = latest.select(*cols, F.col("ts").alias("last_ts"))
     casts = {"BIGINT": "long", "VARCHAR": "string", "TIMESTAMP": "timestamp"}
-    return out.select(
-        *[F.col(name).cast(casts[t]).alias(name) for name, t in S.AGENT_COLUMNS]
-    )
+    ordered = [F.col(name).cast(casts[t]).alias(name) for name, t in S.AGENT_COLUMNS]
+    if with_ordering:
+        ordered.append(F.col("last_ts"))
+    return out.select(*ordered)

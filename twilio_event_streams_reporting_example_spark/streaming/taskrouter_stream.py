@@ -326,3 +326,70 @@ def run_fixture_stream(
     )
     q.awaitTermination(300)
     return spark.sql("SELECT * FROM tr_stream_segments")
+
+
+# ------------------------------------------------- agents upsert sink (S7)
+
+
+def _merge_agents(existing: DataFrame | None, batch_dim: DataFrame) -> DataFrame:
+    """Latest-wins merge of a batch's agent rows into the current dim:
+    newest ``last_ts`` supplies the whole attribute row + state/date_left
+    (each reference upsert fully overwrites, events.js:240-246);
+    date_joined keeps the global minimum."""
+    from ..taskrouter.schema import AGENT_COLUMNS
+
+    merged = batch_dim if existing is None else existing.unionByName(batch_dim)
+    attr_cols = [c for c, _ in AGENT_COLUMNS if c not in ("agent_uuid", "date_joined")]
+    packed = merged.select(
+        "agent_uuid",
+        "date_joined",
+        "last_ts",
+        F.struct(*attr_cols).alias("row"),
+    )
+    agg = packed.groupBy("agent_uuid").agg(
+        F.max_by("row", "last_ts").alias("row"),
+        F.min("date_joined").alias("date_joined"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    return agg.select(
+        "agent_uuid",
+        *[F.col(f"row.{c}").alias(c) for c in attr_cols if c != "date_joined"],
+        "date_joined",
+        "last_ts",
+    ).select(*[c for c, _ in AGENT_COLUMNS], "last_ts")
+
+
+def agents_upsert_sink(spark: SparkSession, raw_stream: DataFrame, dim_path: str):
+    """foreachBatch MERGE upsert for the agents dimension (SURVEY Phase 2
+    item 12): per micro-batch, derive this batch's latest-wins agent rows
+    and merge them into the durable dimension.
+
+    On plain parquet the merge is read→union→latest-wins→staging-write→
+    swap (atomic enough for a single writer); on a table format with
+    MERGE INTO (Delta/Iceberg) the same ``_merge_agents`` plan becomes
+    the MERGE source. State per agent is one row — the dimension stays
+    broadcast-sized."""
+    import os
+    import shutil
+
+    from ..plans.taskrouter import taskrouter_agents_df
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        raw = batch_df.select(
+            F.monotonically_increasing_id().alias("arrival_idx"),
+            F.col("value").alias("raw"),
+        )
+        batch_dim = taskrouter_agents_df(spark, raw, with_ordering=True)
+        if batch_dim.rdd.isEmpty():
+            return
+        existing = None
+        if os.path.exists(dim_path):
+            existing = spark.read.parquet(dim_path)
+        merged = _merge_agents(existing, batch_dim)
+        staging = f"{dim_path}__staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        if os.path.exists(dim_path):
+            shutil.rmtree(dim_path)
+        os.replace(staging, dim_path)
+
+    return raw_stream.writeStream.foreachBatch(upsert)
