@@ -80,3 +80,31 @@ def test_agent_sessions_partition_timeline(segments):
     )
     for r in open_per_worker:
         assert r["count"] == 1
+
+
+def test_malformed_events_are_isolated(spark):
+    """§3.1 error semantics: one bad element never aborts the batch —
+    garbage rows are quarantined by the PERMISSIVE envelope parse and the
+    remaining events produce the identical segment set (the reference
+    try/catches per event, events.js:672-674)."""
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import FIXTURE_JSON
+
+    garbage = [
+        "not json at all",
+        "{\"id\": null, \"type\": \"com.twilio.taskrouter.x\"}",
+        "{\"type\": \"com.twilio.taskrouter.reservation.accepted\"}",  # no id
+        "[]",
+        "{\"id\": \"G-1\", \"type\": 42}",
+    ]
+    clean = taskrouter_segments_df(spark, _raw_df(spark, FIXTURE_JSON))
+    dirty = taskrouter_segments_df(
+        spark,
+        _raw_df(spark, FIXTURE_JSON).unionByName(
+            _raw_df(spark, garbage, start_idx=50_000)
+        ),
+    )
+    assert clean.count() == dirty.count()
+    assert clean.exceptAll(dirty).count() == 0
