@@ -388,3 +388,132 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") > NEARDUP_THRESHOLD)
     )
+
+
+# ------------------------------------------------------------- IVF kNN
+
+IVF_CENTROIDS = 16  # vectors with vec_id < IVF_CENTROIDS act as centroids
+IVF_NPROBE = 2  # probe the 2 nearest centroid cells per query
+
+_IVF_ASSIGN_SQL = f"""
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        scored_cells AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                       {SCORE_DP}) AS cscore
+          FROM e CROSS JOIN cent c
+        )
+"""
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_IVF_ASSIGN_SQL},
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, centroid_id) AS rn
+            FROM scored_cells WHERE vec_id >= {N_QUERIES}
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, centroid_id) AS pr
+            FROM scored_cells WHERE vec_id < {N_QUERIES}
+          ) WHERE pr <= {IVF_NPROBE}
+        )
+        SELECT query_id, neighbor_id, score, rk FROM (
+          SELECT p.query_id,
+                 a.vec_id AS neighbor_id,
+                 {_COSINE_SQL} AS score,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                    ORDER BY {_COSINE_SQL} DESC, a.vec_id) AS rk
+          FROM probes p
+          JOIN assign a ON a.centroid_id = p.centroid_id
+          JOIN e q ON q.vec_id = p.query_id
+          JOIN e c ON c.vec_id = a.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        "IVF-style ANN: candidates are pre-assigned to their nearest "
+        "centroid cell (deterministic centroids = the first "
+        f"{IVF_CENTROIDS} vectors; k-means iterations would refine them "
+        "the same shuffle shape), queries probe their nprobe nearest "
+        "cells, exact rescoring only within probed cells. The "
+        "assignment is a broadcast map-side argmax — the only wide "
+        "exchange is the cell equi-join, pruning ~centroids/nprobe of "
+        "the corpus per query. Complements the sign-LSH path: IVF adapts "
+        "to the data distribution, LSH needs no training data."
+    ),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(
+        load_table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    cent = emb.filter(F.col("id") < IVF_CENTROIDS).select(
+        F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cell_score = rounded(
+        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+    ).alias("cscore")
+    scored_cells = emb.crossJoin(F.broadcast(cent)).select(
+        "id", "v", "nrm", "centroid_id", cell_score
+    )
+
+    # candidates: hard assignment to the single nearest cell (map-side
+    # argmax — broadcast join + partial-combining max_by, no wide shuffle
+    # of the corpus beyond its natural partitioning)
+    assign = (
+        scored_cells.filter(F.col("id") >= N_QUERIES)
+        .groupBy("id")
+        .agg(F.max_by("centroid_id", F.struct(F.col("cscore"), -F.col("centroid_id"))).alias(
+            "centroid_id"
+        ))
+    )
+    cand = assign.join(
+        emb.select("id", "v", "nrm"), "id"
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        "centroid_id",
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn2"),
+    )
+
+    # queries: probe the nprobe nearest cells
+    pw = W.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+    probes = (
+        scored_cells.filter(F.col("id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select(
+            F.col("id").alias("query_id"),
+            "centroid_id",
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+
+    rescored = probes.join(cand, "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        rounded(cosine(F.col("qv"), F.col("cv2"), F.col("qn"), F.col("cn2"))).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
