@@ -123,6 +123,31 @@ def _gen_events(seed: int, n_tasks: int) -> list[dict]:
                                  reservation_sid=res, worker_sid=wk, **common))
             # else: accepted never resolved → IN PROGRESS
 
+    # random worker lifecycles (agent dimension + status sessions)
+    for w in range(3):
+        wk = f"FW{w}"
+        t = BASE + dt.timedelta(seconds=rng.randrange(3600))
+        attrs = {"email": f"{wk}@x", "agent_id": wk,
+                 "roles": ["Agent"] if rng.random() < 0.5 else None,
+                 "role": "Solo" if rng.random() < 0.5 else None,
+                 "team_id": f"T{rng.randrange(2)}", "team_name": f"Team{rng.randrange(2)}"}
+        attrs = {k: v for k, v in attrs.items() if v is not None}
+        wcommon = dict(worker_sid=wk, worker_attributes=json.dumps(attrs))
+        if rng.random() < 0.8:  # sometimes the created event is missing
+            events.append(ev("worker.created", t, worker_activity_name="Offline", **wcommon))
+        for _ in range(rng.randrange(4)):
+            t += dt.timedelta(seconds=rng.randrange(60, 600),
+                              milliseconds=rng.randrange(1000))
+            kind = rng.choice(["worker.activity.update", "worker.attributes.update"])
+            extra = {}
+            if kind == "worker.activity.update":
+                extra = dict(worker_activity_name=rng.choice(["Available", "Break"]),
+                             worker_time_in_previous_activity=rng.randrange(5000))
+            events.append(ev(kind, t, **extra, **wcommon))
+        if rng.random() < 0.3:
+            t += dt.timedelta(seconds=rng.randrange(60, 600))
+            events.append(ev("worker.deleted", t, worker_activity_name="Offline", **wcommon))
+
     # duplicate deliveries: re-send ~10% with the same id
     dups = [e for e in events if rng.random() < 0.1]
     events.extend(json.loads(json.dumps(e)) for e in dups)
@@ -160,3 +185,33 @@ def test_engine_matches_simulator_on_random_scenarios(spark, seed):
     )
     for a, b in zip(eng_rows, sim_rows):
         assert a == b, f"seed {seed}: first diff\nengine: {a}\nsim:    {b}"
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_agents_dimension_matches_simulator(spark, seed):
+    import datetime as dtm
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_agents_df,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.schema import (
+        AGENT_COLUMNS,
+    )
+
+    events = _gen_events(seed, n_tasks=10)
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                (v.isoformat() if isinstance(v, dtm.datetime) else v)
+                for v in (r[c] for c, _ in AGENT_COLUMNS)
+            ))
+        return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+    sim_rows = canon(ReferenceSim(events).agent_rows())
+    raw = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(events)], "arrival_idx bigint, raw string"
+    )
+    eng_rows = canon([r.asDict() for r in taskrouter_agents_df(spark, raw).collect()])
+    assert eng_rows == sim_rows, f"seed {seed}: agents diverged"
