@@ -322,6 +322,10 @@ def _reservation_pivot(parsed: DataFrame) -> DataFrame:
 def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     """The conversations fact table: every §2.5 transition as a union of
     filtered projections over one parsed event log."""
+    # same defense as sources/tables.py: a non-UTC driver session would
+    # render every truncated timestamp in local time and value-mismatch
+    # the golden oracles even though the instants are correct
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     parsed = ingest_taskrouter(raw).cache()
     et = F.col("eventtype")
 
@@ -522,6 +526,7 @@ def taskrouter_agents_df(
     event's raw timestamp) so incremental upsert sinks can merge this
     batch's rows against an existing dimension (streaming foreachBatch
     path)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     parsed = ingest_taskrouter(raw)
     et = F.col("eventtype")
     workers = parsed.filter(

@@ -292,6 +292,7 @@ def run_fixture_stream(
 
     from ..taskrouter.fixture import FIXTURE_EVENTS
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle comparability
     indir = os.path.join(workdir, "in")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(indir, exist_ok=True)
