@@ -205,6 +205,40 @@ _REPORT_AGENT_COLS = [
 ]
 
 
+@register(
+    "taskrouter_channel_rollup",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
+        SELECT
+          channel,
+          direction,
+          CAST(GROUPING(channel) AS BIGINT) AS g_channel,
+          CAST(GROUPING(direction) AS BIGINT) AS g_direction,
+          COUNT(*) AS n_segments,
+          CAST(SUM(talk_time) AS BIGINT) AS sum_talk_time
+        FROM seg
+        GROUP BY ROLLUP (channel, direction)
+    """,
+    doc=(
+        "ROLLUP report over (channel, direction) with GROUPING flags to "
+        "disambiguate subtotal rows from data NULLs — the grouping-sets "
+        "aggregation class SURVEY §2.7 notes the reference lacks entirely. "
+        "Spark expands grouping sets inside one partial-aggregated "
+        "shuffle; no per-level rescan."
+    ),
+)
+def taskrouter_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_segments_df
+
+    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    return seg.rollup("channel", "direction").agg(
+        F.grouping("channel").cast("long").alias("g_channel"),
+        F.grouping("direction").cast("long").alias("g_direction"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("talk_time").alias("sum_talk_time"),
+    )
+
+
 # ------------------------------------------------------------- scale run
 
 SCALE_N_TASKS = 10_000  # 50k events → 20k segments, generated executor-side
