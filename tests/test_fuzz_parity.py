@@ -33,6 +33,9 @@ SCENARIOS = [
     "no_entry",
     "completed_no_accept",
     "late_wrapup",
+    "retry",        # timeout → second reservation, SAME queue entry
+    "transfer",     # completed → transfer-initiated → second reservation
+    "same_ts",      # accepted at the exact entered timestamp (strict <)
 ]
 
 
@@ -81,6 +84,46 @@ def _gen_events(seed: int, n_tasks: int) -> list[dict]:
         t_exit = t_created + j(1, 120)
         if scen != "no_entry":
             events.append(ev("task-queue.entered", t_entry, **common))
+        if scen == "same_ts":
+            # accepted shares the entered timestamp exactly: the strict-<
+            # as-of must NOT pair them (no QUEUE row, null queue_time)
+            events.append(ev("reservation.created", t0 - dt.timedelta(seconds=2),
+                             reservation_sid=res, worker_sid=wk, **common))
+            events.append(ev("reservation.accepted", t_entry, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.completed", t_entry + j(30, 60),
+                             reservation_sid=res, worker_sid=wk, **common))
+            continue
+        if scen in ("retry", "transfer"):
+            res_b = f"{res}B"
+            if scen == "retry":
+                # first reservation times out; the second one still pairs
+                # with the ORIGINAL queue entry (no re-enter)
+                events.append(ev("reservation.created", t_created, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                events.append(ev("reservation.timeout", t_exit, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                t_cb = t_exit + j(1, 10)
+            else:
+                # first conversation completes, task transfers: second
+                # queue segment measured from transfer-initiated
+                events.append(ev("reservation.created", t_created, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                events.append(ev("reservation.accepted", t_exit, reservation_sid=res,
+                                 worker_sid=wk, **common))
+                events.append(ev("reservation.completed", t_exit + j(30, 120),
+                                 reservation_sid=res, worker_sid=wk, **common))
+                t_ti = t_exit + j(150, 200)
+                events.append(ev("task.transfer-initiated", t_ti, **common))
+                t_cb = t_ti + j(1, 10)
+            t_ab = t_cb + j(1, 60)
+            events.append(ev("reservation.created", t_cb, reservation_sid=res_b,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.accepted", t_ab, reservation_sid=res_b,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.completed", t_ab + j(30, 120),
+                             reservation_sid=res_b, worker_sid=wk, **common))
+            continue
         if scen in ("abandoned", "transfer_failed"):
             et = "task.canceled" if scen == "abandoned" else "task.transfer-failed"
             events.append(ev(et, t_exit, task_canceled_reason="gone", **common))
