@@ -34,6 +34,7 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
         "dedup_minhash_lsh",
         "simhash_neardup_pairs",
         "knn_lsh_bucketed",
+        "corpus_prep_pipeline",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name

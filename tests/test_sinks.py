@@ -34,6 +34,14 @@ def test_materialize_and_read_back(spark):
         assert ag.exceptAll(live_ag).count() == 0
         assert live_ag.exceptAll(ag).count() == 0
 
-        # partition pruning: a single-day filter reads one partition
-        one_day = seg.filter(F.col("date") >= "2024-05-01")
-        assert one_day.count() == live.count()
+        # partition pruning: a filter on the partition column must reach
+        # the scan as a PartitionFilter, not a post-scan filter
+        pruned = spark.read.parquet(paths["segments"]).filter(
+            F.col("segment_date") == "2024-05-01"
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "isnotnull(segment_date" in plan or "segment_date" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+        assert pruned.count() == live.count()  # fixture is one day
