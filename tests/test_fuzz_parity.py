@@ -36,6 +36,9 @@ SCENARIOS = [
     "retry",        # timeout → second reservation, SAME queue entry
     "transfer",     # completed → transfer-initiated → second reservation
     "same_ts",      # accepted at the exact entered timestamp (strict <)
+    "late_created", # created timestamped AFTER the exit → NULL ring, never negative
+    "same_ts_created",  # created at the exact exit ts: arrival order decides
+    "dual_accept",  # two reservations both accept off ONE queue entry
 ]
 
 
@@ -43,7 +46,7 @@ def _iso(t: dt.datetime) -> str:
     return t.strftime("%Y-%m-%dT%H:%M:%S.") + f"{t.microsecond // 1000:03d}Z"
 
 
-def _gen_events(seed: int, n_tasks: int) -> list[dict]:
+def _gen_events(seed: int, n_tasks: int, custom_measures: bool = True) -> list[dict]:
     rng = random.Random(seed)
     events: list[dict] = []
     eid = [0]
@@ -73,6 +76,11 @@ def _gen_events(seed: int, n_tasks: int) -> list[dict]:
             custom = {"conversations": {"conversation_id": f"C-{seed}-{i}",
                                         "queue_time": rng.randrange(500),
                                         "channel": rng.choice(["Video", "SMS"])}}
+            if not custom_measures:
+                # the streaming core projection carries computed measures
+                # only; strip custom measure overrides (they surface on
+                # kinds whose wide projection has no override)
+                del custom["conversations"]["queue_time"]
         ta = {"direction": rng.choice(["inbound", "outbound", "internal", "weird"]),
               "from": "+1500", "to": "+1600", **(custom or {})}
         common = dict(task_sid=task, task_attributes=json.dumps(ta),
@@ -122,6 +130,48 @@ def _gen_events(seed: int, n_tasks: int) -> list[dict]:
             events.append(ev("reservation.accepted", t_ab, reservation_sid=res_b,
                              worker_sid=wk, **common))
             events.append(ev("reservation.completed", t_ab + j(30, 120),
+                             reservation_sid=res_b, worker_sid=wk, **common))
+            continue
+        if scen == "late_created":
+            # out-of-order delivery where even EVENT TIME is inverted: the
+            # created event is timestamped after the exit. The simulator's
+            # lookup sees only already-processed events → NULL ring_time;
+            # the engine's created-as-of must agree (never negative).
+            exit_et = rng.choice(["reservation.accepted", "reservation.timeout"])
+            events.append(ev(exit_et, t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.created", t_exit + j(1, 30),
+                             reservation_sid=res, worker_sid=wk, **common))
+            if exit_et == "reservation.accepted":
+                events.append(ev("reservation.completed", t_exit + j(60, 120),
+                                 reservation_sid=res, worker_sid=wk, **common))
+            continue
+        if scen == "same_ts_created":
+            # created shares the exit timestamp exactly: visibility is
+            # decided by arrival order (shuffled below) — both sides must
+            # resolve the tie identically (ring 0 when visible, else NULL)
+            events.append(ev("reservation.created", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev(rng.choice(["reservation.accepted", "reservation.rejected"]),
+                             t_exit, reservation_sid=res, worker_sid=wk, **common))
+            continue
+        if scen == "dual_accept":
+            # multi-reservation: BOTH reservations accept off the single
+            # queue entry (conference/parallel ring) — the entry lookup is
+            # non-consuming, so both get a QUEUE row and a queue_time
+            res_b = f"{res}B"
+            t_acc2 = t_exit + j(1, 30)
+            events.append(ev("reservation.created", t_created, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.created", t_created + j(0, 2),
+                             reservation_sid=res_b, worker_sid=wk, **common))
+            events.append(ev("reservation.accepted", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.accepted", t_acc2, reservation_sid=res_b,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.completed", t_acc2 + j(30, 90),
+                             reservation_sid=res, worker_sid=wk, **common))
+            events.append(ev("reservation.completed", t_acc2 + j(91, 150),
                              reservation_sid=res_b, worker_sid=wk, **common))
             continue
         if scen in ("abandoned", "transfer_failed"):
@@ -258,3 +308,88 @@ def test_agents_dimension_matches_simulator(spark, seed):
     )
     eng_rows = canon([r.asDict() for r in taskrouter_agents_df(spark, raw).collect()])
     assert eng_rows == sim_rows, f"seed {seed}: agents diverged"
+
+
+@pytest.mark.parametrize("seed", [5, 19, 101])
+def test_streaming_pure_fn_matches_batch_on_random_scenarios(spark, seed):
+    """The streaming state machine (pure-fn path, arbitrary micro-batch
+    splits) must agree with the batch recompute on every terminal segment
+    — the dual_accept / same-ts / late-created edges included. Events are
+    deduplicated by CloudEvent id first (parse_stream's job) and sorted
+    with the (ts, arrival_idx) tiebreak the in-batch sort applies."""
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        _segment_rows_for_task,
+    )
+
+    TERMINAL = {"QUEUE", "CONVERSATION", "REJECTED CONVERSATION",
+                "MISSED CONVERSATION", "REVOKED CONVERSATION"}
+    CORE = ["segment_kind", "conversation_id", "reservation_sid", "agent_uuid",
+            "date", "queue_time", "ring_time", "talk_time", "wrapup_time",
+            "abandoned", "abandon_time"]
+
+    events = _gen_events(seed, n_tasks=30, custom_measures=False)
+    rng = random.Random(seed * 7 + 1)
+
+    # --- streaming side: dedup by id (first arrival), group by task_sid,
+    # sort by (ts, arrival_idx), replay through random batch splits
+    seen, per_task = set(), {}
+    for idx, e in enumerate(events):
+        if e["id"] in seen:
+            continue
+        seen.add(e["id"])
+        p = e["data"]["payload"]
+        if not p.get("task_sid"):
+            continue
+        ta = json.loads(p.get("task_attributes") or "{}")
+        per_task.setdefault(p["task_sid"], []).append({
+            "eventtype": p["eventtype"],
+            "ts": p["timestamp"].replace("Z", ""),
+            "task_sid": p.get("task_sid"),
+            "reservation_sid": p.get("reservation_sid"),
+            "worker_sid": p.get("worker_sid"),
+            "custom_conversation_id": (ta.get("conversations") or {}).get("conversation_id"),
+            "arrival_idx": idx,
+        })
+    stream_rows = []
+    for evs in per_task.values():
+        evs.sort(key=lambda e: (e["ts"], e["arrival_idx"]))
+        st: dict = {}
+        pos = 0
+        while pos < len(evs):
+            cut = pos + rng.randrange(1, len(evs) - pos + 1)
+            rows, st, _ = _segment_rows_for_task(evs[pos:cut], st, timed_out=False)
+            stream_rows.extend(rows)
+            pos = cut
+    stream_canon = sorted(
+        tuple(
+            (v.isoformat() if isinstance(v, dt.datetime) else str(v))
+            for v in (r[c] for c in CORE)
+        )
+        for r in stream_rows if r["segment_kind"] in TERMINAL
+    )
+
+    # --- batch side
+    raw = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(events)],
+        "arrival_idx bigint, raw string",
+    )
+    batch = [
+        r.asDict()
+        for r in taskrouter_segments_df(spark, raw).collect()
+        if r["segment_kind"] in TERMINAL
+    ]
+    batch_canon = sorted(
+        tuple(
+            (v.isoformat() if isinstance(v, dt.datetime) else str(v))
+            for v in (r[c] for c in CORE)
+        )
+        for r in batch
+    )
+    assert len(stream_canon) == len(batch_canon), (
+        f"seed {seed}: stream {len(stream_canon)} vs batch {len(batch_canon)}"
+    )
+    for a, b in zip(stream_canon, batch_canon):
+        assert a == b, f"seed {seed}: first diff\nstream: {a}\nbatch:  {b}"

@@ -111,12 +111,18 @@ def _shingles(
         .distinct()
     )
     if max_df is not None:
-        df_w = W.partitionBy("shingle_hash")
-        sh = (
-            sh.withColumn("sh_df", F.count(F.lit(1)).over(df_w))
-            .filter(F.col("sh_df") <= max_df)
-            .drop("sh_df")
+        # Partial-aggregating groupBy (map-side combine), NOT a count window:
+        # a window would route every occurrence of a hot shingle to one
+        # partition — exactly the skew this cap defends against. The hot set
+        # is tiny by construction (only shingles with DF > cap) → broadcast
+        # anti-join, no shuffle of the shingle rows at all.
+        hot = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("sh_df"))
+            .filter(F.col("sh_df") > max_df)
+            .select("shingle_hash")
         )
+        sh = sh.join(F.broadcast(hot), "shingle_hash", "left_anti")
     return sh
 
 

@@ -274,20 +274,55 @@ def _queue_asof(parsed: DataFrame, exits: DataFrame) -> DataFrame:
     )
 
 
+def _created_asof(parsed: DataFrame, exits: DataFrame) -> DataFrame:
+    """Ring-time anchor (D2): for each exit row (accepted/failed), the
+    latest reservation.created of the same reservation processed STRICTLY
+    earlier in event-time order ``(ts, arrival_idx)``.
+
+    The reference resolves the created lookup AT exit-processing time
+    (events.js:92-104 scans only already-cached events), so a created
+    event timestamped after the exit must yield NULL ring_time — never a
+    negative one. Same O(n) running-last window as :func:`_queue_asof`,
+    keyed on reservation_sid; since processing order is ts-ascending, the
+    running last visible created IS the max-ts one the reference picks.
+    Returns (event_id, created_ts)."""
+    created = parsed.filter(F.col("eventtype") == S.ET_RESERVATION_CREATED).select(
+        "reservation_sid", "ts", "arrival_idx",
+        F.lit(1).alias("is_created"),
+        F.lit(None).cast("string").alias("event_id"),
+    )
+    ex = exits.select(
+        "reservation_sid", "ts", "arrival_idx", F.lit(0).alias("is_created"), "event_id"
+    )
+    un = created.unionByName(ex)
+    w = (
+        W.partitionBy("reservation_sid")
+        .orderBy("ts", "arrival_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    created_ts = F.last(
+        F.when(F.col("is_created") == 1, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        un.withColumn("created_ts", created_ts)
+        .filter(F.col("is_created") == 0)
+        .select("event_id", "created_ts")
+    )
+
+
 def _reservation_pivot(parsed: DataFrame) -> DataFrame:
     """One row per reservation_sid with the correlation anchors the state
-    machine needs (F4/F5 latest created/wrapup, first completed + its
-    segment_link custom override). One groupBy shuffle."""
+    machine needs (F5 latest wrapup, first completed + its segment_link
+    custom override). One groupBy shuffle. The created/ring anchor is
+    per-exit, not per-reservation — see :func:`_created_asof`."""
     et = F.col("eventtype")
-    is_created = et == S.ET_RESERVATION_CREATED
     is_wrapup = et == S.ET_RESERVATION_WRAPUP
     is_completed = et == S.ET_RESERVATION_COMPLETED
     ord_ = F.struct("ts", "arrival_idx")
     piv = (
-        parsed.filter(is_created | is_wrapup | is_completed)
+        parsed.filter(is_wrapup | is_completed)
         .groupBy("reservation_sid")
         .agg(
-            F.max(F.when(is_created, F.col("ts"))).alias("created_ts"),
             # every wrapup ts (tiny list per reservation): the one the
             # completed event SEES is resolved below against completed_ts
             F.collect_list(F.when(is_wrapup, F.col("ts"))).alias("wrapup_ts_all"),
@@ -338,16 +373,30 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
         .drop("rn")
     )
     abandons = parsed.filter(et.isin(S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED))
+    failed_ev = parsed.filter(
+        et.isin(
+            S.ET_RESERVATION_REJECTED,
+            S.ET_RESERVATION_TIMEOUT,
+            S.ET_RESERVATION_CANCELED,
+            S.ET_RESERVATION_RESCINDED,
+        )
+    )
 
     # one as-of pass covers both exit families (same task_sid shuffle)
     exits = accepted.select("task_sid", "ts", "arrival_idx", "event_id").unionByName(
         abandons.select("task_sid", "ts", "arrival_idx", "event_id")
     )
     asof = _queue_asof(parsed, exits)  # (event_id, entry_ts)
+    # one created-as-of pass covers both ring families (reservation_sid)
+    ring_exits = accepted.select(
+        "reservation_sid", "ts", "arrival_idx", "event_id"
+    ).unionByName(failed_ev.select("reservation_sid", "ts", "arrival_idx", "event_id"))
+    casof = _created_asof(parsed, ring_exits)  # (event_id, created_ts)
     pivot = _reservation_pivot(parsed)
 
     acc = (
         accepted.join(asof, "event_id", "left")
+        .join(casof, "event_id", "left")
         .join(pivot, "reservation_sid", "left")
         .withColumn("entry_date", truncate_ms(F.col("entry_ts")))
         .withColumn(
@@ -416,14 +465,7 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     )
 
     # REJECTED / MISSED / REVOKED (terminal ring-only segments)
-    failed = parsed.filter(
-        et.isin(
-            S.ET_RESERVATION_REJECTED,
-            S.ET_RESERVATION_TIMEOUT,
-            S.ET_RESERVATION_CANCELED,
-            S.ET_RESERVATION_RESCINDED,
-        )
-    ).join(pivot.select("reservation_sid", "created_ts"), "reservation_sid", "left")
+    failed = failed_ev.join(casof, "event_id", "left")
     failed_kind = (
         F.when(et == S.ET_RESERVATION_REJECTED, F.lit(S.CONVO_REJECTED))
         .when(et == S.ET_RESERVATION_RESCINDED, F.lit(S.CONVO_REVOKED))

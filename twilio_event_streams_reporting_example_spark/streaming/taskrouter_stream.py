@@ -70,6 +70,10 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("state_json", T.StringType())])
 
 
+def _dt(iso_us: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(iso_us)
+
+
 def _trunc_s(iso_us: str) -> dt.datetime:
     return dt.datetime.fromisoformat(iso_us).replace(microsecond=0)
 
@@ -119,7 +123,15 @@ def _segment_rows_for_task(
                 continue  # first accepted wins (reference F3)
             r["accepted_ts"] = ts
             r["accepted_ev"] = ev
-            entry = st.pop("entry_ts", None)
+            # NON-consuming entry lookup with a strict-< ts comparison —
+            # the batch as-of is a running last() that is never cleared,
+            # so a second reservation accepting off the same queue entry
+            # (dual_accept fuzz case) pairs with it too; a same-ts entry
+            # is invisible (the reference compares raw ms with <,
+            # events.js:80).
+            entry = st.get("entry_ts")
+            if entry is not None and not (_dt(entry) < _dt(ts)):
+                entry = None
             r["queue_time"] = _secs(ts, entry) if entry else None
             r["ring_time"] = _secs(ts, r["created_ts"]) if "created_ts" in r else None
             if entry:
@@ -130,6 +142,11 @@ def _segment_rows_for_task(
             res.setdefault(rsid, {})["wrapup_ts"] = ts
         elif et == S.ET_RESERVATION_COMPLETED:
             r = res.pop(rsid, None)
+            if r and "created_ts" in r:
+                # the created anchor stays visible to later same-rsid
+                # lookups (the batch as-of is non-consuming); the state
+                # is still bounded — the event-time timeout reaps it
+                res[rsid] = {"created_ts": r["created_ts"]}
             if not r or "accepted_ts" not in r:
                 continue  # no IN PROGRESS to finalize (events.js:308-310)
             wrap_ts = r.get("wrapup_ts")
@@ -155,11 +172,19 @@ def _segment_rows_for_task(
                 S.ET_RESERVATION_CANCELED: S.CONVO_MISSED,
                 S.ET_RESERVATION_RESCINDED: S.CONVO_REVOKED,
             }[et]
+            # non-consuming created lookup, mirroring the batch as-of; a
+            # failed reservation is terminal for CORRUPTED purposes, so
+            # only the created anchor survives in state
             r = res.pop(rsid, None) or {}
             ring = _secs(ts, r["created_ts"]) if "created_ts" in r else None
+            if "created_ts" in r:
+                res[rsid] = {"created_ts": r["created_ts"]}
             emit(kind, rsid, ev, ring_time=ring)
         elif et in (S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED):
-            entry = st.pop("entry_ts", None)
+            # same non-consuming strict-< entry lookup as accepted
+            entry = st.get("entry_ts")
+            if entry is not None and not (_dt(entry) < _dt(ts)):
+                entry = None
             q = _secs(ts, entry) if entry else None
             common = dict(queue_time=q, abandon_time=q, abandoned="Yes")
             if entry:
@@ -196,6 +221,7 @@ def _lifecycle_fn(
     else:
         events: list[dict] = []
         for pdf in pdf_iter:
+            has_arrival = "arrival_idx" in pdf.columns
             for rec in pdf.to_dict("records"):
                 ts = rec["ts"]
                 events.append(
@@ -206,16 +232,31 @@ def _lifecycle_fn(
                         "reservation_sid": rec["reservation_sid"],
                         "worker_sid": rec["worker_sid"],
                         "custom_conversation_id": rec["custom_conversation_id"],
+                        "arrival_idx": rec["arrival_idx"] if has_arrival else None,
+                        "event_id": rec.get("event_id") or "",
                     }
                 )
-        events.sort(key=lambda e: e["ts"])
+        # Event-time order with a deterministic tiebreak: arrival index
+        # when the source carries one (test harnesses, replayed logs),
+        # else the CloudEvent id — intrinsic to the data, so a replayed
+        # micro-batch after failure re-sorts identically (ts-only sorting
+        # made same-ts entered/created vs exit pairs order-dependent).
+        events.sort(
+            key=lambda e: (
+                _dt(e["ts"]),
+                e["arrival_idx"] if e["arrival_idx"] is not None else -1,
+                e["event_id"],
+            )
+        )
         rows, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
         if has_open:
             state.update((json.dumps(st),))
             last = dt.datetime.fromisoformat(st["last_ts"])
-            state.setTimeoutTimestamp(
-                int((last + CONVERSATION_TIMEOUT).timestamp() * 1000)
-            )
+            # event timestamps are UTC-naive; pin the tz before the epoch
+            # conversion — naive .timestamp() reads the HOST timezone and
+            # would shift the timeout by the UTC offset on non-UTC hosts
+            deadline = (last + CONVERSATION_TIMEOUT).replace(tzinfo=dt.timezone.utc)
+            state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
         elif state.exists:
             state.remove()
     if rows:
@@ -369,15 +410,41 @@ def agents_upsert_sink(spark: SparkSession, raw_stream: DataFrame, dim_path: str
     swap (atomic enough for a single writer); on a table format with
     MERGE INTO (Delta/Iceberg) the same ``_merge_agents`` plan becomes
     the MERGE source. State per agent is one row — the dimension stays
-    broadcast-sized."""
+    broadcast-sized.
+
+    Redelivery + ordering: the raw stream is watermarked and
+    CloudEvent-id-deduplicated BEFORE the sink (same guarantee
+    :func:`parse_stream` gives the segments path), so a duplicate
+    delivered in a LATER micro-batch cannot re-merge into the dimension.
+    Arrival order is unknowable in a distributed stream (redelivery,
+    repartitioning), so same-``ts`` ties break on the CloudEvent id — a
+    total order intrinsic to the data, identical on failure replay,
+    unlike ``monotonically_increasing_id``'s partition-dependent values."""
     import os
     import shutil
 
     from ..plans.taskrouter import taskrouter_agents_df
 
+    deduped = (
+        raw_stream.select(
+            "value", F.from_json("value", S.ENVELOPE_STRUCT).alias("e")
+        )
+        .select(
+            "value",
+            F.col("e.id").alias("event_id"),
+            F.col("e.data.payload.timestamp").cast("timestamp").alias("ts"),
+        )
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # the CloudEvent id doubles as the deterministic arrival
+        # substitute: ingest_taskrouter only ever ORDERS BY arrival_idx,
+        # so a string tiebreak column works unchanged
         raw = batch_df.select(
-            F.monotonically_increasing_id().alias("arrival_idx"),
+            F.col("event_id").alias("arrival_idx"),
             F.col("value").alias("raw"),
         )
         batch_dim = taskrouter_agents_df(spark, raw, with_ordering=True)
@@ -393,4 +460,4 @@ def agents_upsert_sink(spark: SparkSession, raw_stream: DataFrame, dim_path: str
             shutil.rmtree(dim_path)
         os.replace(staging, dim_path)
 
-    return raw_stream.writeStream.foreachBatch(upsert)
+    return deduped.writeStream.foreachBatch(upsert)
