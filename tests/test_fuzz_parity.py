@@ -75,12 +75,18 @@ def _gen_events(seed: int, n_tasks: int, custom_measures: bool = True) -> list[d
         if rng.random() < 0.3:
             custom = {"conversations": {"conversation_id": f"C-{seed}-{i}",
                                         "queue_time": rng.randrange(500),
+                                        # talk_time survives on an open IN
+                                        # PROGRESS row (only the completed
+                                        # UPDATE overwrites it) — must match
+                                        # the sim on never-completed paths
+                                        "talk_time": rng.randrange(500),
                                         "channel": rng.choice(["Video", "SMS"])}}
             if not custom_measures:
                 # the streaming core projection carries computed measures
                 # only; strip custom measure overrides (they surface on
                 # kinds whose wide projection has no override)
                 del custom["conversations"]["queue_time"]
+                del custom["conversations"]["talk_time"]
         ta = {"direction": rng.choice(["inbound", "outbound", "internal", "weird"]),
               "from": "+1500", "to": "+1600", **(custom or {})}
         common = dict(task_sid=task, task_attributes=json.dumps(ta),

@@ -85,7 +85,15 @@ def ingest_taskrouter(raw: DataFrame) -> DataFrame:
         F.col("p.reservation_sid").alias("reservation_sid"),
         F.col("p.worker_sid").alias("worker_sid"),
         F.from_json("p.task_attributes", S.TASK_ATTRIBUTES_STRUCT).alias("ta"),
-        F.col("p.task_attributes").alias("ta_raw"),
+        # hierarchy custom fields are string-OR-array<string>, which no
+        # struct schema can capture — extract the raw JSON text ONCE here
+        # (the wide projection used to re-run get_json_object per branch)
+        F.get_json_object(
+            "p.task_attributes", "$.conversations.handling_department_name_in_hierarchy"
+        ).alias("ta_hier_dept"),
+        F.get_json_object(
+            "p.task_attributes", "$.conversations.team_name_in_hierarchy"
+        ).alias("ta_hier_team"),
         F.from_json("p.worker_attributes", S.WORKER_ATTRIBUTES_STRUCT).alias("wa"),
         F.col("p.task_completed_reason").alias("task_completed_reason"),
         F.col("p.task_canceled_reason").alias("task_canceled_reason"),
@@ -182,9 +190,7 @@ def default_segment_exprs(df: DataFrame) -> dict[str, Column]:
         "followed_by": cust("followed_by"),
         "handling_department_id": cust("department_id"),
         "handling_department_name": cust("department_name"),
-        "handling_department_name_in_hierarchy": _hier(
-            F.get_json_object("ta_raw", "$.conversations.handling_department_name_in_hierarchy")
-        ),
+        "handling_department_name_in_hierarchy": _hier(F.col("ta_hier_dept")),
         "handling_team_id": F.coalesce(
             cust("team_id", falsy=True), cust("team", falsy=True), F.col("task_queue_sid")
         ),
@@ -193,7 +199,7 @@ def default_segment_exprs(df: DataFrame) -> dict[str, Column]:
         ),
         "handling_team_name_in_hierarchy": F.coalesce(
             wa.getField("team_name_in_hierarchy"),
-            _hier(F.get_json_object("ta_raw", "$.conversations.team_name_in_hierarchy")),
+            _hier(F.col("ta_hier_team")),
         ),
         "hang_up_by": cust("hang_up_by"),
         "in_business_hours": cust("in_business_hours"),
@@ -225,42 +231,232 @@ def default_segment_exprs(df: DataFrame) -> dict[str, Column]:
     return exprs
 
 
-def _wide_select(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
-    """Default projection ⊕ per-kind overrides, in canonical column order
-    (the engine analog of ``{...defaultSegment, ...segmentDetails}``,
-    reference events.js:215-218)."""
-    base = default_segment_exprs(df)
-    cols = []
-    for name, _ in S.SEGMENT_COLUMNS:
-        if name == "segment_kind":
-            cols.append(overrides["segment_kind"].alias("segment_kind"))
-        else:
-            cols.append(overrides.get(name, base[name]).alias(name))
+# Parsed event columns every narrow branch carries into the final wide
+# projection (everything default_segment_exprs reads).
+_EVENT_COLS = [
+    "eventtype", "ts", "task_sid", "reservation_sid", "worker_sid",
+    "ta", "ta_hier_dept", "ta_hier_team", "wa",
+    "task_completed_reason", "task_canceled_reason",
+    "tcun", "workflow_name", "task_queue_name", "task_queue_sid",
+    "worker_activity_name", "wtip",
+]
+_OV_LONGS = [
+    "ov_queue_time", "ov_ring_time", "ov_talk_time", "ov_wrapup_time",
+    "ov_abandon_time", "ov_activity_time",
+]
+
+
+def _branch(df: DataFrame, tag: str, kind: Column, **ov: Column) -> DataFrame:
+    """One narrow state-machine branch: the parsed event columns plus this
+    branch's computed override columns (nulls where the branch defines no
+    override). The wide ~65-column projection is applied ONCE after the
+    branches union — applying it per branch made the optimizer tree ~6×
+    bigger for zero semantic gain (the dominant cost on small inputs, and
+    redundant expression trees at any scale)."""
+    cols = [F.col(c) for c in _EVENT_COLS]
+    cols.append(F.lit(tag).alias("branch"))
+    cols.append(kind.alias("segment_kind"))
+    for name in _OV_LONGS:
+        cols.append(ov.get(name, _null_long()).alias(name))
+    cols.append(ov.get("ov_date", _null_ts()).alias("ov_date"))
+    cols.append(
+        ov.get("ov_segment_link", F.lit(None).cast("string")).alias("ov_segment_link")
+    )
+    cols.append(
+        ov.get("ov_segment_link_set", F.lit(False)).alias("ov_segment_link_set")
+    )
     return df.select(*cols)
 
 
+def _wide_project(un: DataFrame) -> DataFrame:
+    """Default projection ⊕ per-branch overrides, in canonical column order
+    (the engine analog of ``{...defaultSegment, ...segmentDetails}``,
+    reference events.js:215-218) — one projection over the branch union,
+    overrides dispatched on the branch tag."""
+    base = default_segment_exprs(un)
+    b = F.col("branch")
+    is_ab = b.isin("queue_ab", "convo_ab")
+    is_queue = b.isin("queue_acc", "queue_ab")
+    completed = F.col("ov_segment_link_set")  # true iff convo row w/ completed
+    overrides: dict[str, Column] = {
+        "segment_kind": F.col("segment_kind"),
+        # sim inserts always override queue_time on accepted/abandon paths
+        # (even with NULL), never on failed/agent rows (custom passes through)
+        "queue_time": F.when(
+            b.isin("queue_acc", "convo", "queue_ab", "convo_ab"), F.col("ov_queue_time")
+        ).otherwise(base["queue_time"]),
+        "ring_time": F.when(
+            b.isin("convo", "failed"), F.col("ov_ring_time")
+        ).otherwise(base["ring_time"]),
+        # talk/wrapup are written by the completed UPDATE only — an open
+        # IN PROGRESS row keeps its custom measures (sim.py:326-333)
+        "talk_time": F.when(
+            (b == "convo") & completed, F.col("ov_talk_time")
+        ).otherwise(base["talk_time"]),
+        "wrapup_time": F.when(
+            (b == "convo") & completed, F.col("ov_wrapup_time")
+        ).otherwise(base["wrapup_time"]),
+        "abandon_time": F.when(is_ab, F.col("ov_abandon_time")).otherwise(
+            base["abandon_time"]
+        ),
+        "abandoned": F.when(is_ab, F.lit("Yes")).otherwise(base["abandoned"]),
+        "abandoned_phase": F.when(is_ab, F.lit("Queue")).otherwise(
+            base["abandoned_phase"]
+        ),
+        "date": F.when(is_queue, F.col("ov_date")).otherwise(base["date"]),
+        "time": F.when(is_queue, F.col("ov_date")).otherwise(base["time"]),
+        "activity": F.when(b == "agent", F.col("worker_activity_name")).otherwise(
+            base["activity"]
+        ),
+        "activity_time": F.when(
+            b == "agent", F.col("ov_activity_time")
+        ).otherwise(base["activity_time"]),
+        # completed's spread overwrites segment_link even with null
+        "segment_link": F.when(completed, F.col("ov_segment_link")).otherwise(
+            base["segment_link"]
+        ),
+    }
+    casts = {"BIGINT": "long", "VARCHAR": "string", "TIMESTAMP": "timestamp"}
+    return un.select(
+        *[
+            (overrides[name] if name in overrides else base[name])
+            .cast(casts[t])
+            .alias(name)
+            for name, t in S.SEGMENT_COLUMNS
+        ]
+    )
+
+
 # --------------------------------------------------------- correlations
+#
+# Two window passes, one shuffle each — and NO correlation joins:
+#
+#   pass R (reservation_sid): created as-of, first-accepted rank, first
+#     completed (+ its segment_link), eligible wrapup — every anchor
+#     lands directly on the rows that need it via running / whole-
+#     partition windows over one exchange.
+#   pass T (task_sid): queue-entry as-of — exit rows (first-accepted +
+#     task aborts) ride along the entries union and pick up their
+#     running-last entry_ts in place.
+#
+# An earlier formulation shuffled reservation_sid three times (accepted
+# row_number, created as-of, wrapup/completed pivot) and joined each
+# result back; the anchors are identical, but at 100 TB the extra
+# exchanges and join shuffles dominate the pipeline cost.
+
+_ANCHOR_COLS = [
+    ("created_ts", "timestamp"),
+    ("completed_ts", "timestamp"),
+    ("completed_segment_link", "string"),
+    ("has_completed", "boolean"),
+    ("wrapup_ts", "timestamp"),
+]
 
 
-def _queue_asof(parsed: DataFrame, exits: DataFrame) -> DataFrame:
-    """As-of pairing (F6/D1): for each exit row, the latest
-    entered/transfer-initiated event of the same task STRICTLY before it.
+def _reservation_pass(parsed: DataFrame) -> DataFrame:
+    """Every reservation-keyed anchor in one shuffle.
 
-    O(n) running-last window per task_sid: union entries+exits, order by
-    (ts, is_entry, arrival_idx) — exits sort before a same-ts entry, so
-    the running ``last(entry_ts)`` at an exit row sees only strictly
-    earlier entries (the reference compares raw ms timestamps with ``<``,
-    events.js:80). Returns (event_id, entry_ts)."""
-    entries = parsed.filter(
-        F.col("eventtype").isin(S.ET_TASK_QUEUE_ENTERED, S.ET_TASK_TRANSFER_INITIATED)
-    ).select(
-        "task_sid", "ts", "arrival_idx", F.lit(1).alias("is_entry"),
-        F.lit(None).cast("string").alias("event_id"),
+    - ``created_ts``: ring anchor (D2) — the latest reservation.created
+      processed STRICTLY earlier in event-time order (ts, arrival_idx).
+      The reference resolves the lookup AT exit-processing time
+      (events.js:92-104 scans only already-cached events), so a created
+      timestamped after the exit yields NULL ring_time, never negative.
+    - ``acc_cum``: running count of accepted events → ``acc_cum == 1`` on
+      an accepted row is "first accepted wins" (F3) without a second
+      row_number shuffle.
+    - ``completed_ts``/``completed_segment_link``/``has_completed``: the
+      FIRST completed event (min over a (ts, arrival_idx, link) struct;
+      the unique tiebreak means the lexicographic min is exactly the
+      first-processed completed). A null link still OVERWRITES the
+      accepted event's custom value (events.js:578-583 spread), hence
+      the separate presence flag.
+    - ``wrapup_ts``: latest wrapup the completed event can SEE
+      (events.js:181) — strictly before the first completed in event
+      time; with no completed, the latest wrapup overall.
+    """
+    et = F.col("eventtype")
+    is_created = et == S.ET_RESERVATION_CREATED
+    is_accepted = et == S.ET_RESERVATION_ACCEPTED
+    is_wrapup = et == S.ET_RESERVATION_WRAPUP
+    is_completed = et == S.ET_RESERVATION_COMPLETED
+    is_failed = et.isin(
+        S.ET_RESERVATION_REJECTED,
+        S.ET_RESERVATION_TIMEOUT,
+        S.ET_RESERVATION_CANCELED,
+        S.ET_RESERVATION_RESCINDED,
     )
-    ex = exits.select(
-        "task_sid", "ts", "arrival_idx", F.lit(0).alias("is_entry"), "event_id"
+    run = (
+        W.partitionBy("reservation_sid")
+        .orderBy("ts", "arrival_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    un = entries.unionByName(ex)
+    whole = W.partitionBy("reservation_sid")
+    r = (
+        parsed.filter(is_created | is_accepted | is_wrapup | is_completed | is_failed)
+        .withColumn(
+            "created_ts",
+            F.last(F.when(is_created, F.col("ts")), ignorenulls=True).over(run),
+        )
+        .withColumn("acc_cum", F.sum(F.when(is_accepted, 1).otherwise(0)).over(run))
+        .withColumn(
+            "compl",
+            F.min(
+                F.when(
+                    is_completed,
+                    F.struct(
+                        F.col("ts"),
+                        F.col("arrival_idx"),
+                        F.col("ta.conversations.segment_link").alias("link"),
+                    ),
+                )
+            ).over(whole),
+        )
+    )
+    # second projection: window exprs may not reference sibling window
+    # exprs in one select; same partitioning → no extra exchange
+    return (
+        r.withColumn("completed_ts", F.col("compl.ts"))
+        .withColumn("completed_segment_link", F.col("compl.link"))
+        .withColumn("has_completed", F.col("compl").isNotNull())
+        .withColumn(
+            "wrapup_ts",
+            F.max(
+                F.when(
+                    is_wrapup
+                    & (F.col("compl").isNull() | (F.col("ts") < F.col("compl.ts"))),
+                    F.col("ts"),
+                )
+            ).over(whole),
+        )
+        .drop("compl")
+    )
+
+
+def _with_null_anchors(df: DataFrame) -> DataFrame:
+    """Append typed-null anchor columns so a non-reservation row can ride
+    the task-pass union alongside reservation-pass output."""
+    return df.select(
+        "*", *[F.lit(None).cast(t).alias(n) for n, t in _ANCHOR_COLS]
+    )
+
+
+def _task_pass(parsed: DataFrame, exits: DataFrame) -> DataFrame:
+    """Queue-entry as-of (F6/D1) in one task_sid shuffle, ride-along style:
+    the exit rows (first-accepted reservations + task aborts, already
+    carrying their reservation anchors) are unioned with the bare
+    entered/transfer-initiated events and pick up the running
+    ``last(entry_ts)`` in place — no join back by event_id.
+
+    Ordering (ts, is_entry, arrival_idx): an exit sorts BEFORE a same-ts
+    entry, so the running last sees only entries with ts STRICTLY earlier
+    (the reference compares raw ms timestamps with ``<``, events.js:80).
+    """
+    entries = _with_null_anchors(
+        parsed.filter(
+            F.col("eventtype").isin(S.ET_TASK_QUEUE_ENTERED, S.ET_TASK_TRANSFER_INITIATED)
+        )
+    ).withColumn("is_entry", F.lit(1))
+    un = entries.unionByName(exits.withColumn("is_entry", F.lit(0)))
     w = (
         W.partitionBy("task_sid")
         .orderBy("ts", "is_entry", "arrival_idx")
@@ -270,85 +466,8 @@ def _queue_asof(parsed: DataFrame, exits: DataFrame) -> DataFrame:
     return (
         un.withColumn("entry_ts", entry_ts)
         .filter(F.col("is_entry") == 0)
-        .select("event_id", "entry_ts")
+        .drop("is_entry")
     )
-
-
-def _created_asof(parsed: DataFrame, exits: DataFrame) -> DataFrame:
-    """Ring-time anchor (D2): for each exit row (accepted/failed), the
-    latest reservation.created of the same reservation processed STRICTLY
-    earlier in event-time order ``(ts, arrival_idx)``.
-
-    The reference resolves the created lookup AT exit-processing time
-    (events.js:92-104 scans only already-cached events), so a created
-    event timestamped after the exit must yield NULL ring_time — never a
-    negative one. Same O(n) running-last window as :func:`_queue_asof`,
-    keyed on reservation_sid; since processing order is ts-ascending, the
-    running last visible created IS the max-ts one the reference picks.
-    Returns (event_id, created_ts)."""
-    created = parsed.filter(F.col("eventtype") == S.ET_RESERVATION_CREATED).select(
-        "reservation_sid", "ts", "arrival_idx",
-        F.lit(1).alias("is_created"),
-        F.lit(None).cast("string").alias("event_id"),
-    )
-    ex = exits.select(
-        "reservation_sid", "ts", "arrival_idx", F.lit(0).alias("is_created"), "event_id"
-    )
-    un = created.unionByName(ex)
-    w = (
-        W.partitionBy("reservation_sid")
-        .orderBy("ts", "arrival_idx")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    created_ts = F.last(
-        F.when(F.col("is_created") == 1, F.col("ts")), ignorenulls=True
-    ).over(w)
-    return (
-        un.withColumn("created_ts", created_ts)
-        .filter(F.col("is_created") == 0)
-        .select("event_id", "created_ts")
-    )
-
-
-def _reservation_pivot(parsed: DataFrame) -> DataFrame:
-    """One row per reservation_sid with the correlation anchors the state
-    machine needs (F5 latest wrapup, first completed + its segment_link
-    custom override). One groupBy shuffle. The created/ring anchor is
-    per-exit, not per-reservation — see :func:`_created_asof`."""
-    et = F.col("eventtype")
-    is_wrapup = et == S.ET_RESERVATION_WRAPUP
-    is_completed = et == S.ET_RESERVATION_COMPLETED
-    ord_ = F.struct("ts", "arrival_idx")
-    piv = (
-        parsed.filter(is_wrapup | is_completed)
-        .groupBy("reservation_sid")
-        .agg(
-            # every wrapup ts (tiny list per reservation): the one the
-            # completed event SEES is resolved below against completed_ts
-            F.collect_list(F.when(is_wrapup, F.col("ts"))).alias("wrapup_ts_all"),
-            F.min_by(F.when(is_completed, F.col("ts")), F.when(is_completed, ord_)).alias(
-                "completed_ts"
-            ),
-            F.min_by(
-                F.when(is_completed, F.col("ta.conversations.segment_link")),
-                F.when(is_completed, ord_),
-            ).alias("completed_segment_link"),
-            # first completed may carry a null segment_link that must still
-            # OVERWRITE the accepted event's custom value (events.js:578-583
-            # spread) — track presence separately from the value.
-            F.max(F.when(is_completed, F.lit(True))).alias("has_completed"),
-        )
-    )
-    # The reference resolves the wrapup lookup AT completed-processing
-    # time (events.js:181): in event-time order that means only wrapups
-    # strictly BEFORE the completed event count — a wrapup delivered
-    # after completion yields talk=completed-accepted and wrapup_time=0,
-    # not a retroactive recompute.
-    eligible = F.when(
-        F.col("completed_ts").isNotNull(),
-        F.filter("wrapup_ts_all", lambda w: w < F.col("completed_ts")),
-    ).otherwise(F.col("wrapup_ts_all"))
-    return piv.withColumn("wrapup_ts", F.array_max(eligible)).drop("wrapup_ts_all")
 
 
 # ---------------------------------------------------------- the segments
@@ -356,7 +475,11 @@ def _reservation_pivot(parsed: DataFrame) -> DataFrame:
 
 def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     """The conversations fact table: every §2.5 transition as a union of
-    filtered projections over one parsed event log."""
+    filtered projections over one parsed event log.
+
+    Shuffle budget (the whole fact table): dedup (id) → reservation pass
+    (reservation_sid) → task pass (task_sid) ∥ agent pass (worker_sid).
+    Four hash exchanges total, zero correlation joins."""
     # same defense as sources/tables.py: a non-UTC driver session would
     # render every truncated timestamp in local time and value-mismatch
     # the golden oracles even though the instants are correct
@@ -364,40 +487,27 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     parsed = ingest_taskrouter(raw).cache()
     et = F.col("eventtype")
 
+    # pass R: every reservation-keyed anchor lands on its rows in place
+    res = _reservation_pass(parsed)
     # first accepted per reservation (F3; event-time first)
-    aw = W.partitionBy("reservation_sid").orderBy("ts", "arrival_idx")
-    accepted = (
-        parsed.filter(et == S.ET_RESERVATION_ACCEPTED)
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    abandons = parsed.filter(et.isin(S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED))
-    failed_ev = parsed.filter(
+    accepted = res.filter(
+        (et == S.ET_RESERVATION_ACCEPTED) & (F.col("acc_cum") == 1)
+    ).drop("acc_cum")
+    failed = res.filter(
         et.isin(
             S.ET_RESERVATION_REJECTED,
             S.ET_RESERVATION_TIMEOUT,
             S.ET_RESERVATION_CANCELED,
             S.ET_RESERVATION_RESCINDED,
         )
+    ).drop("acc_cum")
+    abandons = _with_null_anchors(
+        parsed.filter(et.isin(S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED))
     )
 
-    # one as-of pass covers both exit families (same task_sid shuffle)
-    exits = accepted.select("task_sid", "ts", "arrival_idx", "event_id").unionByName(
-        abandons.select("task_sid", "ts", "arrival_idx", "event_id")
-    )
-    asof = _queue_asof(parsed, exits)  # (event_id, entry_ts)
-    # one created-as-of pass covers both ring families (reservation_sid)
-    ring_exits = accepted.select(
-        "reservation_sid", "ts", "arrival_idx", "event_id"
-    ).unionByName(failed_ev.select("reservation_sid", "ts", "arrival_idx", "event_id"))
-    casof = _created_asof(parsed, ring_exits)  # (event_id, created_ts)
-    pivot = _reservation_pivot(parsed)
-
-    acc = (
-        accepted.join(asof, "event_id", "left")
-        .join(casof, "event_id", "left")
-        .join(pivot, "reservation_sid", "left")
+    # pass T: both exit families pick up entry_ts in one task_sid shuffle
+    withentry = (
+        _task_pass(parsed, accepted.unionByName(abandons))
         .withColumn("entry_date", truncate_ms(F.col("entry_ts")))
         .withColumn(
             "queue_time_calc",
@@ -405,6 +515,10 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
                 F.col("entry_ts").isNotNull(), seconds_between(F.col("ts"), F.col("entry_ts"))
             ),
         )
+        .cache()
+    )
+    acc = (
+        withentry.filter(et == S.ET_RESERVATION_ACCEPTED)
         .withColumn(
             "ring_time_calc",
             F.when(
@@ -431,81 +545,64 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
                 ).otherwise(F.lit(0)),
             ),
         )
-        .cache()
     )
+    aband = withentry.filter(et.isin(S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED))
 
     # QUEUE from accepted (only with an observed queue visit; engine policy)
-    queue_acc = _wide_select(
+    queue_acc = _branch(
         acc.filter(F.col("entry_ts").isNotNull()),
-        {
-            "segment_kind": F.lit(S.QUEUE_SEGMENT),
-            "queue_time": F.col("queue_time_calc"),
-            "date": F.col("entry_date"),
-            "time": F.col("entry_date"),
-        },
+        "queue_acc",
+        F.lit(S.QUEUE_SEGMENT),
+        ov_queue_time=F.col("queue_time_calc"),
+        ov_date=F.col("entry_date"),
     )
 
     # CONVERSATION (completed) / CONVERSATION IN PROGRESS (still open)
-    conv_base = default_segment_exprs(acc)
-    convo = _wide_select(
+    convo = _branch(
         acc,
-        {
-            "segment_kind": F.when(
-                F.col("has_completed"), F.lit(S.CONVO_SEG)
-            ).otherwise(F.lit(S.CONVO_IN_PROG_SEG)),
-            "queue_time": F.col("queue_time_calc"),
-            "ring_time": F.col("ring_time_calc"),
-            "talk_time": F.col("talk_time_calc"),
-            "wrapup_time": F.col("wrapup_time_calc"),
-            # completed's spread overwrites segment_link even with null
-            "segment_link": F.when(
-                F.col("has_completed"), F.col("completed_segment_link")
-            ).otherwise(conv_base["segment_link"]),
-        },
+        "convo",
+        F.when(F.col("has_completed"), F.lit(S.CONVO_SEG)).otherwise(
+            F.lit(S.CONVO_IN_PROG_SEG)
+        ),
+        ov_queue_time=F.col("queue_time_calc"),
+        ov_ring_time=F.col("ring_time_calc"),
+        ov_talk_time=F.col("talk_time_calc"),
+        ov_wrapup_time=F.col("wrapup_time_calc"),
+        ov_segment_link=F.col("completed_segment_link"),
+        ov_segment_link_set=F.coalesce(F.col("has_completed"), F.lit(False)),
     )
 
     # REJECTED / MISSED / REVOKED (terminal ring-only segments)
-    failed = failed_ev.join(casof, "event_id", "left")
     failed_kind = (
         F.when(et == S.ET_RESERVATION_REJECTED, F.lit(S.CONVO_REJECTED))
         .when(et == S.ET_RESERVATION_RESCINDED, F.lit(S.CONVO_REVOKED))
         .otherwise(F.lit(S.CONVO_MISSED))
     )
-    failed_seg = _wide_select(
+    failed_seg = _branch(
         failed,
-        {
-            "segment_kind": failed_kind,
-            "ring_time": F.when(
-                F.col("created_ts").isNotNull(),
-                seconds_between(F.col("ts"), F.col("created_ts")),
-            ),
-        },
+        "failed",
+        failed_kind,
+        ov_ring_time=F.when(
+            F.col("created_ts").isNotNull(),
+            seconds_between(F.col("ts"), F.col("created_ts")),
+        ),
     )
 
     # abandoned-in-queue: QUEUE + CONVERSATION from the task event (D5)
-    aband = abandons.join(asof, "event_id", "left").withColumn(
-        "entry_date", truncate_ms(F.col("entry_ts"))
-    ).withColumn(
-        "queue_time_calc",
-        F.when(F.col("entry_ts").isNotNull(), seconds_between(F.col("ts"), F.col("entry_ts"))),
-    )
-    abandon_overrides = {
-        "queue_time": F.col("queue_time_calc"),
-        "abandon_time": F.col("queue_time_calc"),
-        "abandoned_phase": F.lit("Queue"),
-        "abandoned": F.lit("Yes"),
-    }
-    queue_aband = _wide_select(
+    queue_aband = _branch(
         aband.filter(F.col("entry_ts").isNotNull()),
-        {
-            "segment_kind": F.lit(S.QUEUE_SEGMENT),
-            **abandon_overrides,
-            "date": F.col("entry_date"),
-            "time": F.col("entry_date"),
-        },
+        "queue_ab",
+        F.lit(S.QUEUE_SEGMENT),
+        ov_queue_time=F.col("queue_time_calc"),
+        ov_abandon_time=F.col("queue_time_calc"),
+        ov_date=F.col("entry_date"),
     )
-    convo_aband = _wide_select(
-        aband, {"segment_kind": F.lit(S.CONVO_SEG), **abandon_overrides}
+    convo_aband = _branch(
+        aband,
+        "convo_ab",
+        F.lit(S.CONVO_SEG),
+        ov_queue_time=F.col("queue_time_calc"),
+        ov_abandon_time=F.col("queue_time_calc"),
     )
 
     # agent-status sessionization (D6): created/activity.update open
@@ -516,22 +613,20 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     sess = openers.withColumn("next_wtip", F.lead("wtip").over(sw)).withColumn(
         "next_ts", F.lead("ts").over(sw)
     )
-    agent_seg = _wide_select(
+    agent_seg = _branch(
         sess,
-        {
-            "segment_kind": F.when(
-                F.col("next_ts").isNotNull(), F.lit(S.AGENT_STATUS)
-            ).otherwise(F.lit(S.AGENT_STATUS_IN_PROGRESS)),
-            "activity": F.col("worker_activity_name"),
-            # closed → closing event's payload value; open → the opener's
-            # own value for worker.created, explicit null for updates
-            # (events.js:647,652)
-            "activity_time": F.when(
-                F.col("next_ts").isNotNull(), F.col("next_wtip")
-            ).otherwise(
-                F.when(et == S.ET_WORKER_CREATED, F.col("wtip")).otherwise(_null_long())
-            ),
-        },
+        "agent",
+        F.when(F.col("next_ts").isNotNull(), F.lit(S.AGENT_STATUS)).otherwise(
+            F.lit(S.AGENT_STATUS_IN_PROGRESS)
+        ),
+        # closed → closing event's payload value; open → the opener's
+        # own value for worker.created, explicit null for updates
+        # (events.js:647,652)
+        ov_activity_time=F.when(
+            F.col("next_ts").isNotNull(), F.col("next_wtip")
+        ).otherwise(
+            F.when(et == S.ET_WORKER_CREATED, F.col("wtip")).otherwise(_null_long())
+        ),
     )
 
     out = (
@@ -541,15 +636,7 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
         .unionByName(convo_aband)
         .unionByName(agent_seg)
     )
-    # long-typed measures are long already; normalize every column type
-    casts = {
-        "BIGINT": "long",
-        "VARCHAR": "string",
-        "TIMESTAMP": "timestamp",
-    }
-    return out.select(
-        *[F.col(name).cast(casts[t]).alias(name) for name, t in S.SEGMENT_COLUMNS]
-    )
+    return _wide_project(out)
 
 
 # ------------------------------------------------------- agents dimension
