@@ -317,26 +317,27 @@ def test_agents_dimension_matches_simulator(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [5, 19, 101])
-def test_streaming_pure_fn_matches_batch_on_random_scenarios(spark, seed):
+def test_streaming_wide_matches_batch_on_random_scenarios(spark, seed):
     """The streaming state machine (pure-fn path, arbitrary micro-batch
-    splits) must agree with the batch recompute on every terminal segment
-    — the dual_accept / same-ts / late-created edges included. Events are
+    splits) pushed through the SHARED wide projection must agree with the
+    batch recompute on every terminal segment — ALL ~65 columns, custom
+    measures included (the wide path re-parses the carrier CloudEvent, so
+    custom overrides surface exactly as in batch). Events are
     deduplicated by CloudEvent id first (parse_stream's job) and sorted
     with the (ts, arrival_idx) tiebreak the in-batch sort applies."""
     from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
         taskrouter_segments_df,
+        wide_project_stream,
     )
     from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        EMIT_SCHEMA,
         _segment_rows_for_task,
     )
 
     TERMINAL = {"QUEUE", "CONVERSATION", "REJECTED CONVERSATION",
                 "MISSED CONVERSATION", "REVOKED CONVERSATION"}
-    CORE = ["segment_kind", "conversation_id", "reservation_sid", "agent_uuid",
-            "date", "queue_time", "ring_time", "talk_time", "wrapup_time",
-            "abandoned", "abandon_time"]
 
-    events = _gen_events(seed, n_tasks=30, custom_measures=False)
+    events = _gen_events(seed, n_tasks=30)
     rng = random.Random(seed * 7 + 1)
 
     # --- streaming side: dedup by id (first arrival), group by task_sid,
@@ -356,10 +357,11 @@ def test_streaming_pure_fn_matches_batch_on_random_scenarios(spark, seed):
             "task_sid": p.get("task_sid"),
             "reservation_sid": p.get("reservation_sid"),
             "worker_sid": p.get("worker_sid"),
-            "custom_conversation_id": (ta.get("conversations") or {}).get("conversation_id"),
+            "custom_segment_link": (ta.get("conversations") or {}).get("segment_link"),
+            "raw": json.dumps(e),
             "arrival_idx": idx,
         })
-    stream_rows = []
+    emissions = []
     for evs in per_task.values():
         evs.sort(key=lambda e: (e["ts"], e["arrival_idx"]))
         st: dict = {}
@@ -367,15 +369,18 @@ def test_streaming_pure_fn_matches_batch_on_random_scenarios(spark, seed):
         while pos < len(evs):
             cut = pos + rng.randrange(1, len(evs) - pos + 1)
             rows, st, _ = _segment_rows_for_task(evs[pos:cut], st, timed_out=False)
-            stream_rows.extend(rows)
+            emissions.extend(rows)
             pos = cut
-    stream_canon = sorted(
-        tuple(
-            (v.isoformat() if isinstance(v, dt.datetime) else str(v))
-            for v in (r[c] for c in CORE)
-        )
-        for r in stream_rows if r["segment_kind"] in TERMINAL
+    emit_df = spark.createDataFrame(
+        [tuple(r[f.name] for f in EMIT_SCHEMA.fields) for r in emissions],
+        EMIT_SCHEMA,
     )
+    stream_wide = [
+        r.asDict()
+        for r in wide_project_stream(emit_df).collect()
+        if r["segment_kind"] in TERMINAL
+    ]
+    stream_canon = _canon_rows(stream_wide)
 
     # --- batch side
     raw = spark.createDataFrame(
@@ -387,13 +392,7 @@ def test_streaming_pure_fn_matches_batch_on_random_scenarios(spark, seed):
         for r in taskrouter_segments_df(spark, raw).collect()
         if r["segment_kind"] in TERMINAL
     ]
-    batch_canon = sorted(
-        tuple(
-            (v.isoformat() if isinstance(v, dt.datetime) else str(v))
-            for v in (r[c] for c in CORE)
-        )
-        for r in batch
-    )
+    batch_canon = _canon_rows(batch)
     assert len(stream_canon) == len(batch_canon), (
         f"seed {seed}: stream {len(stream_canon)} vs batch {len(batch_canon)}"
     )

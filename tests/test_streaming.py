@@ -58,6 +58,36 @@ def test_streaming_matches_batch_on_terminal_segments(spark, streamed):
     assert stream.exceptAll(batch).count() == 0
 
 
+def test_streaming_wide_matches_batch_all_columns(spark):
+    """The wide streaming fact (shared projection over state-machine
+    emissions) must equal the batch recompute on every terminal segment
+    across ALL ~65 columns — not just the core measures."""
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import fixture_df
+
+    with tempfile.TemporaryDirectory() as d:
+        wide = run_fixture_stream(spark, d, wide=True).cache()
+
+    batch = taskrouter_segments_df(spark, fixture_df(spark)).filter(
+        F.col("segment_kind").isin(TERMINAL_KINDS)
+    )
+    stream = wide.filter(F.col("segment_kind").isin(TERMINAL_KINDS))
+    assert stream.columns == batch.columns
+    assert batch.count() == stream.count()
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+    # the timed-out conversation surfaces with its wide columns intact
+    corrupted = wide.filter(F.col("segment_kind") == "CORRUPTED CONVERSATION").collect()
+    assert len(corrupted) == 1
+    assert corrupted[0]["reservation_sid"] == "RS011"
+    assert corrupted[0]["queue"] is not None
+
+
 def test_streaming_corrupted_conversation_timeout(streamed):
     """The never-completed accepted reservation (RS011) must time out into
     CORRUPTED CONVERSATION — the reference declares the kind but can never

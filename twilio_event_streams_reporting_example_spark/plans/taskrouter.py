@@ -57,6 +57,39 @@ from ..taskrouter import schema as S
 # --------------------------------------------------------------- ingest
 
 
+def payload_event_cols(p: Column) -> list[Column]:
+    """The parsed event columns (everything the wide projection reads)
+    from a CloudEvent payload struct column — shared by the batch ingest
+    and the streaming wide-projection step, so both paths decode one way."""
+    ta_raw = p.getField("task_attributes")
+    return [
+        p.getField("eventtype").alias("eventtype"),
+        p.getField("timestamp").cast("timestamp").alias("ts"),
+        p.getField("task_sid").alias("task_sid"),
+        p.getField("reservation_sid").alias("reservation_sid"),
+        p.getField("worker_sid").alias("worker_sid"),
+        F.from_json(ta_raw, S.TASK_ATTRIBUTES_STRUCT).alias("ta"),
+        # hierarchy custom fields are string-OR-array<string>, which no
+        # struct schema can capture — extract the raw JSON text ONCE here
+        # (the wide projection used to re-run get_json_object per branch)
+        F.get_json_object(
+            ta_raw, "$.conversations.handling_department_name_in_hierarchy"
+        ).alias("ta_hier_dept"),
+        F.get_json_object(ta_raw, "$.conversations.team_name_in_hierarchy").alias(
+            "ta_hier_team"
+        ),
+        F.from_json(p.getField("worker_attributes"), S.WORKER_ATTRIBUTES_STRUCT).alias("wa"),
+        p.getField("task_completed_reason").alias("task_completed_reason"),
+        p.getField("task_canceled_reason").alias("task_canceled_reason"),
+        p.getField("task_channel_unique_name").alias("tcun"),
+        p.getField("workflow_name").alias("workflow_name"),
+        p.getField("task_queue_name").alias("task_queue_name"),
+        p.getField("task_queue_sid").alias("task_queue_sid"),
+        p.getField("worker_activity_name").alias("worker_activity_name"),
+        p.getField("worker_time_in_previous_activity").alias("wtip"),
+    ]
+
+
 def ingest_taskrouter(raw: DataFrame) -> DataFrame:
     """CloudEvent JSON strings → parsed, deduplicated event log (S1+S3).
 
@@ -79,30 +112,7 @@ def ingest_taskrouter(raw: DataFrame) -> DataFrame:
     return ev.select(
         F.col("id").alias("event_id"),
         "arrival_idx",
-        F.col("p.eventtype").alias("eventtype"),
-        F.col("p.timestamp").cast("timestamp").alias("ts"),
-        F.col("p.task_sid").alias("task_sid"),
-        F.col("p.reservation_sid").alias("reservation_sid"),
-        F.col("p.worker_sid").alias("worker_sid"),
-        F.from_json("p.task_attributes", S.TASK_ATTRIBUTES_STRUCT).alias("ta"),
-        # hierarchy custom fields are string-OR-array<string>, which no
-        # struct schema can capture — extract the raw JSON text ONCE here
-        # (the wide projection used to re-run get_json_object per branch)
-        F.get_json_object(
-            "p.task_attributes", "$.conversations.handling_department_name_in_hierarchy"
-        ).alias("ta_hier_dept"),
-        F.get_json_object(
-            "p.task_attributes", "$.conversations.team_name_in_hierarchy"
-        ).alias("ta_hier_team"),
-        F.from_json("p.worker_attributes", S.WORKER_ATTRIBUTES_STRUCT).alias("wa"),
-        F.col("p.task_completed_reason").alias("task_completed_reason"),
-        F.col("p.task_canceled_reason").alias("task_canceled_reason"),
-        F.col("p.task_channel_unique_name").alias("tcun"),
-        F.col("p.workflow_name").alias("workflow_name"),
-        F.col("p.task_queue_name").alias("task_queue_name"),
-        F.col("p.task_queue_sid").alias("task_queue_sid"),
-        F.col("p.worker_activity_name").alias("worker_activity_name"),
-        F.col("p.worker_time_in_previous_activity").alias("wtip"),
+        *payload_event_cols(F.col("p")),
     )
 
 
@@ -325,6 +335,32 @@ def _wide_project(un: DataFrame) -> DataFrame:
             for name, t in S.SEGMENT_COLUMNS
         ]
     )
+
+
+def wide_project_stream(emitted: DataFrame) -> DataFrame:
+    """The full ~65-column wide projection over the streaming state
+    machine's emissions (works on batch DataFrames too — it is stateless).
+
+    ``emitted``: (branch, segment_kind, carrier_raw, ov_*) rows — the
+    carrier is the raw CloudEvent whose payload supplies every base
+    column (the accepted event for QUEUE/CONVERSATION rows, the failed
+    reservation event for terminal ring rows, the task event for abandon
+    rows), exactly the event the batch branch projects from. Because the
+    carrier is re-parsed with :func:`payload_event_cols` and expanded
+    with the same :func:`_wide_project`, streaming and batch output are
+    the same JVM expressions by construction — the parity test asserts
+    it, the shared code makes it structural."""
+    p = F.from_json("carrier_raw", S.ENVELOPE_STRUCT).getField("data").getField("payload")
+    parsed = emitted.select(
+        *payload_event_cols(p),
+        "branch",
+        "segment_kind",
+        *[F.col(c) for c in _OV_LONGS],
+        "ov_date",
+        "ov_segment_link",
+        "ov_segment_link_set",
+    )
+    return _wide_project(parsed)
 
 
 # --------------------------------------------------------- correlations

@@ -378,6 +378,41 @@ def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         return run_fixture_stream(spark, d)
 
 
+def _stream_golden_rows_wide() -> list[dict]:
+    """Wide-stream expectation: the simulator's full terminal segment rows
+    plus the CONVERSATION IN PROGRESS rows relabeled CORRUPTED (all other
+    64 columns unchanged — the timeout only renames the kind)."""
+    rows = []
+    for r in _sim().segment_rows():
+        kind = r["segment_kind"]
+        if kind in _STREAM_TERMINAL:
+            rows.append(dict(r))
+        elif kind == "CONVERSATION IN PROGRESS":
+            rows.append({**r, "segment_kind": "CORRUPTED CONVERSATION"})
+    return rows
+
+
+@register(
+    "streaming_taskrouter_segments_wide",
+    oracle=golden_values_sql(_stream_golden_rows_wide(), S.SEGMENT_COLUMNS),
+    doc=(
+        "The FULL ~65-column conversations fact as an append stream: the "
+        "stateful lifecycle emits (branch, kind, carrier CloudEvent, "
+        "override measures) and the stateless shared wide projection "
+        "(plans.taskrouter.wide_project_stream) expands them — streaming "
+        "and batch run the same JVM projection expressions, so wide parity "
+        "is structural. Oracle = the independent simulator's wide rows."
+    ),
+)
+def streaming_taskrouter_segments_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.taskrouter_stream import run_fixture_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        return run_fixture_stream(spark, d, wide=True)
+
+
 @register(
     "taskrouter_report_agents",
     oracle=golden_values_sql(

@@ -19,11 +19,16 @@ reservation.* events — carries it, so one state key sees the whole
 lifecycle and the transfer re-queue case stays within one partition.
 State is O(open reservations per task), bounded by the timeout.
 
-The streaming path emits the CORE segment columns (ids + measures).
-The full ~65-column wide projection is a stateless per-row map and is
-shared with the batch engine; parity of the correlation/measure logic
-is what the batch-parity test asserts (streaming output == batch
-recompute on the same fixture, terminal kinds).
+The stateful operator emits NARROW rows: a branch tag, the segment
+kind, the computed override measures, and the raw CloudEvent that
+"carries" the segment (the accepted event for QUEUE/CONVERSATION, the
+failed reservation event for terminal ring rows, the task event for
+abandon rows). The full ~65-column wide projection is then a STATELESS
+step (``plans.taskrouter.wide_project_stream``) that re-parses the
+carrier with the same ``payload_event_cols`` and expands it with the
+same ``_wide_project`` the batch engine uses — streaming and batch
+share the projection code, so wide parity is structural, not tested-in.
+The core 11-column view is a projection of the wide stream.
 
 This is the documented Pandas-UDF path (custom operator tier (b)):
 the per-key sequential state machine is genuinely order-dependent
@@ -48,21 +53,40 @@ WATERMARK_DELAY = "10 minutes"
 # open conversation with no terminal event for this long → CORRUPTED
 CONVERSATION_TIMEOUT = dt.timedelta(minutes=10)
 
-OUTPUT_SCHEMA = T.StructType(
+# what the stateful operator emits: branch tag + kind + carrier event +
+# override measures; the wide projection is stateless and shared with
+# the batch engine (plans.taskrouter._wide_project)
+EMIT_SCHEMA = T.StructType(
     [
+        T.StructField("branch", T.StringType()),
         T.StructField("segment_kind", T.StringType()),
-        T.StructField("conversation_id", T.StringType()),
-        T.StructField("reservation_sid", T.StringType()),
-        T.StructField("agent_uuid", T.StringType()),
-        T.StructField("date", T.TimestampType()),
-        T.StructField("queue_time", T.LongType()),
-        T.StructField("ring_time", T.LongType()),
-        T.StructField("talk_time", T.LongType()),
-        T.StructField("wrapup_time", T.LongType()),
-        T.StructField("abandoned", T.StringType()),
-        T.StructField("abandon_time", T.LongType()),
+        T.StructField("carrier_raw", T.StringType()),
+        T.StructField("ov_queue_time", T.LongType()),
+        T.StructField("ov_ring_time", T.LongType()),
+        T.StructField("ov_talk_time", T.LongType()),
+        T.StructField("ov_wrapup_time", T.LongType()),
+        T.StructField("ov_abandon_time", T.LongType()),
+        T.StructField("ov_activity_time", T.LongType()),
+        T.StructField("ov_date", T.TimestampType()),
+        T.StructField("ov_segment_link", T.StringType()),
+        T.StructField("ov_segment_link_set", T.BooleanType()),
     ]
 )
+
+# the measure/id view of the wide stream (the original streaming surface)
+CORE_COLUMNS = [
+    "segment_kind",
+    "conversation_id",
+    "reservation_sid",
+    "agent_uuid",
+    "date",
+    "queue_time",
+    "ring_time",
+    "talk_time",
+    "wrapup_time",
+    "abandoned",
+    "abandon_time",
+]
 
 # State: one JSON document per task (entry anchor + per-reservation
 # correlation anchors). JSON keeps the schema evolvable; the payload is
@@ -92,20 +116,23 @@ def _segment_rows_for_task(
     out: list[dict] = []
     res: dict[str, Any] = st.setdefault("res", {})  # reservation_sid → anchors
 
-    def emit(kind, rsid, ev, date_iso=None, **measures):
+    def emit(branch, kind, ev, date_iso=None, link=None, link_set=False, **measures):
+        # the carrier event supplies every base column downstream; only
+        # the branch-computed overrides travel as explicit values
         out.append(
             {
+                "branch": branch,
                 "segment_kind": kind,
-                "conversation_id": ev.get("custom_conversation_id") or ev.get("task_sid"),
-                "reservation_sid": rsid or "",
-                "agent_uuid": ev.get("worker_sid") or "",
-                "date": _trunc_s(date_iso or ev["ts"]),
-                "queue_time": measures.get("queue_time"),
-                "ring_time": measures.get("ring_time"),
-                "talk_time": measures.get("talk_time"),
-                "wrapup_time": measures.get("wrapup_time"),
-                "abandoned": measures.get("abandoned", "N"),
-                "abandon_time": measures.get("abandon_time"),
+                "carrier_raw": ev.get("raw") or "",
+                "ov_queue_time": measures.get("queue_time"),
+                "ov_ring_time": measures.get("ring_time"),
+                "ov_talk_time": measures.get("talk_time"),
+                "ov_wrapup_time": measures.get("wrapup_time"),
+                "ov_abandon_time": measures.get("abandon_time"),
+                "ov_activity_time": None,
+                "ov_date": _trunc_s(date_iso) if date_iso else None,
+                "ov_segment_link": link,
+                "ov_segment_link_set": bool(link_set),
             }
         )
 
@@ -136,7 +163,8 @@ def _segment_rows_for_task(
             r["ring_time"] = _secs(ts, r["created_ts"]) if "created_ts" in r else None
             if entry:
                 emit(
-                    S.QUEUE_SEGMENT, rsid, ev, date_iso=entry, queue_time=r["queue_time"]
+                    "queue_acc", S.QUEUE_SEGMENT, ev,
+                    date_iso=entry, queue_time=r["queue_time"],
                 )
         elif et == S.ET_RESERVATION_WRAPUP:
             res.setdefault(rsid, {})["wrapup_ts"] = ts
@@ -151,14 +179,17 @@ def _segment_rows_for_task(
                 continue  # no IN PROGRESS to finalize (events.js:308-310)
             wrap_ts = r.get("wrapup_ts")
             emit(
+                "convo",
                 S.CONVO_SEG,
-                rsid,
                 r["accepted_ev"],
-                date_iso=r["accepted_ts"],
                 queue_time=r["queue_time"],
                 ring_time=r["ring_time"],
                 talk_time=_secs(wrap_ts or ts, r["accepted_ts"]),
                 wrapup_time=_secs(ts, wrap_ts) if wrap_ts else 0,
+                # the completed event's spread overwrites segment_link
+                # even when its custom value is null (events.js:578-583)
+                link=ev.get("custom_segment_link"),
+                link_set=True,
             )
         elif et in (
             S.ET_RESERVATION_REJECTED,
@@ -179,17 +210,19 @@ def _segment_rows_for_task(
             ring = _secs(ts, r["created_ts"]) if "created_ts" in r else None
             if "created_ts" in r:
                 res[rsid] = {"created_ts": r["created_ts"]}
-            emit(kind, rsid, ev, ring_time=ring)
+            emit("failed", kind, ev, ring_time=ring)
         elif et in (S.ET_TASK_CANCELED, S.ET_TASK_TRANSFER_FAILED):
             # same non-consuming strict-< entry lookup as accepted
             entry = st.get("entry_ts")
             if entry is not None and not (_dt(entry) < _dt(ts)):
                 entry = None
             q = _secs(ts, entry) if entry else None
-            common = dict(queue_time=q, abandon_time=q, abandoned="Yes")
             if entry:
-                emit(S.QUEUE_SEGMENT, None, ev, date_iso=entry, **common)
-            emit(S.CONVO_SEG, None, ev, **common)
+                emit(
+                    "queue_ab", S.QUEUE_SEGMENT, ev,
+                    date_iso=entry, queue_time=q, abandon_time=q,
+                )
+            emit("convo_ab", S.CONVO_SEG, ev, queue_time=q, abandon_time=q)
         st["last_ts"] = ts
 
     if timed_out:
@@ -197,11 +230,14 @@ def _segment_rows_for_task(
         # accepted reservation is abandoned state → CORRUPTED CONVERSATION
         for rsid, r in list(res.items()):
             if "accepted_ts" in r:
+                # branch 'convo' with link_set=False: talk/wrapup and
+                # segment_link keep the carrier's custom values, exactly
+                # like a CONVERSATION IN PROGRESS row (which this is —
+                # relabeled by the timeout)
                 emit(
+                    "convo",
                     S.CONVO_CORRUPTED,
-                    rsid,
                     r["accepted_ev"],
-                    date_iso=r["accepted_ts"],
                     queue_time=r.get("queue_time"),
                     ring_time=r.get("ring_time"),
                 )
@@ -231,7 +267,8 @@ def _lifecycle_fn(
                         "task_sid": rec["task_sid"],
                         "reservation_sid": rec["reservation_sid"],
                         "worker_sid": rec["worker_sid"],
-                        "custom_conversation_id": rec["custom_conversation_id"],
+                        "custom_segment_link": rec.get("custom_segment_link"),
+                        "raw": rec.get("value") or "",
                         "arrival_idx": rec["arrival_idx"] if has_arrival else None,
                         "event_id": rec.get("event_id") or "",
                     }
@@ -260,7 +297,7 @@ def _lifecycle_fn(
         elif state.exists:
             state.remove()
     if rows:
-        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
 
 def parse_stream(raw: DataFrame) -> DataFrame:
@@ -268,7 +305,8 @@ def parse_stream(raw: DataFrame) -> DataFrame:
 
     ``raw``: a streaming DataFrame with a string ``value`` column (file/
     Kafka source shape)."""
-    env = raw.select(F.from_json("value", S.ENVELOPE_STRUCT).alias("e")).select(
+    env = raw.select("value", F.from_json("value", S.ENVELOPE_STRUCT).alias("e")).select(
+        "value",
         F.col("e.id").alias("event_id"),
         F.col("e.type").alias("type"),
         F.col("e.data.payload").alias("p"),
@@ -277,14 +315,17 @@ def parse_stream(raw: DataFrame) -> DataFrame:
         env.filter(F.col("type").startswith(S.TASKROUTER_PREFIX))
         .filter(F.col("event_id").isNotNull())
         .select(
+            # the raw line rides along: the state machine stores it as the
+            # carrier for the wide projection downstream
+            "value",
             "event_id",
             F.col("p.eventtype").alias("eventtype"),
             F.col("p.timestamp").cast("timestamp").alias("ts"),
             F.col("p.task_sid").alias("task_sid"),
             F.col("p.reservation_sid").alias("reservation_sid"),
             F.col("p.worker_sid").alias("worker_sid"),
-            F.get_json_object("p.task_attributes", "$.conversations.conversation_id").alias(
-                "custom_conversation_id"
+            F.get_json_object("p.task_attributes", "$.conversations.segment_link").alias(
+                "custom_segment_link"
             ),
         )
     )
@@ -293,19 +334,36 @@ def parse_stream(raw: DataFrame) -> DataFrame:
     )
 
 
-def conversation_segments_stream(events: DataFrame) -> DataFrame:
-    """The stateful conversation lifecycle over a parsed event stream."""
+def segment_emissions_stream(events: DataFrame) -> DataFrame:
+    """The stateful conversation lifecycle over a parsed event stream —
+    narrow (branch, kind, carrier, overrides) emissions."""
     return (
         events.filter(F.col("task_sid").isNotNull())
         .groupBy("task_sid")
         .applyInPandasWithState(
             _lifecycle_fn,
-            OUTPUT_SCHEMA,
+            EMIT_SCHEMA,
             STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def wide_conversation_segments_stream(events: DataFrame) -> DataFrame:
+    """S5 in streaming form: the full ~65-column conversations fact as an
+    append stream — the stateless shared wide projection over the state
+    machine's emissions."""
+    from ..plans.taskrouter import wide_project_stream
+
+    return wide_project_stream(segment_emissions_stream(events))
+
+
+def conversation_segments_stream(events: DataFrame) -> DataFrame:
+    """The original core (ids + measures) streaming surface — a column
+    subset of the wide stream; Catalyst prunes the unused wide
+    expressions, so nothing extra is computed."""
+    return wide_conversation_segments_stream(events).select(*CORE_COLUMNS)
 
 
 def write_event_log(events: DataFrame, path: str, checkpoint: str):
@@ -322,13 +380,14 @@ def write_event_log(events: DataFrame, path: str, checkpoint: str):
 
 
 def run_fixture_stream(
-    spark: SparkSession, workdir: str, files: int = 6
+    spark: SparkSession, workdir: str, files: int = 6, wide: bool = False
 ) -> DataFrame:
     """Batch-parity harness: spool the fixture to ``files`` chronological
     JSON-line files, stream them with availableNow (file-per-trigger →
     the watermark advances between micro-batches, exercising cross-batch
     state and event-time timeouts), and return the collected segments as
-    a batch DataFrame."""
+    a batch DataFrame. ``wide=True`` materializes the full ~65-column
+    fact stream instead of the core view."""
     import os
 
     from ..taskrouter.fixture import FIXTURE_EVENTS
@@ -357,17 +416,23 @@ def run_fixture_stream(
         .option("maxFilesPerTrigger", 1)
         .load(indir)
     )
-    seg = conversation_segments_stream(parse_stream(raw))
+    events = parse_stream(raw)
+    seg = (
+        wide_conversation_segments_stream(events)
+        if wide
+        else conversation_segments_stream(events)
+    )
+    name = "tr_stream_segments_wide" if wide else "tr_stream_segments"
     q = (
         seg.writeStream.format("memory")
-        .queryName("tr_stream_segments")
+        .queryName(name)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.sql("SELECT * FROM tr_stream_segments")
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 # ------------------------------------------------- agents upsert sink (S7)
