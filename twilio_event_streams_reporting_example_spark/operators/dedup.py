@@ -359,6 +359,13 @@ def _sql_band_key(band: int) -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs(docs)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, matching_hashes): LSH band-bucket candidates with
+    their estimated-Jaccard evidence (matching/16). Shared by the pair
+    report query and the duplicate-cluster builder."""
     sig = minhash_signature(_shingles(docs, "doc_id", "text")).cache()
     n_bands = NUM_HASHES // BAND_ROWS
     bands = None
@@ -384,6 +391,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", matching.alias("matching_hashes"))
+    )
+
+
+# ------------------------------------------------- 3b. duplicate clusters
+
+# minimum matching minhashes for two docs to be merged into one cluster
+# (8/16 ≈ estimated Jaccard ≥ 0.5 — a stricter bar than the pair REPORT,
+# because clustering is transitive: one weak edge merges whole groups)
+CLUSTER_MIN_MATCHES = 8
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_sql_shingles_cte()},
+        sig AS (
+          SELECT doc_id,
+          {_sql_minhash_exprs()}
+          FROM shingles GROUP BY doc_id
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, {_sql_band_key(b)} AS band_key FROM sig"
+            for b in range(NUM_HASHES // BAND_ROWS)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sig sa ON c.doc_a = sa.doc_id
+          JOIN sig sb ON c.doc_b = sb.doc_id
+          WHERE ({" + ".join(
+            f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+          )}) >= {CLUSTER_MIN_MATCHES}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+               CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        FROM cc
+    """,
+    doc=(
+        "Near-dup pairs → deletable duplicate GROUPS: hash-min label "
+        "propagation (operators/graph.py) over the MinHash/LSH candidate "
+        "pairs at >=8/16 matching hashes; cluster_id = min doc in the "
+        "component, keeper = that doc. The oracle computes the same "
+        "components via a recursive-CTE transitive closure — entirely "
+        "independent machinery."
+    ),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_candidate_pairs(docs).filter(
+        F.col("matching_hashes") >= CLUSTER_MIN_MATCHES
+    )
+    cc = connected_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
     )
 
 
