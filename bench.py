@@ -43,10 +43,12 @@ def main() -> int:
         if name.startswith("streaming_"):
             continue  # streaming harness queries: parity-tested, not a batch benchmark
         try:
-            # Build once (analysis outside the timer), run cold once.
-            df = spec.fn(spark, sf_dir)
+            # Time build + cold run together: plan construction is free for
+            # declarative queries, but iterative operators (connected
+            # components) legitimately run jobs while building — excluding
+            # them would under-report.
             t0 = time.perf_counter()
-            _force(df)
+            _force(spec.fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             traceback.print_exc(file=sys.stderr)

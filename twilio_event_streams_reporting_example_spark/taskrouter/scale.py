@@ -39,43 +39,50 @@ _TASK_ATTRS_JSON = '{"direction":"inbound","from":"+15550000","to":"+15551111"}'
 
 def synthetic_events(spark: SparkSession, n_tasks: int) -> DataFrame:
     """(arrival_idx, raw CloudEvent JSON) for n_tasks happy-path
-    conversations — generated executor-side, one narrow stage."""
+    conversations — generated executor-side, ONE narrow stage: the five
+    per-task events come from one explode over the spec array (an
+    earlier 5-way union of range scans scheduled 5× the tasks for the
+    same rows)."""
     base = spark.range(n_tasks).select(F.col("id").alias("i"))
-    parts = []
-    for et, off_ms, slot in _EVENT_SPECS:
-        ts = F.date_format(
-            F.timestamp_millis(
-                (F.lit(BASE_EPOCH_S) + F.col("i") * SPACING_S) * 1000 + F.lit(off_ms)
-            ),
-            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
-        )
-        payload = F.struct(
-            F.lit(et).alias("eventtype"),
-            ts.alias("timestamp"),
-            F.concat(F.lit("TKS-"), F.col("i")).alias("task_sid"),
-            F.concat(F.lit("RSS-"), F.col("i")).alias("reservation_sid"),
-            F.concat(F.lit("WKS-"), F.col("i") % 50).alias("worker_sid"),
-            F.lit(_TASK_ATTRS_JSON).alias("task_attributes"),
-            F.lit("voice").alias("task_channel_unique_name"),
-            F.lit("Main").alias("workflow_name"),
-            F.lit("Support").alias("task_queue_name"),
-            F.lit("WQ-1").alias("task_queue_sid"),
-        )
-        envelope = F.struct(
-            F.concat(F.lit(f"EV-{slot}-"), F.col("i")).alias("id"),
-            F.lit(f"com.twilio.taskrouter.{et}").alias("type"),
-            F.struct(payload.alias("payload")).alias("data"),
-        )
-        parts.append(
-            base.select(
-                (F.col("i") * len(_EVENT_SPECS) + slot).alias("arrival_idx"),
-                F.to_json(envelope).alias("raw"),
+    specs = F.array(
+        *[
+            F.struct(
+                F.lit(et).alias("et"),
+                F.lit(off_ms).alias("off_ms"),
+                F.lit(slot).alias("slot"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for et, off_ms, slot in _EVENT_SPECS
+        ]
+    )
+    ev = base.select("i", F.explode(specs).alias("s"))
+    i, et, slot = F.col("i"), F.col("s.et"), F.col("s.slot")
+    ts = F.date_format(
+        F.timestamp_millis(
+            (F.lit(BASE_EPOCH_S) + i * SPACING_S) * 1000 + F.col("s.off_ms")
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    )
+    payload = F.struct(
+        et.alias("eventtype"),
+        ts.alias("timestamp"),
+        F.concat(F.lit("TKS-"), i).alias("task_sid"),
+        F.concat(F.lit("RSS-"), i).alias("reservation_sid"),
+        F.concat(F.lit("WKS-"), i % 50).alias("worker_sid"),
+        F.lit(_TASK_ATTRS_JSON).alias("task_attributes"),
+        F.lit("voice").alias("task_channel_unique_name"),
+        F.lit("Main").alias("workflow_name"),
+        F.lit("Support").alias("task_queue_name"),
+        F.lit("WQ-1").alias("task_queue_sid"),
+    )
+    envelope = F.struct(
+        F.concat(F.lit("EV-"), slot, F.lit("-"), i).alias("id"),
+        F.concat(F.lit("com.twilio.taskrouter."), et).alias("type"),
+        F.struct(payload.alias("payload")).alias("data"),
+    )
+    return ev.select(
+        (i * len(_EVENT_SPECS) + slot).alias("arrival_idx"),
+        F.to_json(envelope).alias("raw"),
+    )
 
 
 def scale_oracle_sql(n_tasks: int) -> str:
