@@ -40,8 +40,8 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
-        if name.startswith("streaming_"):
-            continue  # streaming harness queries: parity-tested, not a batch benchmark
+        if not spec.bench:
+            continue  # streaming/materialization harnesses: correctness-gated, not batch queries
         try:
             # Time build + cold run together: plan construction is free for
             # declarative queries, but iterative operators (connected

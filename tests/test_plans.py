@@ -64,3 +64,55 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     # codegen stages are marked '*(n)' in executedPlan().toString()
     plan = _plan(spark, "events_filter_project", sf_dir)
     assert "*(1)" in plan
+
+
+def test_taskrouter_segments_exchange_budget(spark):
+    """The whole fact table runs on exactly its four designed hash
+    exchanges (dedup id / reservation pass / task pass / agent pass) —
+    a fifth exchange means a correlation regressed into a join shuffle."""
+    plan = _plan(spark, "taskrouter_segments", "unused")
+    import re
+
+    hash_exchanges = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan)
+    }
+    keys = {re.search(r"hashpartitioning\((\w+)", e).group(1) for e in hash_exchanges}
+    # arrival_idx is the fixture's own input scatter (fixture_df), not an
+    # engine shuffle
+    assert keys <= {"id", "reservation_sid", "task_sid", "worker_sid", "arrival_idx"}, keys
+
+
+def test_frame_sample_shuffle_free(spark, sf_dir):
+    """The frame-sampling UDTF is a pure scan→map explode."""
+    plan = _plan(spark, "multimodal_frame_sample", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_incremental_scoping_joins_broadcast(spark):
+    """The incremental recompute scopes the event log with BROADCAST
+    semi-joins on the affected keys — a shuffled semi-join would drag the
+    full log through an exchange on every daily merge."""
+    import json
+    import tempfile
+
+    from twilio_event_streams_reporting_example_spark.sources.incremental import (
+        initialize_taskrouter,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+    )
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        raw = spark.createDataFrame(
+            [(i, json.dumps(e)) for i, e in enumerate(FIXTURE_EVENTS)],
+            "arrival_idx bigint, raw string",
+        )
+        initialize_taskrouter(spark, raw, d)
+        log = spark.read.parquet(f"{d}/event_log")
+        keys = log.select("task_sid").filter(F.col("task_sid").isNotNull()).distinct()
+        scoped = log.join(F.broadcast(keys), "task_sid", "left_semi")
+        plan = scoped._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "LeftSemi" in plan

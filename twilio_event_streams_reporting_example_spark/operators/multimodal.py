@@ -162,6 +162,33 @@ def multimodal_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(j AS BIGINT) AS frame_idx,
+               CAST(ascii(substr(md5(text), CAST(j * {FRAME_STRIDE} + 1 AS INTEGER), 1))
+                    AS INTEGER) AS frame_byte
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({(32 + FRAME_STRIDE - 1) // FRAME_STRIDE})) AS j) s
+    """,
+    doc=(
+        "Frame-sampling UDTF shape: a binary 'video' payload explodes "
+        "into one row per sampled frame (every stride-th byte) through "
+        "an Arrow-batched mapInPandas kernel. The demo payload is the "
+        "md5-hex of the text (ASCII bytes), so DuckDB can recompute every "
+        "sampled byte — full hash oracle over the exploded rows. With a "
+        "real decoder the kernel body changes, the plan does not: "
+        "scan → mapInPandas, shuffle-free, output bounded at "
+        "ceil(n_bytes/stride) rows per item."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    payload = docs.select("doc_id", F.encode(F.md5("text"), "UTF-8").alias("payload"))
+    return frame_sample(payload)
+
+
 def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into every
     ``stride``-th byte as one 'frame' row (what a real sampler does with

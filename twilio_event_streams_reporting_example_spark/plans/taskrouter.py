@@ -516,11 +516,18 @@ def taskrouter_segments_df(spark: SparkSession, raw: DataFrame) -> DataFrame:
     Shuffle budget (the whole fact table): dedup (id) → reservation pass
     (reservation_sid) → task pass (task_sid) ∥ agent pass (worker_sid).
     Four hash exchanges total, zero correlation joins."""
+    return segments_from_parsed(spark, ingest_taskrouter(raw))
+
+
+def segments_from_parsed(spark: SparkSession, parsed: DataFrame) -> DataFrame:
+    """Fact recompute over an ALREADY-PARSED (and id-deduplicated) event
+    log — the entry the incremental-maintenance path uses to rebuild only
+    the affected conversations from the durable log."""
     # same defense as sources/tables.py: a non-UTC driver session would
     # render every truncated timestamp in local time and value-mismatch
     # the golden oracles even though the instants are correct
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    parsed = ingest_taskrouter(raw).cache()
+    parsed = parsed.cache()
     et = F.col("eventtype")
 
     # pass R: every reservation-keyed anchor lands on its rows in place

@@ -239,6 +239,102 @@ def taskrouter_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "taskrouter_queue_percentiles",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
+        SELECT
+          "queue",
+          COUNT(queue_time) AS n_queue_obs,
+          round(quantile_cont(CAST(queue_time AS DOUBLE), 0.5), 9) AS queue_p50,
+          round(quantile_cont(CAST(queue_time AS DOUBLE), 0.9), 9) AS queue_p90,
+          round(quantile_cont(CAST(talk_time AS DOUBLE), 0.5), 9) AS talk_p50,
+          round(quantile_cont(CAST(talk_time AS DOUBLE), 0.9), 9) AS talk_p90
+        FROM seg
+        WHERE segment_kind IN ('QUEUE', 'CONVERSATION')
+        GROUP BY "queue"
+    """,
+    doc=(
+        "Distribution KPIs (p50/p90 wait and talk) per queue — the SLA "
+        "percentile layer Flex Insights reports on top of segments. Exact "
+        "linear-interpolation percentiles (Spark `percentile` == DuckDB "
+        "`quantile_cont`, verified bit-identical; both sides round to 9dp "
+        "as drift defense). One partial-aggregated shuffle; at 100 TB "
+        "swap `percentile` for `percentile_approx` (t-digest sketch, "
+        "mergeable map-side) — same plan shape, bounded memory."
+    ),
+)
+def taskrouter_queue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_segments_df
+
+    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    qt = F.col("queue_time").cast("double")
+    tt = F.col("talk_time").cast("double")
+    return (
+        seg.filter(F.col("segment_kind").isin("QUEUE", "CONVERSATION"))
+        .groupBy("queue")
+        .agg(
+            F.count("queue_time").alias("n_queue_obs"),
+            F.round(F.percentile(qt, F.lit(0.5)), 9).alias("queue_p50"),
+            F.round(F.percentile(qt, F.lit(0.9)), 9).alias("queue_p90"),
+            F.round(F.percentile(tt, F.lit(0.5)), 9).alias("talk_p50"),
+            F.round(F.percentile(tt, F.lit(0.9)), 9).alias("talk_p90"),
+        )
+    )
+
+
+# -------------------------------------------------- incremental maintenance
+
+
+@register(
+    "taskrouter_segments_incremental",
+    bench=False,
+    oracle=golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS),
+    doc=(
+        "S6 at scale: the fixture split into three chronological ingest "
+        "batches, applied as initialize + two incremental merges — each "
+        "merge recomputes ONLY the conversations/workers its batch touches "
+        "(broadcast-semi-joined slice of the durable event log) and "
+        "rewrites only the affected fact date-partitions (the hand-rolled "
+        "parquet MERGE; see sources/incremental.py). The read-back fact "
+        "must equal the one-shot recompute — same golden oracle as "
+        "taskrouter_segments."
+    ),
+)
+def taskrouter_segments_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from ..sources.incremental import (
+        incremental_taskrouter_update,
+        initialize_taskrouter,
+    )
+    from ..taskrouter.fixture import FIXTURE_EVENTS
+
+    ordered = sorted(FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"])
+    chunk = (len(ordered) + 2) // 3
+    idx = 0
+    batches = []
+    for i in range(0, len(ordered), chunk):
+        rows = []
+        for e in ordered[i : i + chunk]:
+            rows.append((idx, _json.dumps(e)))
+            idx += 1
+        batches.append(
+            spark.createDataFrame(rows, "arrival_idx bigint, raw string")
+        )
+    with tempfile.TemporaryDirectory() as d:
+        initialize_taskrouter(spark, batches[0], d)
+        for b in batches[1:]:
+            incremental_taskrouter_update(spark, b, d)
+        cols = [c for c, _ in S.SEGMENT_COLUMNS]
+        # collect before the tempdir vanishes
+        out = spark.read.parquet(f"{d}/segments").select(*cols).localCheckpoint(
+            eager=True
+        )
+    return out
+
+
 # ------------------------------------------------------------- scale run
 
 SCALE_N_TASKS = 10_000  # 50k events → 20k segments, generated executor-side
@@ -360,6 +456,7 @@ def _stream_golden_rows() -> list[dict]:
 
 @register(
     "streaming_taskrouter_segments",
+    bench=False,
     oracle=golden_values_sql(_stream_golden_rows(), _STREAM_COLS),
     doc=(
         "Structured Streaming lifecycle over the fixture (watermark + "
@@ -394,6 +491,7 @@ def _stream_golden_rows_wide() -> list[dict]:
 
 @register(
     "streaming_taskrouter_segments_wide",
+    bench=False,
     oracle=golden_values_sql(_stream_golden_rows_wide(), S.SEGMENT_COLUMNS),
     doc=(
         "The FULL ~65-column conversations fact as an append stream: the "
