@@ -39,6 +39,8 @@ SCENARIOS = [
     "late_created", # created timestamped AFTER the exit → NULL ring, never negative
     "same_ts_created",  # created at the exact exit ts: arrival order decides
     "dual_accept",  # two reservations both accept off ONE queue entry
+    "canceled_after_accept",  # task.canceled over an OPEN conversation:
+    #                           abandon rows + the IN PROGRESS row coexist
 ]
 
 
@@ -81,6 +83,11 @@ def _gen_events(seed: int, n_tasks: int, custom_measures: bool = True) -> list[d
                                         # the sim on never-completed paths
                                         "talk_time": rng.randrange(500),
                                         "channel": rng.choice(["Video", "SMS"])}}
+            if rng.random() < 0.5:
+                # completed's spread must overwrite this on CONVERSATION
+                # rows (even implicitly with null); other kinds pass it
+                # through — fuzzes the segment_link override edge
+                custom["conversations"]["segment_link"] = f"L-{seed}-{i}"
             if not custom_measures:
                 # the streaming core projection carries computed measures
                 # only; strip custom measure overrides (they surface on
@@ -183,6 +190,17 @@ def _gen_events(seed: int, n_tasks: int, custom_measures: bool = True) -> list[d
         if scen in ("abandoned", "transfer_failed"):
             et = "task.canceled" if scen == "abandoned" else "task.transfer-failed"
             events.append(ev(et, t_exit, task_canceled_reason="gone", **common))
+            continue
+        if scen == "canceled_after_accept":
+            # the conversation is accepted (IN PROGRESS row) and the task
+            # is then canceled: the abandon QUEUE/CONVERSATION rows use
+            # the same non-consuming entry anchor the accepted used
+            events.append(ev("reservation.created", t_created, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("reservation.accepted", t_exit, reservation_sid=res,
+                             worker_sid=wk, **common))
+            events.append(ev("task.canceled", t_exit + j(5, 90),
+                             task_canceled_reason="caller hung up", **common))
             continue
         events.append(ev("reservation.created", t_created, reservation_sid=res,
                          worker_sid=wk, **common))

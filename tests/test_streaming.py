@@ -88,6 +88,60 @@ def test_streaming_wide_matches_batch_all_columns(spark):
     assert corrupted[0]["queue"] is not None
 
 
+def test_streaming_wide_parquet_sink_roundtrip(spark):
+    """The durable wide-fact stream sink: spool the fixture through the
+    full pipeline into date-partitioned parquet, read back, and match the
+    batch recompute on terminal kinds (same layout as the batch sink, so
+    report queries are storage-agnostic)."""
+    import json
+    import os
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        parse_stream,
+        wide_conversation_segments_stream,
+        write_segments_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+        fixture_df,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        os.makedirs(indir)
+        ordered = sorted(FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"])
+        chunk = (len(ordered) + 3) // 4
+        for i in range(0, len(ordered), chunk):
+            p = os.path.join(indir, f"part-{i:04d}.json")
+            with open(p, "w") as f:
+                for e in ordered[i : i + chunk]:
+                    f.write(json.dumps(e) + "\n")
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(indir)
+        wide = wide_conversation_segments_stream(parse_stream(raw))
+        q = (
+            write_segments_stream(wide, os.path.join(d, "fact"), os.path.join(d, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        back = spark.read.parquet(os.path.join(d, "fact"))
+        assert "segment_date" in back.columns
+        stream = back.filter(F.col("segment_kind").isin(TERMINAL_KINDS)).drop(
+            "segment_date"
+        )
+        batch = taskrouter_segments_df(spark, fixture_df(spark)).filter(
+            F.col("segment_kind").isin(TERMINAL_KINDS)
+        )
+        assert stream.count() == batch.count()
+        assert batch.exceptAll(stream.select(batch.columns)).count() == 0
+        assert stream.select(batch.columns).exceptAll(batch).count() == 0
+
+
 def test_streaming_corrupted_conversation_timeout(streamed):
     """The never-completed accepted reservation (RS011) must time out into
     CORRUPTED CONVERSATION — the reference declares the kind but can never

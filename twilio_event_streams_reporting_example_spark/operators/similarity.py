@@ -390,6 +390,63 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_duplicate_clusters",
+    oracle=f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bands AS ({_ND_BANDS_SQL}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bkt = b.bkt
+          WHERE a.vec_id < b.vec_id
+        ),
+        pairs AS (
+          SELECT cand.id_a, cand.id_b
+          FROM cand
+          JOIN e q ON q.vec_id = cand.id_a
+          JOIN e c ON c.vec_id = cand.id_b
+          WHERE {_COSINE_SQL} > {NEARDUP_THRESHOLD}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT ed.dst, r.lab FROM reach r JOIN edges ed ON ed.src = r.node
+        ),
+        cc AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        SELECT vec_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+               CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        FROM cc
+    """,
+    doc=(
+        "Embedding near-dup pairs → duplicate groups: the SAME "
+        "connected-components operator (operators/graph.py) over the "
+        "banded-LSH cosine pairs — the cluster builder is pair-source-"
+        "agnostic (MinHash text pairs and embedding pairs compose "
+        "identically). Oracle: independent recursive-CTE closure."
+    ),
+)
+def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
+    )
+
+
 # ------------------------------------------------------------- IVF kNN
 
 IVF_CENTROIDS = 16  # vectors with vec_id < IVF_CENTROIDS act as centroids

@@ -379,6 +379,23 @@ def write_event_log(events: DataFrame, path: str, checkpoint: str):
     )
 
 
+def write_segments_stream(wide: DataFrame, path: str, checkpoint: str):
+    """S5 in streaming form: append the wide conversations fact to
+    date-partitioned parquet as segments terminalize — the durable
+    complement of the batch ``sources.sinks.write_segments`` (same
+    layout, so the report queries read either). Exactly-once per
+    segment: the upstream is CloudEvent-id-deduplicated and the file
+    sink commits atomically per micro-batch."""
+    return (
+        wide.withColumn("segment_date", F.to_date("date"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("segment_date")
+        .outputMode("append")
+    )
+
+
 def run_fixture_stream(
     spark: SparkSession, workdir: str, files: int = 6, wide: bool = False
 ) -> DataFrame:
