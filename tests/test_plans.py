@@ -35,6 +35,7 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
         "simhash_neardup_pairs",
         "knn_lsh_bucketed",
         "corpus_prep_pipeline",
+        "corpus_prep_full",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -402,10 +402,11 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 CLUSTER_MIN_MATCHES = 8
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle=f"""
-        WITH RECURSIVE {_sql_shingles_cte()},
+def _sql_cluster_ctes() -> str:
+    """The full MinHash→pairs→transitive-closure CTE chain ending in
+    ``cc(doc_id, cluster_id)`` — shared by the clusters oracle and the
+    composed corpus-prep oracle. Must follow a ``WITH RECURSIVE``."""
+    return f"""{_sql_shingles_cte()},
         sig AS (
           SELECT doc_id,
           {_sql_minhash_exprs()}
@@ -422,7 +423,7 @@ CLUSTER_MIN_MATCHES = 8
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ),
-        pairs AS (
+        mh_pairs AS (
           SELECT c.doc_a, c.doc_b
           FROM cand c
           JOIN sig sa ON c.doc_a = sa.doc_id
@@ -432,16 +433,22 @@ CLUSTER_MIN_MATCHES = 8
           )}) >= {CLUSTER_MIN_MATCHES}
         ),
         edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
           UNION
-          SELECT doc_b AS src, doc_a AS dst FROM pairs
+          SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
         ),
         reach(node, lab) AS (
           SELECT src, src FROM edges
           UNION
           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
         ),
-        cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_sql_cluster_ctes()}
         SELECT doc_id, cluster_id,
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
                CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper

@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
-from .dedup import _SQL_TOK_CTE, _SQL_TOK_POS_CTE, _SQL_TOKHASH, token_hash, tokens
+from .dedup import (
+    _SQL_TOK_CTE,
+    _SQL_TOK_POS_CTE,
+    _SQL_TOKHASH,
+    _sql_cluster_ctes,
+    token_hash,
+    tokens,
+)
 
 # Marker stopword sets for the language-ID heuristic (n-gram/stopword
 # scoring). On real corpora these separate languages; on the synthetic
@@ -276,9 +283,67 @@ _SQL_PRED_LANG = "CASE {} END".format(
     ),
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_prep(spark, sf_dir, near_dedup=False)
+
+
+@register(
+    "corpus_prep_full",
+    oracle=f"""
+        WITH RECURSIVE {_sql_cluster_ctes()},
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        tok2 AS (
+          SELECT d.doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+        ),
+        s AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_tokens,
+                 COUNT(DISTINCT token) AS n_distinct,
+                 CAST(SUM(length(token)) AS BIGINT) AS tok_chars,
+                 CAST(SUM(CASE WHEN token IN ({", ".join(f"'{w}'" for w in STOPWORDS)})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+                 {_SQL_LANG_SCORES}
+          FROM tok2 GROUP BY doc_id
+        )
+        SELECT doc_id, {_SQL_PRED_LANG} AS predicted_lang, n_tokens
+        FROM s
+        WHERE (n_tokens BETWEEN 20 AND 100000)
+          AND (tok_chars * 10 BETWEEN n_tokens * 20 AND n_tokens * 120)
+          AND (n_distinct * 10 >= n_tokens)
+          AND (stop_hits * 100 >= n_tokens)
+          AND {_SQL_PRED_LANG} = 'en'
+    """,
+    doc=(
+        "The COMPLETE corpus-prep chain a 100 TB training run executes: "
+        "exact dedup -> NEAR-dup removal (MinHash/LSH pairs -> connected-"
+        "component clusters, non-keepers dropped) -> Gopher-style quality "
+        "gates -> language filter. The near-dup stage reuses "
+        "dedup_duplicate_clusters wholesale; the oracle recomputes the "
+        "clusters via the recursive-CTE closure inside one statement."
+    ),
+)
+def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_prep(spark, sf_dir, near_dedup=True)
+
+
+def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     kept = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    if near_dedup:
+        from .dedup import dedup_duplicate_clusters
+
+        non_keepers = (
+            dedup_duplicate_clusters(spark, sf_dir)
+            .filter(F.col("is_keeper") == 0)
+            .select("doc_id")
+        )
+        kept = kept.join(non_keepers, "doc_id", "left_anti")
     tok = kept.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
 
     langs = sorted(LANG_MARKERS)
