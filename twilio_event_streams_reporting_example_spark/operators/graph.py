@@ -49,10 +49,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # init fuses the first propagation round: with identity labels, the
+    # min neighbor LABEL is the min neighbor ID, so one aggregation both
+    # enumerates the nodes and applies round 0 — disjoint-pair graphs
+    # (the dedup common case) then converge with zero loop rounds
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("m")).alias("label"),
+        )
     )
     for _ in range(max_iter):
         # min neighbor label per node (partial-aggregated both sides)
