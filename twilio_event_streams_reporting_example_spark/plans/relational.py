@@ -221,3 +221,49 @@ def events_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
         )
     )
+
+
+@register(
+    "events_hourly_throughput",
+    oracle="""
+        SELECT
+          CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+          event_type,
+          COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS n_users,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+            AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling-window time-series rollup (the windowed-aggregation "
+        "class Structured Streaming is built around, in its batch form): "
+        "per-hour, per-event-type throughput, distinct users, and an "
+        "exact integer value sum. Spark's window() and DuckDB's "
+        "time_bucket both align hour buckets to the epoch, so the oracle "
+        "is a strict hash match. One partial-aggregated shuffle; on the "
+        "streaming side the identical expression runs with a watermark."
+    ),
+)
+def events_hourly_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            # DECIMAL first: a double*100 cast-to-long truncates in Spark
+            # but rounds in DuckDB — decimal quantization agrees in both
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+    )
