@@ -511,6 +511,59 @@ def streaming_taskrouter_segments_wide(spark: SparkSession, sf_dir: str) -> Data
         return run_fixture_stream(spark, d, wide=True)
 
 
+_HOURLY_COLS = [
+    ("window_start", "TIMESTAMP"),
+    ("eventtype", "VARCHAR"),
+    ("n_events", "BIGINT"),
+]
+
+
+def _hourly_golden_rows() -> list[dict]:
+    """Expected watermark+window output: the fixture's CloudEvent-id-
+    deduplicated events bucketed by hour and eventtype (every fixture
+    window closes under the far-future advancer; the advancer's own
+    window does not, so it never appears)."""
+    from ..taskrouter.fixture import FIXTURE_EVENTS
+
+    seen, counts = set(), {}
+    for e in FIXTURE_EVENTS:
+        # same admission rules as parse_stream: taskrouter types only (the
+        # fixture plants a call-summary event to exercise the F1 filter)
+        if not e["type"].startswith(S.TASKROUTER_PREFIX) or e["id"] in seen:
+            continue
+        seen.add(e["id"])
+        p = e["data"]["payload"]
+        ts = dt.datetime.fromisoformat(p["timestamp"].replace("Z", ""))
+        key = (ts.replace(minute=0, second=0, microsecond=0), p["eventtype"])
+        counts[key] = counts.get(key, 0) + 1
+    return [
+        {"window_start": k[0], "eventtype": k[1], "n_events": n}
+        for k, n in sorted(counts.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    ]
+
+
+@register(
+    "streaming_hourly_event_counts",
+    bench=False,
+    oracle=golden_values_sql(_hourly_golden_rows(), _HOURLY_COLS),
+    doc=(
+        "The canonical Structured Streaming shape (the BASELINE-declared "
+        "approach): watermark + tumbling-window per-hour/per-eventtype "
+        "counts in append mode, deduplicated by CloudEvent id within the "
+        "watermark. A far-future advancer event closes every fixture "
+        "window deterministically; the golden oracle is an independent "
+        "Python rebucketing of the fixture."
+    ),
+)
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.taskrouter_stream import run_fixture_hourly_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        return run_fixture_hourly_stream(spark, d)
+
+
 @register(
     "taskrouter_report_agents",
     oracle=golden_values_sql(

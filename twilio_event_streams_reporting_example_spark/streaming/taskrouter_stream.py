@@ -452,6 +452,71 @@ def run_fixture_stream(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def hourly_event_counts_stream(events: DataFrame) -> DataFrame:
+    """Watermark + tumbling-window aggregation — the canonical Structured
+    Streaming pattern (the declared BASELINE approach), over the parsed
+    event stream: per-hour, per-eventtype counts, emitted in append mode
+    once the watermark passes each window. ``events`` must already carry
+    the watermark (``parse_stream`` output)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "eventtype")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "eventtype", "n_events"
+        )
+    )
+
+
+def run_fixture_hourly_stream(spark: SparkSession, workdir: str) -> DataFrame:
+    """Spool the fixture chronologically, then one far-future 'advancer'
+    event whose only job is to push the watermark past every fixture
+    window so append mode emits them all (its own window never closes, so
+    it is withheld — the standard closed-window determinism trick)."""
+    import os
+
+    from ..taskrouter.fixture import FIXTURE_EVENTS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    indir = os.path.join(workdir, "in_hourly")
+    ckpt = os.path.join(workdir, "ckpt_hourly")
+    os.makedirs(indir, exist_ok=True)
+    ordered = sorted(FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"])
+    chunk = max(1, (len(ordered) + 5) // 6)
+    mt = 1_700_000_000
+    for i in range(0, len(ordered), chunk):
+        path = os.path.join(indir, f"part-{i:04d}.json")
+        with open(path, "w") as f:
+            for e in ordered[i : i + chunk]:
+                f.write(json.dumps(e) + "\n")
+        os.utime(path, (mt + i, mt + i))
+    max_ts = dt.datetime.fromisoformat(
+        ordered[-1]["data"]["payload"]["timestamp"].replace("Z", "")
+    )
+    adv_ts = (max_ts + dt.timedelta(hours=2)).isoformat(timespec="milliseconds") + "Z"
+    advancer = {
+        "id": "ADVANCER-1",
+        "type": f"{S.TASKROUTER_PREFIX}watermark.advance",
+        "data": {"payload": {"eventtype": "watermark.advance", "timestamp": adv_ts}},
+    }
+    adv_path = os.path.join(indir, "part-zzzz.json")
+    with open(adv_path, "w") as f:
+        f.write(json.dumps(advancer) + "\n")
+    os.utime(adv_path, (mt + 10_000, mt + 10_000))
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(indir)
+    agg = hourly_event_counts_stream(parse_stream(raw))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tr_stream_hourly")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT * FROM tr_stream_hourly")
+
+
 # ------------------------------------------------- agents upsert sink (S7)
 
 
