@@ -117,3 +117,97 @@ def activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_seconds(F.col("next_ts")) - epoch_seconds(F.col("ts"))).alias("activity_seconds"),
         F.col("next_ts").isNull().alias("in_progress"),
     )
+
+
+# ----------------------------------------------- skew-hardened window lead
+
+SALT_BUCKET_SECONDS = 6 * 3600  # time-salt width for hot-key windows
+
+
+def lead_ts_salted(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    bucket_seconds: int = SALT_BUCKET_SECONDS,
+) -> DataFrame:
+    """``lead(ts) over (partition by key order by ts, tiebreak)`` without
+    ever materializing one window partition per key — the salt-and-merge
+    hardening for hot keys (a single user/task with millions of events
+    would otherwise sort in ONE task; AQE skew handling does not split
+    window exchanges).
+
+    Two-phase plan:
+      1. intra-bucket: the same lead, partitioned by (key, time-bucket) —
+         partition size is bounded by events-per-key-per-bucket, so a hot
+         key spreads across buckets instead of one giant sort;
+      2. boundary merge: per (key, bucket) take the first (ts, tiebreak)
+         event — a partial-aggregated min-struct — then a per-key lead
+         over BUCKETS (≤ a few thousand rows per key, bounded by the time
+         span, not the event count) supplies the next-bucket-first
+         timestamp that closes each bucket's last row.
+
+    Equivalent to the global window for every row: ties share a bucket
+    (same ts → same bucket), and lead over non-empty buckets skips empty
+    ones exactly like the row-level lead does. Adds ``next_ts``.
+    """
+    b = F.floor(epoch_seconds(F.col(ts)) / bucket_seconds)
+    salted = df.withColumn("_tb", b)
+    w_in = W.partitionBy(key, "_tb").orderBy(F.col(ts), F.col(tiebreak))
+    intra = salted.withColumn("_next_intra", F.lead(ts).over(w_in))
+    firsts = (
+        salted.groupBy(key, "_tb")
+        .agg(F.min(F.struct(F.col(ts), F.col(tiebreak))).alias("_s"))
+        .select(key, "_tb", F.col(f"_s.{ts}").alias("_bucket_first_ts"))
+    )
+    w_b = W.partitionBy(key).orderBy("_tb")
+    boundaries = firsts.withColumn(
+        "_next_bucket_ts", F.lead("_bucket_first_ts").over(w_b)
+    ).select(key, "_tb", "_next_bucket_ts")
+    return (
+        intra.join(boundaries, [key, "_tb"], "left")
+        .withColumn("next_ts", F.coalesce("_next_intra", "_next_bucket_ts"))
+        .drop("_tb", "_next_intra", "_next_bucket_ts")
+    )
+
+
+@register(
+    "activity_intervals_salted",
+    oracle="""
+        SELECT
+          user_id,
+          event_type AS activity,
+          date_trunc('second', ts) AS started_at,
+          date_trunc('second', next_ts) AS ended_at,
+          CAST(epoch(date_trunc('second', next_ts)) AS BIGINT)
+            - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS activity_seconds,
+          (next_ts IS NULL) AS in_progress
+        FROM (
+          SELECT *,
+            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events
+          WHERE event_type IN ('view', 'click', 'error')
+        )
+    """,
+    doc=(
+        "activity_intervals through the salt-and-merge window (hot-key "
+        "hardening): the per-key lead is computed per (key, 6h-bucket) "
+        "with a tiny per-key bucket-boundary merge, so no single window "
+        "partition ever holds a whole hot key. Same oracle as "
+        "activity_intervals — the salted plan must be bit-identical to "
+        "the global window."
+    ),
+)
+def activity_intervals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "click", "error")
+    )
+    out = lead_ts_salted(ev, key="user_id", ts="ts", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("activity"),
+        F.date_trunc("second", "ts").alias("started_at"),
+        F.date_trunc("second", "next_ts").alias("ended_at"),
+        (epoch_seconds(F.col("next_ts")) - epoch_seconds(F.col("ts"))).alias("activity_seconds"),
+        F.col("next_ts").isNull().alias("in_progress"),
+    )

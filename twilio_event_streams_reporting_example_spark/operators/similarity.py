@@ -574,3 +574,212 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+# ------------------------------------------------- IVF + k-means refinement
+
+IVF_KMEANS_ITERS = 2  # Lloyd rounds refining the deterministic init
+
+
+def _scored_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, v, nrm, centroid_id, cscore) for every (vector, centroid)."""
+    cell_score = rounded(
+        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
+    ).alias("cscore")
+    return emb.crossJoin(F.broadcast(cent)).select(
+        "id", "v", "nrm", "centroid_id", cell_score
+    )
+
+
+def _nearest_cell(scored: DataFrame) -> DataFrame:
+    """(id, centroid_id): hard argmax assignment, map-side combined."""
+    return scored.groupBy("id").agg(
+        F.max_by("centroid_id", F.struct(F.col("cscore"), -F.col("centroid_id"))).alias(
+            "centroid_id"
+        )
+    )
+
+
+def kmeans_refine(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
+    """Lloyd's algorithm as DataFrame ops: assign → per-dimension mean →
+    re-assemble, ``iters`` times. Every iteration is one broadcast
+    assignment (no shuffle of the corpus) plus one partial-aggregated
+    groupBy on (cell, dimension) — the canonical scalable k-means shape;
+    at 100 TB the only wide exchange is DIM rows per cell.
+
+    Determinism: assignment argmax breaks ties on the rounded score then
+    lowest centroid_id; per-dimension means are rounded to SCORE_DP so
+    both engines quantize identically. Cells that lose every member keep
+    their previous centroid (standard empty-cell handling).
+    """
+    train = emb.filter(F.col("id") >= N_QUERIES)  # queries never train the index
+    for _ in range(iters):
+        assign = _nearest_cell(_scored_cells(train, cent))
+        means = (
+            assign.join(train.select("id", "v"), "id")
+            .select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), SCORE_DP).alias("mval"))
+        )
+        refit = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("s"))
+            .select(
+                "centroid_id",
+                F.transform("s", lambda x: x["mval"]).alias("ncv"),
+            )
+        )
+        cent = (
+            cent.join(refit, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("ncv", "cv").alias("cv"),
+            )
+            .withColumn("cnrm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        )
+    return cent
+
+
+def _kmeans_sql_ctes(iters: int) -> str:
+    """DuckDB CTE chain unrolling ``iters`` Lloyd rounds from cent0 to
+    cent{iters}; expects an ``e(vec_id, v)`` CTE upstream."""
+    parts = [
+        f"""cent0 AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}
+        )"""
+    ]
+    for i in range(iters):
+        parts.append(f"""sc{i} AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                       {SCORE_DP}) AS cscore
+          FROM e CROSS JOIN cent{i} c
+          WHERE e.vec_id >= {N_QUERIES}
+        ),
+        a{i} AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, centroid_id) AS rn
+            FROM sc{i}
+          ) WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT a.centroid_id, r.range AS pos,
+                 round(avg(e.v[r.range + 1]), {SCORE_DP}) AS mval
+          FROM a{i} a JOIN e ON e.vec_id = a.vec_id CROSS JOIN range({DIM}) r
+          GROUP BY a.centroid_id, r.range
+        ),
+        refit{i} AS (
+          SELECT centroid_id, list(mval ORDER BY pos) AS cv FROM m{i} GROUP BY centroid_id
+        ),
+        cent{i + 1} AS (
+          SELECT c.centroid_id, COALESCE(n.cv, c.cv) AS cv
+          FROM cent{i} c LEFT JOIN refit{i} n USING (centroid_id)
+        )""")
+    return ",\n        ".join(parts)
+
+
+_KM = f"cent{IVF_KMEANS_ITERS}"
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {_kmeans_sql_ctes(IVF_KMEANS_ITERS)},
+        fsc AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                       {SCORE_DP}) AS cscore
+          FROM e CROSS JOIN {_KM} c
+        ),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, centroid_id) AS rn
+            FROM fsc WHERE vec_id >= {N_QUERIES}
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, centroid_id) AS pr
+            FROM fsc WHERE vec_id < {N_QUERIES}
+          ) WHERE pr <= {IVF_NPROBE}
+        )
+        SELECT query_id, neighbor_id, score, rk FROM (
+          SELECT p.query_id,
+                 a.vec_id AS neighbor_id,
+                 {_COSINE_SQL} AS score,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                    ORDER BY {_COSINE_SQL} DESC, a.vec_id) AS rk
+          FROM probes p
+          JOIN assign a ON a.centroid_id = p.centroid_id
+          JOIN e q ON q.vec_id = p.query_id
+          JOIN e c ON c.vec_id = a.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        "IVF with a TRAINED index: the deterministic seed centroids are "
+        f"refined by {IVF_KMEANS_ITERS} Lloyd iterations (assign to "
+        "nearest cell → per-dimension mean → refit) before the nprobe "
+        "search — the standard IVF training step (Lloyd 1982; IVF-flat as "
+        "in FAISS). Every iteration is a broadcast argmax plus one "
+        "(cell × dimension)-keyed partial aggregation — at 100 TB the "
+        "shuffle carries only n_cells × dim rows per round, never the "
+        "corpus. The oracle unrolls the identical iterations as DuckDB "
+        "CTEs; means and scores quantize to 9dp on both engines, so "
+        "assignment flips cannot drift."
+    ),
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(
+        load_table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    cent0 = emb.filter(F.col("id") < IVF_CENTROIDS).select(
+        F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cent = kmeans_refine(emb, cent0, IVF_KMEANS_ITERS)
+    scored_cells = _scored_cells(emb, cent)
+
+    assign = _nearest_cell(scored_cells.filter(F.col("id") >= N_QUERIES))
+    cand = assign.join(emb.select("id", "v", "nrm"), "id").select(
+        F.col("id").alias("neighbor_id"),
+        "centroid_id",
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn2"),
+    )
+
+    pw = W.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+    probes = (
+        scored_cells.filter(F.col("id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select(
+            F.col("id").alias("query_id"),
+            "centroid_id",
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+
+    rescored = probes.join(cand, "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        rounded(cosine(F.col("qv"), F.col("cv2"), F.col("qn"), F.col("cn2"))).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
