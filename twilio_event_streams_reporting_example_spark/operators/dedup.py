@@ -193,7 +193,11 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delivery double-inserts. This is the dropDuplicates(['event_id']) "
         "summary — n_duplicate_deliveries is the number of rows dedup would "
         "drop; n_unique_payloads additionally catches redelivery under a "
-        "fresh id. Two partial-aggregated counts, one shuffle."
+        "fresh id. Plan note: TWO independent distinct counts in one agg "
+        "would Expand every row ×3 through the shuffle; instead each "
+        "distinct is its own partial-aggregated pipeline (groupBy key → "
+        "count) and the two 1-row results cross-join — half the shuffled "
+        "bytes, no Expand."
     ),
 )
 def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,11 +213,23 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props",
         )
     )
-    return ev.agg(
-        F.count(F.lit(1)).alias("n_deliveries"),
-        F.countDistinct("event_id").alias("n_unique_events"),
-        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_duplicate_deliveries"),
-        F.countDistinct(payload_hash).alias("n_unique_payloads"),
+    by_id = (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_deliveries"),
+            F.count(F.lit(1)).alias("n_unique_events"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_duplicate_deliveries"),
+        )
+    )
+    by_payload = (
+        ev.select(payload_hash.alias("ph"))
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_unique_payloads"))
+    )
+    return by_id.crossJoin(by_payload).select(
+        "n_deliveries", "n_unique_events", "n_duplicate_deliveries", "n_unique_payloads"
     )
 
 
