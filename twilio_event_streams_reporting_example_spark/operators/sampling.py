@@ -1,0 +1,109 @@
+"""Deterministic sampling / dataset-split operators (north star).
+
+A training-data pipeline needs reproducible corpus partitioning:
+train/val/test splits and down-samples that (a) never move a document
+between splits when the corpus is re-processed, (b) need no coordination
+or RNG state, and (c) evaluate map-side at scan speed. The standard
+trick is a content-keyed hash bucket: ``md5(doc_id) % 100`` — a pure
+per-row expression, so Catalyst pushes it into the scan, nothing
+shuffles, and adding/removing documents never reassigns the rest (the
+property random split columns lose).
+
+Both engines compute the identical bucket (md5 hex → int), so the
+split is oracle-checkable bit-for-bit. At 100 TB swap the 4-hex-digit
+prefix for ``xxhash64`` — same plan, cheaper hash (kept md5 here
+because DuckDB and Spark share it literally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # remainder is test
+
+
+def split_bucket(key: Column) -> Column:
+    """Stable bucket in [0, 100): int(md5(key)[:4], 16) % 100."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    )
+
+
+def split_label(bucket: Column) -> Column:
+    return (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SQL_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100"
+)
+_SQL_SPLIT = f"""CASE
+      WHEN {_SQL_BUCKET} < {TRAIN_PCT} THEN 'train'
+      WHEN {_SQL_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+      ELSE 'test' END"""
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST({_SQL_BUCKET} AS BIGINT) AS split_bucket,
+               {_SQL_SPLIT} AS split
+        FROM documents
+    """,
+    doc=(
+        "Deterministic train/val/test assignment (80/10/10) via content-"
+        "keyed hash bucketing — a pure projection: no shuffle, no RNG, "
+        "stable under corpus growth. The property a random split column "
+        "cannot give: re-running the pipeline, or adding documents, never "
+        "moves an existing document across splits."
+    ),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    b = split_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        b.alias("split_bucket"),
+        split_label(b).alias("split"),
+    )
+
+
+@register(
+    "dataset_split_stratified",
+    oracle=f"""
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+          SELECT lang, n_chars, {_SQL_SPLIT} AS split FROM documents
+        )
+        GROUP BY lang, split
+    """,
+    doc=(
+        "Split-balance audit: per (lang, split) document and character "
+        "counts — the check that hash bucketing is unbiased across strata. "
+        "One partial-aggregated shuffle over (lang, split); the bucket "
+        "expression stays in the scan stage."
+    ),
+)
+def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "lang", "n_chars", split_label(split_bucket(F.col("doc_id"))).alias("split")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

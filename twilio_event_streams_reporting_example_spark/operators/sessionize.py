@@ -119,6 +119,64 @@ def activity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_builtin",
+    oracle="""
+        SELECT
+          user_id,
+          date_trunc('second', MIN(ts)) AS session_start,
+          date_trunc('second', MAX(ts)) AS session_end,
+          CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
+            - CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_seconds,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM (
+          SELECT *,
+            CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_idx
+          FROM (
+            SELECT *,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                - CAST(epoch(date_trunc('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+            FROM events
+          )
+        )
+        GROUP BY user_id, session_idx
+    """,
+    doc=(
+        "The same 30-min gap sessions through Spark's NATIVE session_window "
+        "operator (one merging-aggregation instead of window + running "
+        "sum — and the formulation that transfers 1:1 to Structured "
+        "Streaming's merging session state). Timestamps are second-"
+        "truncated first; Spark's session_window merges INCLUSIVELY at "
+        "the gap boundary (diff == gap merges, verified by probe), so a "
+        "1800s gap equals the hand-rolled '<=1800s whole-second' rule; "
+        "the oracle is the lag/running-sum derivation — two independent "
+        "formulations, one hash."
+    ),
+)
+def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "tts", F.date_trunc("second", "ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tts", "1800 seconds"))
+        .agg(
+            F.min("tts").alias("session_start"),
+            F.max("tts").alias("session_end"),
+            (epoch_seconds(F.max("tts")) - epoch_seconds(F.min("tts"))).alias(
+                "duration_seconds"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .drop("session_window")
+    )
+
+
 # ----------------------------------------------- skew-hardened window lead
 
 SALT_BUCKET_SECONDS = 6 * 3600  # time-salt width for hot-key windows

@@ -378,3 +378,71 @@ def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFram
         .filter(gates & (F.col("predicted_lang") == "en"))
         .select("doc_id", "predicted_lang", "n_tokens")
     )
+
+
+# ------------------------------------------------------------- 5. TF-IDF
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "doc_tfidf_topterms",
+    oracle=f"""
+        WITH {_SQL_TOK_CTE},
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+        ),
+        corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        scored AS (
+          SELECT t.doc_id, t.token, t.tf,
+                 round(t.tf * (round(ln((c.n_docs + 1.0) / (d.df + 1.0)), 9) + 1.0), 9)
+                   AS tfidf
+          FROM tf t JOIN dfreq d USING (token) CROSS JOIN corpus c
+        )
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rk
+          FROM scored
+        ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc=(
+        "TF-IDF top-5 terms per document — the classic IR weighting as "
+        "three partial-aggregated shuffles: (doc, term) term frequency, "
+        "per-term document frequency, smoothed idf = ln((N+1)/(df+1)) + 1 "
+        "(sklearn's smooth_idf), and a per-doc top-k window. N arrives by "
+        "broadcasting a 1-row count — no driver round-trip. Scores round "
+        "to 9dp in both engines so ln() ulp drift cannot flip ranks; ties "
+        "break on the term. At 100 TB the df join is term-keyed and "
+        "stopword-skewed — the same broadcast DF-cap used in the shingle "
+        "blocking applies."
+    ),
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 9
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 9).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )

@@ -240,6 +240,47 @@ def taskrouter_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "taskrouter_agent_activity_report",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
+        SELECT agent_uuid, activity, strftime(date, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_intervals,
+               CAST(SUM(COALESCE(activity_time, 0)) AS BIGINT) AS total_activity_seconds,
+               CAST(SUM(CASE WHEN activity_time IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_progress
+        FROM seg
+        WHERE segment_kind IN ('{S.AGENT_STATUS}', '{S.AGENT_STATUS_IN_PROGRESS}')
+        GROUP BY agent_uuid, activity, strftime(date, '%Y-%m-%d')
+    """,
+    doc=(
+        "Agent-utilization report: per (agent, activity, day) interval "
+        "counts and summed activity seconds over the AGENT STATUS "
+        "segments — the occupancy rollup Flex Insights derives from the "
+        "activity intervals; open (IN PROGRESS) intervals are counted "
+        "but contribute zero seconds. One partial-aggregated shuffle "
+        "over the date-prunable fact."
+    ),
+)
+def taskrouter_agent_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .taskrouter import taskrouter_segments_df
+
+    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    return (
+        seg.filter(
+            F.col("segment_kind").isin(S.AGENT_STATUS, S.AGENT_STATUS_IN_PROGRESS)
+        )
+        .groupBy("agent_uuid", "activity", F.date_format("date", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.coalesce("activity_time", F.lit(0))).alias("total_activity_seconds"),
+            F.sum(
+                F.when(F.col("activity_time").isNull(), 1).otherwise(0)
+            ).alias("n_in_progress"),
+        )
+    )
+
+
+@register(
     "taskrouter_queue_percentiles",
     oracle=f"""
         WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
