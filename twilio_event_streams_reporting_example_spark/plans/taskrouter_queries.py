@@ -53,6 +53,39 @@ def _sim():
     return run_fixture_sim()
 
 
+# ------------------------------------------------- materialized fact store
+
+# The report layer queries a MATERIALIZED fact, not the ingest pipeline:
+# at 100 TB the segments fact is built once (batch recompute or the
+# streaming sink) and every report/KPI/lookup reads the stored table —
+# rebuilding ingest+correlation per dashboard query would be absurd.
+# Locally the same contract is one localCheckpoint per SparkSession
+# (keyed by applicationId so a fresh session rebuilds): the checkpoint
+# truncates lineage exactly like reading the parquet the sink wrote
+# (sources/sinks.py::write_segments), without a tempdir per query.
+_FACT_CACHE: dict[str, DataFrame] = {}
+
+
+def _materialized(spark: SparkSession, what: str) -> DataFrame:
+    from .taskrouter import taskrouter_agents_df, taskrouter_segments_df
+
+    key = f"{spark.sparkContext.applicationId}/{what}"
+    df = _FACT_CACHE.get(key)
+    if df is None:
+        build = taskrouter_segments_df if what == "segments" else taskrouter_agents_df
+        df = build(spark, fixture_df(spark)).localCheckpoint(eager=True)
+        _FACT_CACHE[key] = df
+    return df
+
+
+def materialized_segments(spark: SparkSession) -> DataFrame:
+    return _materialized(spark, "segments")
+
+
+def materialized_agents(spark: SparkSession) -> DataFrame:
+    return _materialized(spark, "agents")
+
+
 # ------------------------------------------------------------- fact table
 
 
@@ -139,9 +172,7 @@ def _report_conversations_df(spark: SparkSession) -> DataFrame:
     date/time formatting. The reference formats per LOCALE/TIMEZONE env;
     the engine standardizes on ISO formats in the UTC session timezone —
     a documented presentation choice, not a semantic one."""
-    from .taskrouter import taskrouter_segments_df
-
-    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    seg = materialized_segments(spark)
     return seg.select(
         F.substring("conversation_id", 1, 10).alias("conversation_id_short"),
         "segment_kind",
@@ -228,9 +259,7 @@ _REPORT_AGENT_COLS = [
     ),
 )
 def taskrouter_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .taskrouter import taskrouter_segments_df
-
-    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    seg = materialized_segments(spark)
     return seg.rollup("channel", "direction").agg(
         F.grouping("channel").cast("long").alias("g_channel"),
         F.grouping("direction").cast("long").alias("g_direction"),
@@ -262,9 +291,7 @@ def taskrouter_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def taskrouter_agent_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .taskrouter import taskrouter_segments_df
-
-    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    seg = materialized_segments(spark)
     return (
         seg.filter(
             F.col("segment_kind").isin(S.AGENT_STATUS, S.AGENT_STATUS_IN_PROGRESS)
@@ -306,9 +333,7 @@ def taskrouter_agent_activity_report(spark: SparkSession, sf_dir: str) -> DataFr
     ),
 )
 def taskrouter_queue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .taskrouter import taskrouter_segments_df
-
-    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    seg = materialized_segments(spark)
     qt = F.col("queue_time").cast("double")
     tt = F.col("talk_time").cast("double")
     return (
@@ -441,9 +466,7 @@ def taskrouter_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def taskrouter_queue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .taskrouter import taskrouter_segments_df
-
-    seg = taskrouter_segments_df(spark, fixture_df(spark))
+    seg = materialized_segments(spark)
     return seg.groupBy("queue", "segment_kind").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("queue_time").alias("sum_queue_time"),
@@ -632,9 +655,7 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="O2 report surface: the agents table as the report renders it.",
 )
 def taskrouter_report_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .taskrouter import taskrouter_agents_df
-
-    ag = taskrouter_agents_df(spark, fixture_df(spark))
+    ag = materialized_agents(spark)
     return ag.select(
         "agent_id",
         F.date_format("date_joined", "yyyy-MM-dd HH:mm:ss").alias("joined"),
