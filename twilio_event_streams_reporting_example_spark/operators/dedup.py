@@ -116,6 +116,12 @@ def _shingles(
         # partition — exactly the skew this cap defends against. The hot set
         # is tiny by construction (only shingles with DF > cap) → broadcast
         # anti-join, no shuffle of the shingle rows at all.
+        #
+        # The cap reads sh twice (hot-set aggregate, then the anti-join
+        # probe side); persist it or the explode+window+distinct pipeline
+        # runs twice — on a cluster this is the standard
+        # stage-reuse persist before a two-pass algorithm.
+        sh = sh.persist()
         hot = (
             sh.groupBy("shingle_hash")
             .agg(F.count(F.lit(1)).alias("sh_df"))

@@ -7,9 +7,11 @@ graph machinery at all (it is a row-at-a-time event app); this is the
 north-star operator that turns any of the pair generators (MinHash/LSH,
 SimHash, Jaccard) into deletable duplicate sets.
 
-Algorithm: hash-min label propagation — every node starts labeled with
-itself; each round a node takes the minimum label among itself and its
-neighbors; fixpoint = components labeled by their minimum node.
+Algorithm: hash-min label propagation with pointer jumping — every node
+starts labeled with itself; each round a node takes the minimum label
+among itself, its neighbors, and its label's label (the pointer-jump
+shortcut that halves remaining chain distance per round); fixpoint =
+components labeled by their minimum node in O(log diameter) rounds.
 
 Scale design (100 TB):
   - Near-dup graphs are overwhelmingly tiny cliques/chains (pairs of
@@ -75,8 +77,32 @@ def connected_components(
                 "node",
                 "label",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
+                    "mid_label"
                 ),
+            )
+            # materialize BEFORE the self-join below: both sides of the
+            # jump read this table, and un-checkpointed it would recompute
+            # the neighbor join twice per round
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: shortcut each label to its label's label
+        # (label values are node ids of the same component, so the self-
+        # join always resolves). Neighbor propagation alone needs a round
+        # per hop of remaining diameter; adding the label-of-label hop
+        # halves the remaining distance every round → O(log diameter)
+        # rounds on chain-shaped near-dup graphs, at the cost of one
+        # extra equi-join on the (small) label table.
+        jump = stepped.select(
+            F.col("node").alias("jn"), F.col("mid_label").alias("jl")
+        )
+        stepped = (
+            stepped.join(jump, stepped["mid_label"] == jump["jn"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("mid_label"), F.coalesce("jl", "mid_label")
+                ).alias("new_label"),
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
