@@ -117,3 +117,14 @@ def test_incremental_scoping_joins_broadcast(spark):
         plan = scoped._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "LeftSemi" in plan
+
+
+def test_bucketed_join_single_exchange(spark, sf_dir):
+    """The bucketed orders⋈lineitem layout makes the sort-merge join
+    exchange-free: the ONLY exchange in the whole plan is the final
+    5-row priority rollup. A second exchange would mean the bucketed
+    scan no longer satisfies the join's hash-distribution requirement
+    (e.g. mismatched bucket counts or a dropped sortBy)."""
+    plan = _plan(spark, "bucketed_orders_lineitem_join", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan

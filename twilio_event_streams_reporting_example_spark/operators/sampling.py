@@ -107,3 +107,48 @@ def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------- stratified downsample
+
+DOWNSAMPLE_K = 40  # keep at most K docs per stratum (lang)
+_DS_SALT = ":ds1"  # content-hash salt → order independent of split_bucket
+
+
+@register(
+    "stratified_downsample",
+    oracle=f"""
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+        FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_DS_SALT}'), doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= {DOWNSAMPLE_K}
+    """,
+    doc=(
+        "Deterministic per-stratum downsample: keep at most K documents "
+        "per language, chosen by content-hash order (md5(doc_id||salt)) — "
+        "the domain-balancing cap a pretraining mix applies, reproducible "
+        "across runs with no RNG state. The hash order is uniform, so the "
+        "kept set is an unbiased sample; the salt decorrelates it from "
+        "the train/val/test bucketing above. At 100 TB the per-stratum "
+        "window is the skew risk (few strata, one partition each): the "
+        "scale path is partial top-K per input partition first (each "
+        "partition keeps its K smallest hashes, the final window merges "
+        "n_partitions*K rows), same two-phase shape as knn_topk_partial."
+    ),
+)
+def stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hkey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_DS_SALT)))
+    w = W.partitionBy("lang").orderBy(hkey, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= DOWNSAMPLE_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )

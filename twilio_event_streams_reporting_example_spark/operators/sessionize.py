@@ -177,6 +177,57 @@ def sessionize_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONS_ORACLE = """
+        SELECT
+          user_id,
+          date_trunc('second', MIN(ts)) AS session_start,
+          date_trunc('second', MAX(ts)) AS session_end,
+          CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT)
+            - CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_seconds,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM (
+          SELECT *,
+            CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_idx
+          FROM (
+            SELECT *,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                - CAST(epoch(date_trunc('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+            FROM events
+          )
+        )
+        GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "streaming_user_sessions",
+    bench=False,
+    oracle=_SESSIONS_ORACLE,
+    doc=(
+        "The 30-min sessions as a STREAMING query: the same session_window "
+        "merging aggregation run under Structured Streaming (watermark + "
+        "append mode, per-user merging session state, rows emitted once "
+        "when the watermark closes them — a far-future advancer closes "
+        "every real session deterministically). Same oracle as the batch "
+        "sessionize_builtin: streaming/batch parity IS the claim."
+    ),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.sessions import run_events_session_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        return run_events_session_stream(spark, d, sf_dir).localCheckpoint(
+            eager=True
+        )
+
+
 # ----------------------------------------------- skew-hardened window lead
 
 SALT_BUCKET_SECONDS = 6 * 3600  # time-salt width for hot-key windows

@@ -446,3 +446,201 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "token", "tf", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ------------------------------------------------- 6. repetition analysis
+
+# Gopher-style repetition gates (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1): a document dominated by one token or
+# one bigram is boilerplate/spam, not prose. Integer-math thresholds:
+# most-common token <= 10% of tokens, most-common bigram <= 18%.
+REP_TOKEN_PCT = 10
+REP_BIGRAM_PCT = 18
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+        WITH {_SQL_TOK_POS_CTE},
+        tcnt AS (
+          SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        ),
+        tstats AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct_tokens,
+                 CAST(MAX(c) AS BIGINT) AS top_token_n
+          FROM tcnt GROUP BY doc_id
+        ),
+        big AS (
+          SELECT doc_id,
+                 token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bigram
+          FROM tok
+        ),
+        bcnt AS (
+          SELECT doc_id, bigram, COUNT(*) AS c
+          FROM big WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+        ),
+        bstats AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 CAST(MAX(c) AS BIGINT) AS top_bigram_n
+          FROM bcnt GROUP BY doc_id
+        )
+        SELECT
+          t.doc_id,
+          t.n_tokens,
+          t.n_distinct_tokens,
+          t.top_token_n,
+          round(CAST(t.top_token_n AS DOUBLE) / t.n_tokens, 9) AS top_token_frac,
+          COALESCE(b.n_bigrams, 0) AS n_bigrams,
+          COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+          round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 9) AS top_bigram_frac,
+          round(CAST(t.n_tokens - t.n_distinct_tokens AS DOUBLE) / t.n_tokens, 9)
+            AS dup_token_frac,
+          (t.top_token_n * 100 <= t.n_tokens * {REP_TOKEN_PCT}) AS rep_token_ok,
+          (COALESCE(b.top_bigram_n, 0) * 100 <= COALESCE(b.n_bigrams, 0) * {REP_BIGRAM_PCT})
+            AS rep_bigram_ok
+        FROM tstats t LEFT JOIN bstats b USING (doc_id)
+    """,
+    doc=(
+        "Gopher-style repetition gates: most-common-token and most-common-"
+        "bigram fractions plus duplicate-token fraction per document — the "
+        "boilerplate/spam filter a pretraining pipeline runs after the "
+        "length/diversity gates. Counting is two partial-aggregated "
+        "shuffles on (doc, gram); the bigram build is the same posexplode"
+        "+lead window the shingler uses. Gate comparisons are pure integer "
+        "math (exact); reported fractions round to 9dp in both engines."
+    ),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    tcnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tstats = tcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_token_n"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    bcnt = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+    )
+    return tstats.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_n",
+        F.round(F.col("top_token_n").cast("double") / F.col("n_tokens"), 9).alias(
+            "top_token_frac"
+        ),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.round(
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), 9
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+            / F.col("n_tokens"),
+            9,
+        ).alias("dup_token_frac"),
+        (F.col("top_token_n") * 100 <= F.col("n_tokens") * REP_TOKEN_PCT).alias(
+            "rep_token_ok"
+        ),
+        (
+            F.coalesce("top_bigram_n", F.lit(0)) * 100
+            <= F.coalesce("n_bigrams", F.lit(0)) * REP_BIGRAM_PCT
+        ).alias("rep_bigram_ok"),
+    )
+
+
+# ------------------------------------------------------- 7. PII scrubbing
+
+# Patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded/unbounded repeats.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9\-]{6,}[0-9]"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        WITH planted AS (
+          SELECT doc_id,
+            text || CASE
+              WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                       || '@example.com for details'
+              WHEN doc_id % 7 = 3 THEN ' call +1-555-'
+                                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                       || ' today'
+              ELSE ''
+            END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash,
+               CAST(length(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                          '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+                 AS scrubbed_len
+        FROM planted
+    """,
+    doc=(
+        "PII scrubbing (training-data redaction): email and phone "
+        "patterns detected with regexp_count and masked with "
+        "regexp_replace — pure JVM expression work that rides the scan "
+        "(no shuffle at all; at 100 TB this runs at read throughput). "
+        "The synthetic corpus contains no PII-shaped strings (verified: "
+        "zero digits/@/+ in text), so the query deterministically PLANTS "
+        "addresses/numbers on a doc_id schedule first; both engines "
+        "plant, count, and scrub identically — the md5 of the scrubbed "
+        "text is the cross-engine witness that masking is byte-exact."
+    ),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
