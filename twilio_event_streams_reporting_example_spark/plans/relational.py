@@ -267,3 +267,88 @@ def events_hourly_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+@register(
+    "events_type_day_cube",
+    oracle="""
+        SELECT
+          event_type,
+          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+          CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT) AS g_day,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST((CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT)
+            AS value_cents
+        FROM events
+        GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+    doc=(
+        "CUBE over (event_type, day) with GROUPING flags — all four "
+        "grouping sets (detail, per-type, per-day, grand total) in ONE "
+        "partial-aggregated shuffle via Spark's Expand: each input row "
+        "fans out to the 4 set shapes map-side and combines before the "
+        "exchange, so the cube costs one pass over the fact regardless "
+        "of how many subtotal levels the report wants — the multi-level "
+        "report pattern the rollup query introduced, completed."
+    ),
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return ev.cube("event_type", "day").agg(
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("day").cast("long").alias("g_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    ).select("event_type", "day", "g_type", "g_day", "n_events", "value_cents")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_user_type",
+    oracle=f"""
+        SELECT user_id,
+          {", ".join(
+            f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+            for t in _EVENT_TYPES
+          )},
+          {", ".join(
+            "CAST(SUM(CAST((CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) "
+            f"FILTER (WHERE event_type = '{t}') AS BIGINT) AS cents_{t}"
+            for t in _EVENT_TYPES
+          )}
+        FROM events
+        GROUP BY user_id
+    """,
+    doc=(
+        "PIVOT: one row per user, event types spread into columns (count "
+        "+ value cents per type) — the long→wide report reshape. The "
+        "pivot values are DECLARED (the five known types), so Spark "
+        "compiles it to a single partial-aggregated shuffle of "
+        "conditional aggregates — identical plan shape to the oracle's "
+        "FILTER clauses; an undeclared pivot would need an extra "
+        "distinct-values job first (never do that on a 100 TB fact)."
+    ),
+)
+def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        *[F.col(f"{t}_cents").alias(f"cents_{t}") for t in _EVENT_TYPES],
+    )

@@ -668,3 +668,60 @@ def taskrouter_report_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "manager",
         "state",
     )
+
+
+@register(
+    "taskrouter_segments_enriched",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)}),
+        ag AS ({golden_values_sql(_sim().agent_rows(), S.AGENT_COLUMNS)})
+        SELECT
+          seg.conversation_id,
+          seg.segment_kind,
+          seg.reservation_sid,
+          seg.agent_uuid,
+          seg.queue_time,
+          seg.talk_time,
+          ag.email AS agent_email,
+          ag.role AS agent_role,
+          ag.team_name AS agent_team,
+          ag.manager AS agent_manager
+        FROM seg LEFT JOIN ag ON seg.agent_uuid = ag.agent_uuid
+    """,
+    doc=(
+        "Star-schema enrichment: the segments FACT left-joined to the "
+        "agents DIMENSION on agent_uuid — the report join every Flex "
+        "Insights view runs. The dimension is explicitly broadcast "
+        "(agents is always the small side: thousands of rows vs billions "
+        "of segments), so the fact NEVER shuffles for this join — the "
+        "plan is scan→BroadcastHashJoin, the only correct shape at "
+        "100 TB. Both inputs come from the materialized store."
+    ),
+)
+def taskrouter_segments_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = materialized_segments(spark)
+    ag = materialized_agents(spark)
+    dim = F.broadcast(
+        ag.select(
+            F.col("agent_uuid").alias("dim_agent_uuid"),
+            F.col("email").alias("agent_email"),
+            F.col("role").alias("agent_role"),
+            F.col("team_name").alias("agent_team"),
+            F.col("manager").alias("agent_manager"),
+        )
+    )
+    return (
+        seg.join(dim, seg["agent_uuid"] == dim["dim_agent_uuid"], "left")
+        .select(
+            "conversation_id",
+            "segment_kind",
+            "reservation_sid",
+            "agent_uuid",
+            "queue_time",
+            "talk_time",
+            "agent_email",
+            "agent_role",
+            "agent_team",
+            "agent_manager",
+        )
+    )

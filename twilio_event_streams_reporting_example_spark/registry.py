@@ -81,6 +81,7 @@ def _load_all() -> None:
     from .operators import textstats  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import sampling  # noqa: F401
+    from .operators import vectorized  # noqa: F401
     from .sources import bucketing  # noqa: F401
     from .plans import taskrouter_queries  # noqa: F401
 
