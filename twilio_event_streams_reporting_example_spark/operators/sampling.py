@@ -152,3 +152,107 @@ def stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= DOWNSAMPLE_K)
         .select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
     )
+
+
+# ------------------------------------------------------ context chunking
+
+CHUNK_TOKENS = 64  # context-window size in tokens
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+        WITH n AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t <> '')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, CAST(ceil(CAST(n_tokens AS DOUBLE)
+                                              / {CHUNK_TOKENS}) AS BIGINT))) AS BIGINT)
+                 AS chunk_idx,
+               n_tokens
+        FROM n WHERE n_tokens > 0
+    """,
+    doc=(
+        "Context-window chunking: each document becomes "
+        "ceil(n_tokens/{k}) chunk rows (doc_id, chunk_idx) — the "
+        "sequence-slicing step before packing a pretraining batch. "
+        "Pure per-row math + one explode: no shuffle, output size known "
+        "from the scan. The chunk token ranges are chunk_idx*{k} .. "
+        "min((chunk_idx+1)*{k}, n_tokens) by construction; downstream "
+        "slicing composes with F.slice on the token array."
+    ).replace("{k}", str(CHUNK_TOKENS)),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    n_chunks = F.ceil(n_tok.cast("double") / CHUNK_TOKENS).cast("long")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"), n_chunks.alias("nc"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+                "chunk_idx"
+            ),
+            "n_tokens",
+        )
+    )
+
+
+# ------------------------------------------- train/test contamination
+
+
+def _contam_oracle() -> str:
+    # assembled in a function so the heavyweight CTE import stays local
+    from .dedup import _sql_cluster_ctes
+
+    return f"""
+        WITH RECURSIVE {_sql_cluster_ctes()},
+        splits AS (
+          SELECT doc_id, {_SQL_SPLIT} AS split FROM documents
+        )
+        SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+        FROM mh_pairs p
+        JOIN splits sa ON p.doc_a = sa.doc_id
+        JOIN splits sb ON p.doc_b = sb.doc_id
+        WHERE sa.split <> sb.split
+    """
+
+
+@register(
+    "cross_split_contamination",
+    oracle=_contam_oracle(),
+    doc=(
+        "Train/eval contamination audit: near-duplicate pairs (MinHash/"
+        "LSH at >=8/16 matching hashes — the cluster builder's bar) that "
+        "CROSS a dataset-split boundary. The leakage check every "
+        "pretraining pipeline must run: a test document with a training "
+        "near-dup inflates eval. Composes two existing certified pieces "
+        "— the deterministic hash split and the LSH candidate generator "
+        "— with two broadcast-able split joins on top; the expensive "
+        "part (pair generation) is the already-bucketed LSH path."
+    ),
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import CLUSTER_MIN_MATCHES, minhash_candidate_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_candidate_pairs(docs).filter(
+        F.col("matching_hashes") >= CLUSTER_MIN_MATCHES
+    )
+    sp = docs.select(
+        "doc_id", split_label(split_bucket(F.col("doc_id"))).alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
