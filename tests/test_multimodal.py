@@ -35,3 +35,12 @@ def test_real_decoder_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_real_media(b"\x89PNG", "image/png")
+
+
+def test_resize_shuffle_free(spark, sf_dir):
+    """The resize kernel is a pure scan→mapInPandas plan — no exchange."""
+    from twilio_event_streams_reporting_example_spark.registry import all_queries
+
+    df = all_queries()["multimodal_resize"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -207,3 +207,87 @@ def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sample, "doc_id long, frame_idx long, frame_byte int")
+
+
+THUMB = 8  # resize target: THUMB×THUMB nearest-neighbor thumbnail
+
+
+def resize_nearest(df: DataFrame) -> DataFrame:
+    """Resize plumbing: (doc_id, payload, meta{width,height}) → per-item
+    thumbnail features via nearest-neighbor sampling on the byte grid.
+
+    The fake 'image' is the payload byte array read as a width×height
+    grid (wrapped modulo its length); pixel (i,j) of the THUMB×THUMB
+    output samples source ((i*h)//THUMB, (j*w)//THUMB) — exactly the
+    index arithmetic of a real nearest-neighbor resize, so swapping in
+    a decoded ndarray changes one line of the kernel, not the plan.
+    Shuffle-free scan→mapInPandas; output is O(1) per item."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ii, jj = np.meshgrid(np.arange(THUMB), np.arange(THUMB), indexing="ij")
+        for pdf in batches:
+            out = {"doc_id": [], "thumb_sum": [], "thumb_min": [],
+                   "thumb_max": [], "p00": [], "p77": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                w, h = int(meta["width"]), int(meta["height"])
+                idx = ((ii * h) // THUMB * w + (jj * w) // THUMB) % len(b)
+                thumb = b[idx].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["thumb_sum"].append(int(thumb.sum()))
+                out["thumb_min"].append(int(thumb.min()))
+                out["thumb_max"].append(int(thumb.max()))
+                out["p00"].append(int(thumb[0, 0]))
+                out["p77"].append(int(thumb[THUMB - 1, THUMB - 1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id long, thumb_sum long, thumb_min int, thumb_max int, "
+        "p00 int, p77 int",
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(SUM(px) AS BIGINT) AS thumb_sum,
+               CAST(MIN(px) AS INTEGER) AS thumb_min,
+               CAST(MAX(px) AS INTEGER) AS thumb_max,
+               CAST(MIN(CASE WHEN i = 0 AND j = 0 THEN px END) AS INTEGER) AS p00,
+               CAST(MIN(CASE WHEN i = {THUMB - 1} AND j = {THUMB - 1} THEN px END)
+                 AS INTEGER) AS p77
+        FROM (
+          SELECT d.doc_id, i, j,
+                 ascii(substr(d.text,
+                   CAST(((i * d.h) // {THUMB} * d.w + (j * d.w) // {THUMB})
+                        % d.n + 1 AS INTEGER), 1)) AS px
+          FROM (
+            SELECT doc_id, text, length(text) AS n,
+                   (doc_id * 7) % 640 + 16 AS w,
+                   (doc_id * 13) % 480 + 16 AS h
+            FROM documents
+          ) d
+          CROSS JOIN (SELECT unnest(range({THUMB})) AS i) a
+          CROSS JOIN (SELECT unnest(range({THUMB})) AS j) b
+        )
+        GROUP BY doc_id
+    """,
+    doc=(
+        "Nearest-neighbor resize through the Arrow mapInPandas kernel: "
+        "the payload byte grid sampled down to an 8×8 thumbnail with the "
+        "real resize index arithmetic ((i*h)//8*w + (j*w)//8, wrapped "
+        "mod n_bytes for the fake payload). ASCII-safe payload makes "
+        "every sampled pixel SQL-recomputable — full hash oracle. "
+        "Completes the decode/extract/resize/frame-sample multimodal "
+        "kernel set; all four are shuffle-free scan→map plans."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_nearest(with_payload(docs))
