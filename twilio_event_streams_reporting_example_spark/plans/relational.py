@@ -352,3 +352,109 @@ def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
         *[F.col(f"{t}_cents").alias(f"cents_{t}") for t in _EVENT_TYPES],
     )
+
+
+@register(
+    "promo_revenue_by_type",
+    oracle="""
+        SELECT
+          p.p_type,
+          COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+          round(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9)
+            AS promo_share
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    """,
+    doc=(
+        "TPC-H Q14-style promo revenue per part type: fact⋈part-dimension "
+        "join with DECIMAL-exact discounted revenue and a 9dp-rounded "
+        "promo share. The part dimension is explicitly BROADCAST — at "
+        "100 TB lineitem never shuffles for a dimension join; filters on "
+        "p_type prune map-side. Division of two decimal-exact doubles is "
+        "IEEE-deterministic, so the share hash-matches bit-for-bit."
+    ),
+)
+def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc).alias("_rev_dec"),
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("_promo_dec"),
+        )
+        .select(
+            "p_type",
+            "n_lines",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("_promo_dec").cast("double")
+                / F.col("_rev_dec").cast("double"),
+                9,
+            ).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "supplier_region_rollup",
+    oracle="""
+        SELECT
+          r.r_name AS region,
+          n.n_name AS nation,
+          COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+          COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS gross_revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc=(
+        "Supplier-geography rollup (TPC-H Q5 family): the fact joined "
+        "through the supplier→nation→region snowflake, every dimension "
+        "hop BROADCAST so lineitem crosses zero exchanges before the "
+        "final (region, nation) aggregation. Covers the last two unused "
+        "tables of the driver schema (supplier, and part above): all ten "
+        "tables now have registered, oracle-checked queries."
+    ),
+)
+def supplier_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    j = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("gross_revenue"),
+        )
+    )
