@@ -128,3 +128,17 @@ def test_bucketed_join_single_exchange(spark, sf_dir):
     plan = _plan(spark, "bucketed_orders_lineitem_join", sf_dir)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pivot_single_exchange(spark, sf_dir):
+    """Declared-value pivot compiles to ONE shuffle of conditional
+    aggregates (no distinct-values job, no second exchange)."""
+    plan = _plan(spark, "events_pivot_user_type", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cube_single_expand_pass(spark, sf_dir):
+    """CUBE computes all four grouping sets in one Expand + one shuffle."""
+    plan = _plan(spark, "events_type_day_cube", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

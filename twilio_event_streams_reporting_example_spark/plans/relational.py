@@ -330,12 +330,14 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
     doc=(
         "PIVOT: one row per user, event types spread into columns (count "
-        "+ value cents per type) — the long→wide report reshape. The "
-        "pivot values are DECLARED (the five known types), so Spark "
-        "compiles it to a single partial-aggregated shuffle of "
-        "conditional aggregates — identical plan shape to the oracle's "
-        "FILTER clauses; an undeclared pivot would need an extra "
-        "distinct-values job first (never do that on a 100 TB fact)."
+        "+ value cents per type) — the long→wide report reshape. "
+        "Deliberately NOT DataFrame.pivot(): even with declared values "
+        "it plans TWO shuffles (pre-aggregate on (user, type), then "
+        "re-aggregate on user). The conditional-aggregate formulation — "
+        "one when() per declared type, exactly the oracle's FILTER "
+        "clauses — pivots in a SINGLE partial-aggregated shuffle, and "
+        "the plan test pins it. An undeclared pivot would additionally "
+        "need a distinct-values job (never do that on a 100 TB fact)."
     ),
 )
 def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,13 +346,16 @@ def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
-    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
-    )
-    return piv.select(
-        "user_id",
-        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
-        *[F.col(f"{t}_cents").alias(f"cents_{t}") for t in _EVENT_TYPES],
+    is_t = {t: F.col("event_type") == t for t in _EVENT_TYPES}
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(is_t[t], F.lit(1))).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        *[
+            F.sum(F.when(is_t[t], F.col("cents"))).alias(f"cents_{t}")
+            for t in _EVENT_TYPES
+        ],
     )
 
 
