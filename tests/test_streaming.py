@@ -260,3 +260,29 @@ def test_kafka_source_config(spark):
     else:
         # connector present: the parsed stream has the shared contract cols
         assert {"event_id", "eventtype", "ts"} <= set(df.columns)
+
+
+def test_tws_lifecycle(spark, tmp_path):
+    """transformWithStateInPandas port of the lifecycle: same state
+    machine, same golden expectation as the applyInPandasWithState path.
+    The TWS Python state protocol needs google.protobuf, which this
+    container does not ship — in that case assert the clean environment
+    failure (the processor itself is exercised unit-style via the shared
+    pure state machine everywhere else)."""
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # TWS's Python state protocol is protobuf-based; without it the
+        # streaming query must fail (crashed driver worker), not hang
+        with pytest.raises(Exception, match="TransformWithState|STREAM_FAILED"):
+            run_fixture_stream(spark, str(tmp_path), tws=True)
+        return
+    got = run_fixture_stream(spark, str(tmp_path), tws=True)
+    base = run_fixture_stream(spark, str(tmp_path / "base"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in base.collect()}

@@ -33,6 +33,15 @@ The core 11-column view is a projection of the wide stream.
 This is the documented Pandas-UDF path (custom operator tier (b)):
 the per-key sequential state machine is genuinely order-dependent
 imperative logic that built-in operators can't express.
+
+Two stateful APIs, one state machine: ``_lifecycle_fn`` runs it under
+``applyInPandasWithState`` (the certified default) and
+``ConversationLifecycle`` under Spark 4's ``transformWithStateInPandas``
+(named state + explicit timers on RocksDB — the successor API). The
+TWS runtime speaks protobuf to its Python state server; environments
+without ``google.protobuf`` (this container) can build the query but
+not run it, so the TWS path is environment-gated in tests, exactly
+like the Kafka connector.
 """
 
 from __future__ import annotations
@@ -45,6 +54,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 from pyspark.sql import types as T
 
 from ..taskrouter import schema as S
@@ -247,6 +262,52 @@ def _segment_rows_for_task(
     return out, st, has_open
 
 
+def _events_from_pdfs(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:
+    """Arrow batches → ts-ordered event dicts for the state machine.
+
+    Event-time order with a deterministic tiebreak: arrival index when
+    the source carries one (test harnesses, replayed logs), else the
+    CloudEvent id — intrinsic to the data, so a replayed micro-batch
+    after failure re-sorts identically (ts-only sorting made same-ts
+    entered/created vs exit pairs order-dependent)."""
+    events: list[dict] = []
+    for pdf in pdf_iter:
+        has_arrival = "arrival_idx" in pdf.columns
+        for rec in pdf.to_dict("records"):
+            ts = rec["ts"]
+            events.append(
+                {
+                    "eventtype": rec["eventtype"],
+                    "ts": ts.isoformat() if hasattr(ts, "isoformat") else str(ts),
+                    "task_sid": rec["task_sid"],
+                    "reservation_sid": rec["reservation_sid"],
+                    "worker_sid": rec["worker_sid"],
+                    "custom_segment_link": rec.get("custom_segment_link"),
+                    "raw": rec.get("value") or "",
+                    "arrival_idx": rec["arrival_idx"] if has_arrival else None,
+                    "event_id": rec.get("event_id") or "",
+                }
+            )
+    events.sort(
+        key=lambda e: (
+            _dt(e["ts"]),
+            e["arrival_idx"] if e["arrival_idx"] is not None else -1,
+            e["event_id"],
+        )
+    )
+    return events
+
+
+def _deadline_ms(st: dict) -> int:
+    """Event-time timeout deadline for an open task state, epoch ms.
+    Event timestamps are UTC-naive; pin the tz before the epoch
+    conversion — naive .timestamp() reads the HOST timezone and would
+    shift the timeout by the UTC offset on non-UTC hosts."""
+    last = dt.datetime.fromisoformat(st["last_ts"])
+    deadline = (last + CONVERSATION_TIMEOUT).replace(tzinfo=dt.timezone.utc)
+    return int(deadline.timestamp() * 1000)
+
+
 def _lifecycle_fn(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -255,49 +316,74 @@ def _lifecycle_fn(
         rows, st, has_open = _segment_rows_for_task([], st, timed_out=True)
         state.remove()
     else:
-        events: list[dict] = []
-        for pdf in pdf_iter:
-            has_arrival = "arrival_idx" in pdf.columns
-            for rec in pdf.to_dict("records"):
-                ts = rec["ts"]
-                events.append(
-                    {
-                        "eventtype": rec["eventtype"],
-                        "ts": ts.isoformat() if hasattr(ts, "isoformat") else str(ts),
-                        "task_sid": rec["task_sid"],
-                        "reservation_sid": rec["reservation_sid"],
-                        "worker_sid": rec["worker_sid"],
-                        "custom_segment_link": rec.get("custom_segment_link"),
-                        "raw": rec.get("value") or "",
-                        "arrival_idx": rec["arrival_idx"] if has_arrival else None,
-                        "event_id": rec.get("event_id") or "",
-                    }
-                )
-        # Event-time order with a deterministic tiebreak: arrival index
-        # when the source carries one (test harnesses, replayed logs),
-        # else the CloudEvent id — intrinsic to the data, so a replayed
-        # micro-batch after failure re-sorts identically (ts-only sorting
-        # made same-ts entered/created vs exit pairs order-dependent).
-        events.sort(
-            key=lambda e: (
-                _dt(e["ts"]),
-                e["arrival_idx"] if e["arrival_idx"] is not None else -1,
-                e["event_id"],
-            )
-        )
+        events = _events_from_pdfs(pdf_iter)
         rows, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
         if has_open:
             state.update((json.dumps(st),))
-            last = dt.datetime.fromisoformat(st["last_ts"])
-            # event timestamps are UTC-naive; pin the tz before the epoch
-            # conversion — naive .timestamp() reads the HOST timezone and
-            # would shift the timeout by the UTC offset on non-UTC hosts
-            deadline = (last + CONVERSATION_TIMEOUT).replace(tzinfo=dt.timezone.utc)
-            state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
+            state.setTimeoutTimestamp(_deadline_ms(st))
         elif state.exists:
             state.remove()
     if rows:
         yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+
+class ConversationLifecycle(StatefulProcessor):
+    """The same lifecycle through Spark 4's transformWithStateInPandas —
+    the successor stateful API (explicit timers, named state variables,
+    TTL support). The state machine itself (`_segment_rows_for_task`),
+    the emit schema, and the deterministic sort are SHARED with the
+    applyInPandasWithState path; only the state/timer plumbing differs,
+    and both paths must match the same golden oracle.
+
+    Timer discipline: TWS timers are multi-shot per key (registerTimer
+    ADDS one), unlike GroupState's single overwritten timeout — so the
+    current deadline is kept in the state document and the stale timer
+    is deleted before registering the new one; a fired timer for a
+    since-cleared key is a no-op."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("task_state", STATE_SCHEMA)
+
+    def _load(self) -> dict:
+        return json.loads(self._state.get()[0]) if self._state.exists() else {}
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        st = self._load()
+        prev_deadline = st.pop("_deadline_ms", None)
+        events = _events_from_pdfs(rows)
+        out, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
+        if has_open:
+            deadline = _deadline_ms(st)
+            if prev_deadline is not None and prev_deadline != deadline:
+                self._handle.deleteTimer(prev_deadline)
+            if prev_deadline != deadline:
+                self._handle.registerTimer(deadline)
+            st["_deadline_ms"] = deadline
+            self._state.update((json.dumps(st),))
+        else:
+            if prev_deadline is not None:
+                self._handle.deleteTimer(prev_deadline)
+            self._state.clear()
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        st = self._load()
+        if not st:  # key already resolved; stale timer
+            return
+        st.pop("_deadline_ms", None)
+        out, st, _ = _segment_rows_for_task([], st, timed_out=True)
+        self._state.clear()
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
 
 
 def parse_stream(raw: DataFrame) -> DataFrame:
@@ -334,36 +420,42 @@ def parse_stream(raw: DataFrame) -> DataFrame:
     )
 
 
-def segment_emissions_stream(events: DataFrame) -> DataFrame:
+def segment_emissions_stream(events: DataFrame, tws: bool = False) -> DataFrame:
     """The stateful conversation lifecycle over a parsed event stream —
-    narrow (branch, kind, carrier, overrides) emissions."""
-    return (
-        events.filter(F.col("task_sid").isNotNull())
-        .groupBy("task_sid")
-        .applyInPandasWithState(
-            _lifecycle_fn,
+    narrow (branch, kind, carrier, overrides) emissions. ``tws=True``
+    runs the transformWithStateInPandas implementation instead of
+    applyInPandasWithState; both share the state machine and oracle."""
+    keyed = events.filter(F.col("task_sid").isNotNull()).groupBy("task_sid")
+    if tws:
+        return keyed.transformWithStateInPandas(
+            ConversationLifecycle(),
             EMIT_SCHEMA,
-            STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.EventTimeTimeout,
+            "Append",
+            "EventTime",
         )
+    return keyed.applyInPandasWithState(
+        _lifecycle_fn,
+        EMIT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
-def wide_conversation_segments_stream(events: DataFrame) -> DataFrame:
+def wide_conversation_segments_stream(events: DataFrame, tws: bool = False) -> DataFrame:
     """S5 in streaming form: the full ~65-column conversations fact as an
     append stream — the stateless shared wide projection over the state
     machine's emissions."""
     from ..plans.taskrouter import wide_project_stream
 
-    return wide_project_stream(segment_emissions_stream(events))
+    return wide_project_stream(segment_emissions_stream(events, tws=tws))
 
 
-def conversation_segments_stream(events: DataFrame) -> DataFrame:
+def conversation_segments_stream(events: DataFrame, tws: bool = False) -> DataFrame:
     """The original core (ids + measures) streaming surface — a column
     subset of the wide stream; Catalyst prunes the unused wide
     expressions, so nothing extra is computed."""
-    return wide_conversation_segments_stream(events).select(*CORE_COLUMNS)
+    return wide_conversation_segments_stream(events, tws=tws).select(*CORE_COLUMNS)
 
 
 def write_event_log(events: DataFrame, path: str, checkpoint: str):
@@ -397,7 +489,11 @@ def write_segments_stream(wide: DataFrame, path: str, checkpoint: str):
 
 
 def run_fixture_stream(
-    spark: SparkSession, workdir: str, files: int = 6, wide: bool = False
+    spark: SparkSession,
+    workdir: str,
+    files: int = 6,
+    wide: bool = False,
+    tws: bool = False,
 ) -> DataFrame:
     """Batch-parity harness: spool the fixture to ``files`` chronological
     JSON-line files, stream them with availableNow (file-per-trigger →
@@ -435,11 +531,19 @@ def run_fixture_stream(
     )
     events = parse_stream(raw)
     seg = (
-        wide_conversation_segments_stream(events)
+        wide_conversation_segments_stream(events, tws=tws)
         if wide
-        else conversation_segments_stream(events)
+        else conversation_segments_stream(events, tws=tws)
     )
     name = "tr_stream_segments_wide" if wide else "tr_stream_segments"
+    if tws:
+        name += "_tws"
+        # transformWithState runs only on the RocksDB state store (the
+        # provider that gives it column families for named state + timers)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     q = (
         seg.writeStream.format("memory")
         .queryName(name)
