@@ -463,3 +463,54 @@ def supplier_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gross_revenue"),
         )
     )
+
+
+@register(
+    "user_value_rolling_24h",
+    oracle="""
+        SELECT
+          user_id,
+          event_id,
+          date_trunc('second', ts) AS tts,
+          CAST(SUM(CAST((CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS rolling_cents_24h,
+          CAST(COUNT(*) OVER w AS BIGINT) AS rolling_events_24h
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY date_trunc('second', ts)
+          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc=(
+        "Trailing-24h rolling aggregate per user at every event — the "
+        "event-time RANGE frame (interval preceding .. current row), the "
+        "one window class the engine had not yet exercised: the frame "
+        "boundary is a TIME offset, not a row count, so ties and gaps "
+        "are handled by event-time semantics. Money through integer "
+        "cents (exact under any intra-frame order). One hash shuffle on "
+        "user_id + an in-partition time sort; the hot-user salting "
+        "strategy (lead_ts_salted) applies unchanged at scale."
+    ),
+)
+def user_value_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("tts"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    day_s = 24 * 3600
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("tts"))
+        .rangeBetween(-day_s, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "tts",
+        F.sum("cents").over(w).alias("rolling_cents_24h"),
+        F.count(F.lit(1)).over(w).alias("rolling_events_24h"),
+    )
