@@ -286,3 +286,77 @@ def test_tws_lifecycle(spark, tmp_path):
     got = run_fixture_stream(spark, str(tmp_path), tws=True)
     base = run_fixture_stream(spark, str(tmp_path / "base"))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in base.collect()}
+
+
+def test_streaming_restart_exactly_once(spark):
+    """Failure-recovery contract: stop the streaming pipeline mid-fixture,
+    then restart from the SAME checkpoint with the remaining files PLUS a
+    redelivered copy of already-processed events. The stateful lifecycle,
+    dedup state, and file-source progress all live in the checkpoint, so
+    the restarted run must resume without reprocessing (file log), and
+    the redelivered stale events must be discarded (watermark/dedup) —
+    the durable fact ends exactly equal to the batch recompute."""
+    import json
+    import os
+    import shutil
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        parse_stream,
+        wide_conversation_segments_stream,
+        write_segments_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+        fixture_df,
+    )
+
+    def run_once(indir, fact, ck):
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(indir)
+        )
+        wide = wide_conversation_segments_stream(parse_stream(raw))
+        q = write_segments_stream(wide, fact, ck).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+
+    with tempfile.TemporaryDirectory() as d:
+        indir, fact, ck = (os.path.join(d, p) for p in ("in", "fact", "ck"))
+        os.makedirs(indir)
+        ordered = sorted(
+            FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"]
+        )
+        half = len(ordered) // 2
+        chunk = max(1, (len(ordered) + 5) // 6)
+
+        def spool(events, tag, mt):
+            for i in range(0, len(events), chunk):
+                p = os.path.join(indir, f"part-{tag}-{i:04d}.json")
+                with open(p, "w") as f:
+                    for e in events[i : i + chunk]:
+                        f.write(json.dumps(e) + "\n")
+                os.utime(p, (mt + i, mt + i))
+
+        spool(ordered[:half], "a", 1_700_000_000)
+        run_once(indir, fact, ck)  # run 1: first half, then "crash"
+
+        # redeliver ALL of run 1's events (at-least-once upstream), plus
+        # the remainder, into the same source dir; restart same checkpoint
+        spool(ordered[:half], "redeliver", 1_700_100_000)
+        spool(ordered[half:], "b", 1_700_200_000)
+        run_once(indir, fact, ck)  # run 2: resumes from checkpoint
+
+        back = spark.read.parquet(fact)
+        stream = back.filter(F.col("segment_kind").isin(TERMINAL_KINDS)).drop(
+            "segment_date"
+        )
+        batch = taskrouter_segments_df(spark, fixture_df(spark)).filter(
+            F.col("segment_kind").isin(TERMINAL_KINDS)
+        )
+        assert stream.count() == batch.count()
+        assert batch.exceptAll(stream.select(batch.columns)).count() == 0
+        assert stream.select(batch.columns).exceptAll(batch).count() == 0
+        shutil.rmtree(fact, ignore_errors=True)
