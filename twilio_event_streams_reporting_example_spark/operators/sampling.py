@@ -256,3 +256,52 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+@register(
+    "stratified_downsample_partial",
+    oracle=f"""
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+        FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_DS_SALT}'), doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= {DOWNSAMPLE_K}
+    """,
+    doc=(
+        "The SAME per-stratum cap through the two-phase partial top-K "
+        "plan — the 100 TB form: phase 1 ranks within (stratum, input "
+        "partition) so every core keeps at most K candidate rows with NO "
+        "cross-partition movement of the losers; phase 2 runs the "
+        "per-stratum window over only n_partitions*K survivors. The "
+        "hash order is a total order, so the survivor set provably "
+        "contains the global top-K and the result is bit-identical to "
+        "the single-window form (same oracle — the two plans cross-"
+        "check). This is the knn_topk_partial shape applied to "
+        "stratified sampling."
+    ),
+)
+def stratified_downsample_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hkey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_DS_SALT)))
+    cand = docs.select(
+        "doc_id", "lang", hkey.alias("hk"), F.spark_partition_id().alias("pid")
+    )
+    w1 = W.partitionBy("lang", "pid").orderBy("hk", "doc_id")
+    survivors = (
+        cand.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= DOWNSAMPLE_K)
+    )
+    w2 = W.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= DOWNSAMPLE_K)
+        .select(
+            "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+    )
