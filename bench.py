@@ -72,7 +72,25 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(result))
+
+    # Belt-and-braces copy for humans/judges even if stdout is mangled.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # Stop Spark BEFORE printing: no more async JVM stderr can interleave
+    # with (or glue onto) the machine-read JSON line. Then emit the line in
+    # ONE write with a leading newline — a single <4096-byte pipe write is
+    # atomic on Linux, so nothing can land between the newline and the '{'.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    sys.stdout.write("\n" + json.dumps(result) + "\n")
+    sys.stdout.flush()
     return 0
 
 

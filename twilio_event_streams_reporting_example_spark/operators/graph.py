@@ -174,9 +174,22 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # isolated self-pairs (src == dst) contribute node → itself and can be
-    # dropped above: the contract only covers nodes appearing in pairs, and
-    # a self-pair node reappears as its own root only if it has real edges.
+    # Nodes appearing ONLY in self-pairs (src == dst) were dropped by the
+    # filter above but are part of the output contract: the hash-min
+    # variant emits them as singleton clusters, so this one must too.
+    self_only = (
+        pairs.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+        .join(
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("cluster_id"))
+    )
     for _ in range(max_iter):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixpoint test: the star forest is stable iff the (small-star
@@ -197,7 +210,11 @@ def connected_components_star(
                 .join(edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
                 .select("node", F.col("node").alias("cluster_id"))
             )
-            return edges.select(
-                F.col("src").alias("node"), F.col("dst").alias("cluster_id")
-            ).unionByName(roots)
+            return (
+                edges.select(
+                    F.col("src").alias("node"), F.col("dst").alias("cluster_id")
+                )
+                .unionByName(roots)
+                .unionByName(self_only)
+            )
     raise RuntimeError(f"connected_components_star: no fixpoint after {max_iter} rounds")

@@ -40,8 +40,25 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release caches left by the PREVIOUS query before building this
+            # one: operators persist() intermediates for legitimate stage
+            # reuse within a single query (shingle sets, minhash signatures,
+            # CC labels), but across a long driver session running the whole
+            # registry those cached blocks would accumulate on executors.
+            # localCheckpoint-based session memos are unaffected.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # type: ignore[attr-defined]
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench
+            name=name, fn=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench
         )
         return fn
 

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-separated fragments to the merged
+        # output stream; a fragment glued onto the front of a machine-read
+        # stdout line (the bench JSON contract) makes it unparseable.
+        .config("spark.ui.showConsoleProgress", "false")
         # The driver's events table carries TIMESTAMP(NANOS) parquet, which
         # Spark has no native type for: read as long and convert in the
         # loader (sources/tables.py).

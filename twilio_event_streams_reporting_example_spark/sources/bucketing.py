@@ -21,6 +21,10 @@ exchanges between the bucketed scans and the join.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,19 +35,43 @@ from .tables import load_table
 
 N_BUCKETS = 8
 
-# session-scoped registry of already-materialized bucketed table pairs
-_BUCKETED: dict[str, tuple[str, str]] = {}
+# session-scoped registry of already-materialized bucketed table pairs:
+# key -> ((orders_table, lineitem_table), base_dir)
+_BUCKETED: dict[str, tuple[tuple[str, str], str]] = {}
+
+
+def _cleanup_bucketed() -> None:
+    """Drop the catalog tables and remove the on-disk layout at process
+    exit — without this, every driver/test run leaks a temp directory and
+    two catalog entries."""
+    spark = SparkSession.getActiveSession()
+    for names, base in _BUCKETED.values():
+        if spark is not None:
+            for t in names:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass  # JVM already gone; rmtree below still runs
+        shutil.rmtree(base, ignore_errors=True)
+    _BUCKETED.clear()
+
+
+atexit.register(_cleanup_bucketed)
 
 
 def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize orders + lineitem bucketed by order key (once per
-    session per sf_dir); returns the catalog table names."""
+    session per sf_dir); returns the catalog table names.
+
+    The path and table names are DETERMINISTIC per sf_dir (md5, not the
+    salted process hash()): a rerun overwrites the previous layout
+    instead of accumulating orphaned temp directories."""
     key = f"{spark.sparkContext.applicationId}/{sf_dir}"
     if key in _BUCKETED:
-        return _BUCKETED[key]
-    suffix = f"{abs(hash(key)) % 10**8:08d}"
+        return _BUCKETED[key][0]
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     names = (f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}")
-    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{suffix}")
     (
         load_table(spark, "orders", sf_dir)
         .write.bucketBy(N_BUCKETS, "o_orderkey")
@@ -60,7 +88,7 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[str, str
         .mode("overwrite")
         .saveAsTable(names[1])
     )
-    _BUCKETED[key] = names
+    _BUCKETED[key] = (names, base)
     return names
 
 

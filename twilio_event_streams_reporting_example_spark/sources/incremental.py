@@ -165,9 +165,14 @@ def incremental_taskrouter_update(
             .parquet(paths["segments"])
         )
 
-    # 5. append only genuinely-new events to the log
+    # 5. append only genuinely-new events to the log. Dedup against the FULL
+    # log's event_ids, not the affected-key-scoped slice: a redelivered
+    # workspace/queue-level event (null task_sid, not a worker event) falls
+    # outside the scope and would otherwise be appended twice. The anti-join
+    # probes a single pruned column (event_id); at scale, restrict the log
+    # scan to the batch's event_date range for partition pruning.
     to_append = new_parsed.join(
-        scoped_log.select("event_id"), "event_id", "left_anti"
+        log.select("event_id"), "event_id", "left_anti"
     )
     (
         to_append.withColumn("event_date", F.to_date("ts"))

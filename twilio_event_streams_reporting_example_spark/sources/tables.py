@@ -42,11 +42,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
-        # (spark.sql.legacy.parquet.nanosAsLong); convert to a proper
-        # TimestampType at microsecond precision (truncating, matching
-        # DuckDB's nanos→micros handling).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+        # datasets (Spark reads it as long under nanosAsLong) and as
+        # TIMESTAMP(MICROS) in others — adapt on the observed type so both
+        # generations load to the same session-TZ TimestampType.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos-as-long → truncate to micros (DuckDB's nanos handling)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            # timestamp_ntz → reinterpret the wall clock in the (UTC)
+            # session timezone; values are unchanged
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -536,23 +536,34 @@ def run_fixture_stream(
         else conversation_segments_stream(events, tws=tws)
     )
     name = "tr_stream_segments_wide" if wide else "tr_stream_segments"
-    if tws:
-        name += "_tws"
-        # transformWithState runs only on the RocksDB state store (the
-        # provider that gives it column families for named state + timers)
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    try:
+        if tws:
+            name += "_tws"
+            # transformWithState runs only on the RocksDB state store (the
+            # provider that gives it column families for named state + timers)
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+        q = (
+            seg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    q = (
-        seg.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
+    finally:
+        # restore the shared session's provider: later stateful queries in
+        # the same session must run on the provider they were certified on
+        if tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     return spark.sql(f"SELECT * FROM {name}")
 
 
