@@ -39,9 +39,44 @@ def first_state(df: DataFrame, key: str, ts: str, order_tiebreak: str) -> DataFr
     )
 
 
-@register(
-    "user_current_state",
-    oracle="""
+def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 current-state dimension: latest event per user + lifecycle
+    columns (first_seen ~ date_joined, reference events.js:230-246)."""
+    ev = load_table(spark, "events", sf_dir)
+    w_all = W.partitionBy("user_id")
+    enriched = ev.withColumn("first_ts", F.min("ts").over(w_all)).withColumn(
+        "n_events", F.count(F.lit(1)).over(w_all)
+    )
+    latest = latest_state(enriched, key="user_id", ts="ts", order_tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.date_trunc("second", "ts").alias("last_seen"),
+        F.date_trunc("second", "first_ts").alias("first_seen"),
+        "n_events",
+        F.col("value").alias("last_value"),
+    )
+
+
+def user_current_state_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof formulation of the same SCD-1 view: max_by/min over
+    one hash aggregate instead of a window sort. The aggregate
+    partial-combines map-side, so a hot user_id reduces to one state
+    per input partition before the shuffle — no single giant sorted
+    partition (the residual window-skew risk at 100 TB). Same rows
+    as user_current_state."""
+    ev = load_table(spark, "events", sf_dir)
+    ord_ = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_).alias("last_event_type"),
+        F.date_trunc("second", F.max("ts")).alias("last_seen"),
+        F.date_trunc("second", F.min("ts")).alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", ord_).alias("last_value"),
+    )
+
+
+_UCS_WINDOW_ORACLE = """
         SELECT
           user_id,
           last_event_type,
@@ -61,32 +96,9 @@ def first_state(df: DataFrame, key: str, ts: str, order_tiebreak: str) -> DataFr
           FROM events
         )
         WHERE rn = 1
-    """,
-    doc=(
-        "SCD-1 current-state dimension: latest event per user + lifecycle "
-        "columns (first_seen ~ date_joined, reference events.js:230-246)."
-    ),
-)
-def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    w_all = W.partitionBy("user_id")
-    enriched = ev.withColumn("first_ts", F.min("ts").over(w_all)).withColumn(
-        "n_events", F.count(F.lit(1)).over(w_all)
-    )
-    latest = latest_state(enriched, key="user_id", ts="ts", order_tiebreak="event_id")
-    return latest.select(
-        "user_id",
-        F.col("event_type").alias("last_event_type"),
-        F.date_trunc("second", "ts").alias("last_seen"),
-        F.date_trunc("second", "first_ts").alias("first_seen"),
-        "n_events",
-        F.col("value").alias("last_value"),
-    )
+"""
 
-
-@register(
-    "user_current_state_maxby",
-    oracle="""
+_UCS_MAXBY_ORACLE = """
         -- DuckDB arg_max takes no struct ordering: build a lexicographic
         -- (ts, event_id) key instead — exact same total order as Spark's
         -- max_by(col, struct(ts, event_id))
@@ -105,23 +117,25 @@ def user_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(arg_max(value, ord_key) AS DOUBLE) AS last_value
         FROM keyed
         GROUP BY user_id
+"""
+
+
+@register(
+    "user_current_state",
+    oracle=f"""
+        SELECT 'window' AS variant, * FROM ({_UCS_WINDOW_ORACLE})
+        UNION ALL
+        SELECT 'maxby' AS variant, * FROM ({_UCS_MAXBY_ORACLE})
     """,
     doc=(
-        "Skew-proof formulation of the same SCD-1 view: max_by/min over "
-        "one hash aggregate instead of a window sort. The aggregate "
-        "partial-combines map-side, so a hot user_id reduces to one state "
-        "per input partition before the shuffle — no single giant sorted "
-        "partition (the residual window-skew risk at 100 TB). Same rows "
-        "as user_current_state."
+        "SCD-1 current-state dimension (S7/F8, reference events.js:230-246) "
+        "in BOTH physical strategies, union-tagged by `variant`: the "
+        "window/row_number form and the skew-proof max_by hash-aggregate "
+        "form. One oracle row set per variant — the driver therefore checks "
+        "each strategy independently AND that they agree."
     ),
 )
-def user_current_state_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    ord_ = F.struct("ts", "event_id")
-    return ev.groupBy("user_id").agg(
-        F.max_by("event_type", ord_).alias("last_event_type"),
-        F.date_trunc("second", F.max("ts")).alias("last_seen"),
-        F.date_trunc("second", F.min("ts")).alias("first_seen"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.max_by("value", ord_).alias("last_value"),
-    )
+def user_current_state_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = user_current_state(spark, sf_dir).select(F.lit("window").alias("variant"), "*")
+    b = user_current_state_maxby(spark, sf_dir).select(F.lit("maxby").alias("variant"), "*")
+    return a.unionByName(b)

