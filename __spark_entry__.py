@@ -11,7 +11,22 @@ this module is the thin registry adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Pandas-UDF queries (mapInPandas / applyInPandasWithState) cloudpickle
+# references to this package, so PYTHON WORKERS must be able to import it
+# too. Workers inherit the driver process env at spawn (first UDF use —
+# after this import), so exporting PYTHONPATH here makes the contract
+# independent of the harness's working directory.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession
 

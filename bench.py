@@ -33,7 +33,10 @@ def main() -> int:
     sf = float(m.group(1)) if m else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from twilio_event_streams_reporting_example_spark.registry import all_queries
+    from twilio_event_streams_reporting_example_spark.registry import (
+        all_queries,
+        release_caches,
+    )
     from twilio_event_streams_reporting_example_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -46,23 +49,39 @@ def main() -> int:
     except Exception:
         pass
 
+    # Two timed repeats per query, report the MIN: the second run shares no
+    # cache (cleared between runs) but dodges transient machine contention,
+    # so a contended box shows up as run-to-run spread in `runs` instead of
+    # silently inflating the official number (round-4 lesson: a 2.8× "regression"
+    # that was wholly contention).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.bench:
             continue  # streaming/materialization harnesses: correctness-gated, not batch queries
-        try:
-            # Time build + cold run together: plan construction is free for
-            # declarative queries, but iterative operators (connected
-            # components) legitimately run jobs while building — excluding
-            # them would under-report.
-            t0 = time.perf_counter()
-            _force(spec.fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            timings[name] = -1.0  # sentinel: query errored, not timed
-        finally:
-            spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(repeats):
+            try:
+                # Time build + cold run together: plan construction is free
+                # for declarative queries, but iterative operators (connected
+                # components) legitimately run jobs while building —
+                # excluding them would under-report.
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                runs.append(-1.0)  # sentinel: query errored, not timed
+                break
+            finally:
+                # per-operator tracked handles (incl. localCheckpoint RDD
+                # blocks the catalog cannot see), then the catalog cache
+                release_caches()
+                spark.catalog.clearCache()
+        all_runs[name] = runs
+        good = [r for r in runs if r >= 0]
+        timings[name] = min(good) if good else -1.0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {
@@ -70,6 +89,7 @@ def main() -> int:
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": sf,
     }
 

@@ -69,9 +69,14 @@ def compare(spark, name: str, sf_dir: str) -> None:
     """Assert the Spark query matches its DuckDB oracle exactly."""
     from twilio_event_streams_reporting_example_spark.registry import all_queries
 
+    from twilio_event_streams_reporting_example_spark.registry import release_caches
+
     spec = all_queries()[name]
     assert spec.oracle is not None, f"{name} has no oracle (rows-only check)"
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    try:
+        spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    finally:
+        release_caches()  # result consumed — drop this query's tracked blocks
     con = duck_connection(sf_dir)
     try:
         duck_pdf = con.sql(spec.oracle).df()

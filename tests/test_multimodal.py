@@ -41,6 +41,10 @@ def test_resize_shuffle_free(spark, sf_dir):
     """The resize kernel is a pure scan→mapInPandas plan — no exchange."""
     from twilio_event_streams_reporting_example_spark.registry import all_queries
 
-    df = all_queries()["multimodal_resize"].fn(spark, sf_dir)
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        multimodal_resize,
+    )
+
+    df = multimodal_resize(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

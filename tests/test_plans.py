@@ -9,7 +9,21 @@ from twilio_event_streams_reporting_example_spark.registry import all_queries
 
 
 def _plan(spark, name, sf_dir) -> str:
-    df = all_queries()[name].fn(spark, sf_dir)
+    """Executed-plan string for a registered query OR an unregistered
+    variant function (module:function path) folded into a union query."""
+    if ":" in name:
+        import importlib
+
+        mod_name, fn_name = name.split(":")
+        fn = getattr(
+            importlib.import_module(
+                f"twilio_event_streams_reporting_example_spark.{mod_name}"
+            ),
+            fn_name,
+        )
+        df = fn(spark, sf_dir)
+    else:
+        df = all_queries()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -33,9 +47,8 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "simhash_neardup_pairs",
-        "knn_lsh_bucketed",
-        "corpus_prep_pipeline",
-        "corpus_prep_full",
+        "operators.similarity:knn_lsh_bucketed",
+        "corpus_prep",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -45,13 +58,13 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
 def test_knn_bruteforce_broadcasts_queries_only(spark, sf_dir):
     """The exact baseline is allowed its broadcast cross join — but only
     with the (tiny) query set on the broadcast side."""
-    plan = _plan(spark, "knn_bruteforce_cosine", sf_dir)
+    plan = _plan(spark, "operators.similarity:knn_bruteforce_cosine", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan  # by design: |Q| rows broadcast
 
 
 def test_multimodal_features_shuffle_free(spark, sf_dir):
     """Feature extraction is a pure scan→map: zero exchanges."""
-    plan = _plan(spark, "multimodal_features", sf_dir)
+    plan = _plan(spark, "operators.multimodal:multimodal_features", sf_dir)
     assert "Exchange" not in plan
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, track
 from ..sources.tables import load_table
 
 MERSENNE_P = 2147483647  # 2^31 - 1
@@ -121,7 +121,7 @@ def _shingles(
         # probe side); persist it or the explode+window+distinct pipeline
         # runs twice — on a cluster this is the standard
         # stage-reuse persist before a two-pass algorithm.
-        sh = sh.persist()
+        sh = track(sh.persist())
         hot = (
             sh.groupBy("shingle_hash")
             .agg(F.count(F.lit(1)).alias("sh_df"))
@@ -241,6 +241,7 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_type_frequency",
+    priority=9,  # plain count-by-key; every in-window aggregate covers the shape
     oracle="""
         SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
         FROM events
@@ -293,7 +294,7 @@ def event_type_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sh = _shingles(docs, "doc_id", "text").cache()
+    sh = track(_shingles(docs, "doc_id", "text").cache())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
@@ -388,7 +389,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, matching_hashes): LSH band-bucket candidates with
     their estimated-Jaccard evidence (matching/16). Shared by the pair
     report query and the duplicate-cluster builder."""
-    sig = minhash_signature(_shingles(docs, "doc_id", "text")).cache()
+    sig = track(minhash_signature(_shingles(docs, "doc_id", "text")).cache())
     n_bands = NUM_HASHES // BAND_ROWS
     bands = None
     for b in range(n_bands):
@@ -467,25 +468,11 @@ def _sql_cluster_ctes() -> str:
         cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)"""
 
 
-@register(
-    "dedup_duplicate_clusters",
-    oracle=f"""
-        WITH RECURSIVE {_sql_cluster_ctes()}
-        SELECT doc_id, cluster_id,
-               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
-               CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-        FROM cc
-    """,
-    doc=(
-        "Near-dup pairs → deletable duplicate GROUPS: hash-min label "
-        "propagation (operators/graph.py) over the MinHash/LSH candidate "
-        "pairs at >=8/16 matching hashes; cluster_id = min doc in the "
-        "component, keeper = that doc. The oracle computes the same "
-        "components via a recursive-CTE transitive closure — entirely "
-        "independent machinery."
-    ),
-)
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → deletable duplicate GROUPS: hash-min label
+    propagation (operators/graph.py) over the MinHash/LSH candidate
+    pairs at >=8/16 matching hashes; cluster_id = min doc in the
+    component, keeper = that doc."""
     from .graph import connected_components
 
     docs = load_table(spark, "documents", sf_dir)
@@ -502,26 +489,12 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_duplicate_clusters_star",
-    oracle=f"""
-        WITH RECURSIVE {_sql_cluster_ctes()}
-        SELECT doc_id, cluster_id,
-               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
-               CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-        FROM cc
-    """,
-    doc=(
-        "The same duplicate-group clustering through the alternating "
-        "large-star/small-star algorithm (Kiveris et al.) instead of "
-        "hash-min propagation — O(log n) rounds on adversarial high-"
-        "diameter graphs where hash-min degrades to a round per hop. "
-        "Identical output contract and oracle as dedup_duplicate_clusters, "
-        "so the two distributed algorithms are cross-checked against the "
-        "same recursive-CTE transitive closure."
-    ),
-)
 def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate-group clustering through the alternating
+    large-star/small-star algorithm (Kiveris et al.) instead of
+    hash-min propagation — O(log n) rounds on adversarial high-
+    diameter graphs where hash-min degrades to a round per hop.
+    Identical output contract as dedup_duplicate_clusters."""
     from .graph import connected_components_star
 
     docs = load_table(spark, "documents", sf_dir)
@@ -538,10 +511,40 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_sql_cluster_ctes()},
+        closure AS (
+          SELECT doc_id, cluster_id,
+                 CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+                 CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+          FROM cc
+        )
+        SELECT 'hash_min' AS variant, * FROM closure
+        UNION ALL
+        SELECT 'star' AS variant, * FROM closure
+    """,
+    doc=(
+        "Duplicate-group clustering over the MinHash/LSH candidate pairs in "
+        "BOTH distributed algorithms, union-tagged by `variant`: hash-min "
+        "label propagation with pointer jumping, and alternating large-star/"
+        "small-star (Kiveris et al.). The oracle computes the components ONCE "
+        "via an independent recursive-CTE transitive closure, so the driver "
+        "cross-checks both algorithms against the same ground truth."
+    ),
+)
+def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = dedup_duplicate_clusters(spark, sf_dir).select(F.lit("hash_min").alias("variant"), "*")
+    b = dedup_duplicate_clusters_star(spark, sf_dir).select(F.lit("star").alias("variant"), "*")
+    return a.unionByName(b)
+
+
 # -------------------------------------------------------------- 4. SimHash
 
 @register(
     "dedup_simhash",
+    priority=9,  # fingerprint projection; simhash_neardup_pairs recomputes it in-window
     oracle=f"""
         WITH {_SQL_TOK_CTE},
         tf AS (
@@ -630,7 +633,7 @@ def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    fp = simhash_fingerprints(spark, docs).cache()
+    fp = track(simhash_fingerprints(spark, docs).cache())
     # ×4 byte-block expansion via explode (generator, no join in the plan)
     blocks = fp.select(
         "doc_id",

@@ -34,6 +34,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import persistent_rdd_entries, track_release, unpersist_rdd_ids
+
+
+class _RoundCaches:
+    """Bounded cached-block footprint for iterative checkpoint loops.
+
+    Each round's localCheckpoint materializes new persisted RDDs; once the
+    NEXT round is materialized (and the fixpoint test has read the previous
+    round) the previous round's blocks are dead weight — the classic
+    iterative-Spark leak, footprint growing with round count. This tracks
+    the persisted-RDD ids created per round and drops the previous round's
+    blocks at the first safe point. The FINAL round's blocks back the
+    returned DataFrame, so they are handed to the registry's deferred
+    release (dropped by release_caches() once the consumer has evaluated
+    the result). Construct AFTER any long-lived checkpoint (e.g. the edge
+    list) is materialized — ids already persisted at construction are
+    never touched."""
+
+    def __init__(self, sc):
+        self._sc = sc
+        self._before = set(persistent_rdd_entries(sc))
+        self._live: set[int] = set()
+
+    def rotate(self) -> None:
+        """Call once this round's eager checkpoints are materialized AND
+        nothing will read the previous round again: releases the previous
+        round's blocks."""
+        now = set(persistent_rdd_entries(self._sc))
+        new_ids = now - self._before - self._live
+        unpersist_rdd_ids(self._sc, self._live)
+        self._live = new_ids
+
+    def finish(self) -> None:
+        """Defer the last round's release to registry.release_caches()."""
+        sc, ids = self._sc, set(self._live)
+        track_release(lambda: unpersist_rdd_ids(sc, ids))
+        self._live = set()
+
+
+def _pin_new_checkpoint(sc, before: set) -> None:
+    """Defer release of checkpoint RDDs created since ``before`` to
+    registry.release_caches() — for long-lived checkpoints the returned
+    result still reads (they must outlive the whole computation)."""
+    ids = set(persistent_rdd_entries(sc)) - before
+    track_release(lambda: unpersist_rdd_ids(sc, ids))
+
 
 def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
@@ -45,13 +91,19 @@ def connected_components(
     Raises after ``max_iter`` rounds without convergence rather than
     returning partially-merged clusters.
     """
-    # symmetrize once: propagation below then only needs one direction
+    sc = pairs.sparkSession.sparkContext
+    pre_edges = set(persistent_rdd_entries(sc))
+    # symmetrize once: propagation below then only needs one direction.
+    # Eager: the edge list is read every round AND must be snapshot before
+    # _RoundCaches so the per-round release never touches it.
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    _pin_new_checkpoint(sc, pre_edges)
+    rc = _RoundCaches(sc)
     # init fuses the first propagation round: with identity labels, the
     # min neighbor LABEL is the min neighbor ID, so one aggregation both
     # enumerates the nodes and applies round 0 — disjoint-pair graphs
@@ -106,9 +158,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
+        # this round is materialized and nothing reads round N-1 again —
+        # drop its checkpoint blocks (bounded footprint per round)
+        rc.rotate()
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            rc.finish()
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
 
@@ -168,12 +224,18 @@ def connected_components_star(
     minimum), so per-round cost decays. ``localCheckpoint`` truncates the
     iterative lineage exactly as in the hash-min loop.
     """
+    sc = pairs.sparkSession.sparkContext
+    pre_edges = set(persistent_rdd_entries(sc))
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # self_only below reads this initial edge checkpoint LAZILY (at result
+    # evaluation) — pin it for deferred release, never per-round rotation.
+    _pin_new_checkpoint(sc, pre_edges)
+    rc = _RoundCaches(sc)
     # Nodes appearing ONLY in self-pairs (src == dst) were dropped by the
     # filter above but are part of the output contract: the hash-min
     # variant emits them as singleton clusters, so this one must too.
@@ -202,8 +264,11 @@ def connected_components_star(
             .limit(1)
             .count()
         )
-        prev, edges = edges, stepped
+        edges = stepped
+        # the fixpoint test above was the last read of round N-1 — drop it
+        rc.rotate()
         if changed == 0:
+            rc.finish()
             roots = (
                 edges.select(F.col("dst").alias("node"))
                 .distinct()

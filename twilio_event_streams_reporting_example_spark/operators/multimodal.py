@@ -109,9 +109,7 @@ FEATURE_SCHEMA = (
 )
 
 
-@register(
-    "multimodal_features",
-    oracle=f"""
+_FEATURES_ORACLE = f"""
         SELECT
           doc_id,
           ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS format,
@@ -122,21 +120,21 @@ FEATURE_SCHEMA = (
           CAST((octet_length(encode(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS BIGINT)
             AS n_frames
         FROM documents
-    """,
-    doc=(
-        "Multimodal decode/feature-extract plumbing: binary payload + "
-        "metadata struct through an Arrow-batched mapInPandas kernel. "
-        "Shuffle-free (pure scan→map); the fake decode makes every "
-        "feature SQL-recomputable, so the oracle is a full hash match."
-    ),
-)
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing: binary payload +
+    metadata struct through an Arrow-batched mapInPandas kernel.
+    Shuffle-free (pure scan→map); the fake decode makes every
+    feature SQL-recomputable, so the oracle is a full hash match."""
     docs = load_table(spark, "documents", sf_dir)
     return with_payload(docs).mapInPandas(_extract_features, FEATURE_SCHEMA)
 
 
 @register(
     "multimodal_format_rollup",
+    priority=9,  # agg over in-window multimodal_item_profile's kernel
     oracle=f"""
         SELECT
           ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS format,
@@ -252,9 +250,7 @@ def resize_nearest(df: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_resize",
-    oracle=f"""
+_RESIZE_ORACLE = f"""
         SELECT doc_id,
                CAST(SUM(px) AS BIGINT) AS thumb_sum,
                CAST(MIN(px) AS INTEGER) AS thumb_min,
@@ -277,17 +273,39 @@ def resize_nearest(df: DataFrame) -> DataFrame:
           CROSS JOIN (SELECT unnest(range({THUMB})) AS j) b
         )
         GROUP BY doc_id
-    """,
-    doc=(
-        "Nearest-neighbor resize through the Arrow mapInPandas kernel: "
-        "the payload byte grid sampled down to an 8×8 thumbnail with the "
-        "real resize index arithmetic ((i*h)//8*w + (j*w)//8, wrapped "
-        "mod n_bytes for the fake payload). ASCII-safe payload makes "
-        "every sampled pixel SQL-recomputable — full hash oracle. "
-        "Completes the decode/extract/resize/frame-sample multimodal "
-        "kernel set; all four are shuffle-free scan→map plans."
-    ),
-)
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize through the Arrow mapInPandas kernel:
+    the payload byte grid sampled down to an 8×8 thumbnail with the
+    real resize index arithmetic ((i*h)//8*w + (j*w)//8, wrapped
+    mod n_bytes for the fake payload). ASCII-safe payload makes
+    every sampled pixel SQL-recomputable — full hash oracle."""
     docs = load_table(spark, "documents", sf_dir)
     return resize_nearest(with_payload(docs))
+
+
+@register(
+    "multimodal_item_profile",
+    oracle=f"""
+        SELECT f.doc_id, f.format, f.n_bytes, f.checksum, f.width, f.height,
+               f.n_frames,
+               r.thumb_sum, r.thumb_min, r.thumb_max, r.p00, r.p77
+        FROM ({_FEATURES_ORACLE}) f
+        LEFT JOIN ({_RESIZE_ORACLE}) r ON f.doc_id = r.doc_id
+    """,
+    doc=(
+        "The per-item multimodal PROFILE: decode/feature-extract and the "
+        "nearest-neighbor resize kernel joined into one wide row per item "
+        "(both are shuffle-free Arrow mapInPandas plans over the same "
+        "payload). Each kernel keeps its own SQL-recomputable oracle "
+        "derivation, joined the same way in DuckDB — one driver row "
+        "certifies both kernels; the frame-sampling UDTF shape stays its "
+        "own registration (per-frame output, not per-item)."
+    ),
+)
+def multimodal_item_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir)
+    thumbs = multimodal_resize(spark, sf_dir)
+    return feats.join(thumbs, "doc_id", "left")

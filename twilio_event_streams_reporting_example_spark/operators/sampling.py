@@ -80,6 +80,7 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dataset_split_stratified",
+    priority=9,  # audit agg over the in-window dataset_split_assignment expression
     oracle=f"""
         SELECT lang, split, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -115,9 +116,7 @@ DOWNSAMPLE_K = 40  # keep at most K docs per stratum (lang)
 _DS_SALT = ":ds1"  # content-hash salt → order independent of split_bucket
 
 
-@register(
-    "stratified_downsample",
-    oracle=f"""
+_DOWNSAMPLE_ORACLE = f"""
         SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
         FROM (
           SELECT doc_id, lang,
@@ -127,21 +126,18 @@ _DS_SALT = ":ds1"  # content-hash salt → order independent of split_bucket
                  ) AS rk
           FROM documents
         ) WHERE rk <= {DOWNSAMPLE_K}
-    """,
-    doc=(
-        "Deterministic per-stratum downsample: keep at most K documents "
-        "per language, chosen by content-hash order (md5(doc_id||salt)) — "
-        "the domain-balancing cap a pretraining mix applies, reproducible "
-        "across runs with no RNG state. The hash order is uniform, so the "
-        "kept set is an unbiased sample; the salt decorrelates it from "
-        "the train/val/test bucketing above. At 100 TB the per-stratum "
-        "window is the skew risk (few strata, one partition each): the "
-        "scale path is partial top-K per input partition first (each "
-        "partition keeps its K smallest hashes, the final window merges "
-        "n_partitions*K rows), same two-phase shape as knn_topk_partial."
-    ),
-)
+"""
+
+
 def stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsample: keep at most K documents
+    per language, chosen by content-hash order (md5(doc_id||salt)) —
+    the domain-balancing cap a pretraining mix applies, reproducible
+    across runs with no RNG state. The hash order is uniform, so the
+    kept set is an unbiased sample; the salt decorrelates it from
+    the train/val/test bucketing above. At 100 TB the per-stratum
+    window is the skew risk (few strata, one partition each): the
+    scale path is the two-phase partial top-K variant below."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
@@ -258,33 +254,16 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stratified_downsample_partial",
-    oracle=f"""
-        SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
-        FROM (
-          SELECT doc_id, lang,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_DS_SALT}'), doc_id
-                 ) AS rk
-          FROM documents
-        ) WHERE rk <= {DOWNSAMPLE_K}
-    """,
-    doc=(
-        "The SAME per-stratum cap through the two-phase partial top-K "
-        "plan — the 100 TB form: phase 1 ranks within (stratum, input "
-        "partition) so every core keeps at most K candidate rows with NO "
-        "cross-partition movement of the losers; phase 2 runs the "
-        "per-stratum window over only n_partitions*K survivors. The "
-        "hash order is a total order, so the survivor set provably "
-        "contains the global top-K and the result is bit-identical to "
-        "the single-window form (same oracle — the two plans cross-"
-        "check). This is the knn_topk_partial shape applied to "
-        "stratified sampling."
-    ),
-)
 def stratified_downsample_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-stratum cap through the two-phase partial top-K
+    plan — the 100 TB form: phase 1 ranks within (stratum, input
+    partition) so every core keeps at most K candidate rows with NO
+    cross-partition movement of the losers; phase 2 runs the
+    per-stratum window over only n_partitions*K survivors. The
+    hash order is a total order, so the survivor set provably
+    contains the global top-K and the result is bit-identical to
+    the single-window form. This is the knn_topk_partial shape
+    applied to stratified sampling."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
@@ -305,3 +284,27 @@ def stratified_downsample_partial(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
         )
     )
+
+
+@register(
+    "stratified_downsample",
+    oracle=f"""
+        SELECT 'window' AS variant, * FROM ({_DOWNSAMPLE_ORACLE})
+        UNION ALL
+        SELECT 'partial_topk' AS variant, * FROM ({_DOWNSAMPLE_ORACLE})
+    """,
+    doc=(
+        "Deterministic per-stratum downsample (keep K docs per language by "
+        "content-hash order) in BOTH physical strategies, union-tagged by "
+        "`variant`: the single per-stratum window, and the two-phase "
+        "partial top-K plan (per-core candidate cap, then a window over "
+        "n_partitions*K survivors — the 100 TB form). One oracle "
+        "derivation; the two plans must be bit-identical."
+    ),
+)
+def stratified_downsample_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = stratified_downsample(spark, sf_dir).select(F.lit("window").alias("variant"), "*")
+    b = stratified_downsample_partial(spark, sf_dir).select(
+        F.lit("partial_topk").alias("variant"), "*"
+    )
+    return a.unionByName(b)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, track
 from ..sources.tables import load_table
 
 N_QUERIES = 8  # vec_id < N_QUERIES form the query set in the demo queries
@@ -155,9 +155,7 @@ _COSINE_SQL = (
 )
 
 
-@register(
-    "knn_bruteforce_cosine",
-    oracle=f"""
+_KNN_EXACT_ORACLE = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         )
@@ -174,10 +172,11 @@ _COSINE_SQL = (
           WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
         )
         WHERE rk <= {TOP_K}
-    """,
-    doc="Exact ANN baseline: brute-force cosine top-k, broadcast query set.",
-)
+"""
+
+
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-k, broadcast query set."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
@@ -216,34 +215,11 @@ def _local_topk_fn(k: int):
     return fn
 
 
-@register(
-    "knn_topk_partial",
-    oracle=f"""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        )
-        SELECT query_id, neighbor_id, score, rk FROM (
-          SELECT
-            q.vec_id AS query_id,
-            c.vec_id AS neighbor_id,
-            {_COSINE_SQL} AS score,
-            ROW_NUMBER() OVER (
-              PARTITION BY q.vec_id
-              ORDER BY {_COSINE_SQL} DESC, c.vec_id
-            ) AS rk
-          FROM e q CROSS JOIN e c
-          WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
-        )
-        WHERE rk <= {TOP_K}
-    """,
-    doc=(
-        "Scale-correct exact top-k: map-side partial top-k per partition "
-        "(mapInPandas, bounded accumulator) then a final window over the "
-        "reduced candidate set — the shuffle carries partitions×Q×k rows, "
-        "not Q×N. Same oracle as knn_bruteforce_cosine: results identical."
-    ),
-)
 def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct exact top-k: map-side partial top-k per partition
+    (mapInPandas, bounded accumulator) then a final window over the
+    reduced candidate set — the shuffle carries partitions×Q×k rows,
+    not Q×N. Results identical to knn_bruteforce_cosine."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
@@ -269,9 +245,7 @@ def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_lsh_bucketed",
-    oracle=f"""
+_KNN_LSH_ORACLE = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v, {_sql_bucket('embedding::DOUBLE[]')} AS bucket
           FROM embeddings
@@ -290,13 +264,12 @@ def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
         )
         WHERE rk <= {TOP_K}
-    """,
-    doc=(
-        "ANN scale path: sign-LSH bucket equi-join prunes candidates ~2^K× "
-        "before exact rescoring — the join shuffles on bucket, never O(N·Q)."
-    ),
-)
+"""
+
+
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucket equi-join prunes candidates ~2^K×
+    before exact rescoring — the join shuffles on bucket, never O(N·Q)."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -357,11 +330,11 @@ _ND_BANDS_SQL = " UNION ALL ".join(
     ),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = with_norm(
+    emb = track(with_norm(
         load_table(spark, "embeddings", sf_dir).select(
             F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
         )
-    ).cache()
+    ).cache())
     bands = None
     for b in range(NEARDUP_BANDS):
         part = emb.select(
@@ -467,9 +440,7 @@ _IVF_ASSIGN_SQL = f"""
 """
 
 
-@register(
-    "knn_ivf",
-    oracle=f"""
+_KNN_IVF_ORACLE = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
@@ -501,20 +472,18 @@ _IVF_ASSIGN_SQL = f"""
           JOIN e q ON q.vec_id = p.query_id
           JOIN e c ON c.vec_id = a.vec_id
         ) WHERE rk <= {TOP_K}
-    """,
-    doc=(
-        "IVF-style ANN: candidates are pre-assigned to their nearest "
-        "centroid cell (deterministic centroids = the first "
-        f"{IVF_CENTROIDS} vectors; k-means iterations would refine them "
-        "the same shuffle shape), queries probe their nprobe nearest "
-        "cells, exact rescoring only within probed cells. The "
-        "assignment is a broadcast map-side argmax — the only wide "
-        "exchange is the cell equi-join, pruning ~centroids/nprobe of "
-        "the corpus per query. Complements the sign-LSH path: IVF adapts "
-        "to the data distribution, LSH needs no training data."
-    ),
-)
+"""
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates are pre-assigned to their nearest
+    centroid cell (deterministic centroids = the first IVF_CENTROIDS
+    vectors), queries probe their nprobe nearest cells, exact rescoring
+    only within probed cells. The assignment is a broadcast map-side
+    argmax — the only wide exchange is the cell equi-join, pruning
+    ~centroids/nprobe of the corpus per query. Complements the sign-LSH
+    path: IVF adapts to the data distribution, LSH needs no training
+    data."""
     emb = with_norm(
         load_table(spark, "embeddings", sf_dir).select(
             F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
@@ -684,9 +653,7 @@ def _kmeans_sql_ctes(iters: int) -> str:
 _KM = f"cent{IVF_KMEANS_ITERS}"
 
 
-@register(
-    "knn_ivf_kmeans",
-    oracle=f"""
+_KNN_IVF_KMEANS_ORACLE = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
@@ -725,21 +692,19 @@ _KM = f"cent{IVF_KMEANS_ITERS}"
           JOIN e q ON q.vec_id = p.query_id
           JOIN e c ON c.vec_id = a.vec_id
         ) WHERE rk <= {TOP_K}
-    """,
-    doc=(
-        "IVF with a TRAINED index: the deterministic seed centroids are "
-        f"refined by {IVF_KMEANS_ITERS} Lloyd iterations (assign to "
-        "nearest cell → per-dimension mean → refit) before the nprobe "
-        "search — the standard IVF training step (Lloyd 1982; IVF-flat as "
-        "in FAISS). Every iteration is a broadcast argmax plus one "
-        "(cell × dimension)-keyed partial aggregation — at 100 TB the "
-        "shuffle carries only n_cells × dim rows per round, never the "
-        "corpus. The oracle unrolls the identical iterations as DuckDB "
-        "CTEs; means and scores quantize to 9dp on both engines, so "
-        "assignment flips cannot drift."
-    ),
-)
+"""
+
+
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED index: the deterministic seed centroids are
+    refined by IVF_KMEANS_ITERS Lloyd iterations (assign to nearest
+    cell → per-dimension mean → refit) before the nprobe search — the
+    standard IVF training step (Lloyd 1982; IVF-flat as in FAISS).
+    Every iteration is a broadcast argmax plus one (cell × dimension)-
+    keyed partial aggregation — at 100 TB the shuffle carries only
+    n_cells × dim rows per round, never the corpus. The oracle unrolls
+    the identical iterations as DuckDB CTEs; means and scores quantize
+    to 9dp on both engines, so assignment flips cannot drift."""
     emb = with_norm(
         load_table(spark, "embeddings", sf_dir).select(
             F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
@@ -783,3 +748,51 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+# ------------------------------------------------- folded kNN registration
+
+@register(
+    "knn_methods",
+    oracle=f"""
+        SELECT 'bruteforce' AS method, * FROM ({_KNN_EXACT_ORACLE})
+        UNION ALL
+        SELECT 'topk_partial' AS method, * FROM ({_KNN_EXACT_ORACLE})
+        UNION ALL
+        SELECT 'lsh' AS method, query_id, neighbor_id, score, rk
+        FROM ({_KNN_LSH_ORACLE})
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM ({_KNN_IVF_ORACLE})
+        UNION ALL
+        SELECT 'ivf_kmeans' AS method, * FROM ({_KNN_IVF_KMEANS_ORACLE})
+    """,
+    doc=(
+        "Top-k cosine neighbor search in all FIVE physical strategies, "
+        "union-tagged by `method`: the exact broadcast brute force, the "
+        "scale-correct map-side partial top-k (identical oracle — the two "
+        "exact plans must agree), the sign-LSH bucket-pruned path, IVF "
+        "with deterministic seed centroids, and IVF after Lloyd-refined "
+        "k-means training. Each method keeps its own independent DuckDB "
+        "oracle derivation, so one driver row checks every ANN strategy."
+    ),
+)
+def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        ("bruteforce", knn_bruteforce_cosine),
+        ("topk_partial", knn_topk_partial),
+        (
+            "lsh",
+            lambda s, d: knn_lsh_bucketed(s, d).select(
+                "query_id", "neighbor_id", "score", "rk"
+            ),
+        ),
+        ("ivf", knn_ivf),
+        ("ivf_kmeans", knn_ivf_kmeans),
+    ]
+    dfs = [
+        fn(spark, sf_dir).select(F.lit(m).alias("method"), "*") for m, fn in parts
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

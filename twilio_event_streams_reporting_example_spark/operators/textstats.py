@@ -39,9 +39,7 @@ FP_P = 2147483647  # fingerprint modulus (2^31-1)
 FP_POWS = [pow(31, k, FP_P) for k in range(16)]  # rolling-hash power table
 
 
-@register(
-    "doc_token_stats",
-    oracle=f"""
+_TOKSTATS_ORACLE = f"""
         WITH {_SQL_TOK_CTE}
         SELECT
           d.doc_id,
@@ -57,10 +55,11 @@ FP_POWS = [pow(31, k, FP_P) for k in range(16)]  # rolling-hash power table
                  CAST(SUM(length(token)) AS BIGINT) AS total_token_chars
           FROM toks GROUP BY doc_id
         ) t ON d.doc_id = t.doc_id
-    """,
-    doc="Token counting: whitespace tokenizer + per-doc counts/lengths.",
-)
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer + per-doc counts/lengths."""
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     stats = tok.groupBy("doc_id").agg(
@@ -85,9 +84,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-@register(
-    "doc_quality",
-    oracle=f"""
+_QUALITY_ORACLE = f"""
         WITH {_SQL_TOK_CTE},
         s AS (
           SELECT doc_id,
@@ -110,13 +107,12 @@ _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
            + CASE WHEN n_distinct * 10 >= n_tokens THEN 1 ELSE 0 END
            + CASE WHEN stop_hits * 100 >= n_tokens THEN 1 ELSE 0 END) AS quality_score
         FROM s
-    """,
-    doc=(
-        "Quality scoring: length / mean-word-length / lexical-diversity / "
-        "stopword-ratio gates, integer-ratio math (Gopher-style rules)."
-    ),
-)
+"""
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / mean-word-length / lexical-diversity /
+    stopword-ratio gates, integer-ratio math (Gopher-style rules)."""
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     s = tok.groupBy("doc_id").agg(
@@ -152,9 +148,7 @@ def _sql_lang_score(lang: str) -> str:
     return f"CAST(SUM(CASE WHEN token IN ({markers}) THEN 1 ELSE 0 END) AS BIGINT)"
 
 
-@register(
-    "language_id",
-    oracle=f"""
+_LANGID_ORACLE = f"""
         WITH {_SQL_TOK_CTE},
         scores AS (
           SELECT doc_id,
@@ -169,13 +163,12 @@ def _sql_lang_score(lang: str) -> str:
             )}
           END AS predicted_lang
         FROM scores
-    """,
-    doc=(
-        "Language-ID heuristic: marker-stopword hit counts per language, "
-        "argmax with alphabetical tie-break (first WHEN wins)."
-    ),
-)
+"""
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword hit counts per language,
+    argmax with alphabetical tie-break (first WHEN wins)."""
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     langs = sorted(LANG_MARKERS)
@@ -195,9 +188,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprint",
-    oracle=f"""
+_FPRINT_ORACLE = f"""
         WITH {_SQL_TOK_POS_CTE}
         SELECT doc_id,
           CAST(SUM((({_SQL_TOKHASH.format(tok="token")} % {FP_P})
@@ -205,13 +196,12 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS fingerprint,
           COUNT(*) AS n_tokens
         FROM tok GROUP BY doc_id
-    """,
-    doc=(
-        "Document fingerprint: positional polynomial rolling hash over token "
-        "hashes mod 2^31-1 — order-sensitive (unlike minhash), exact int math."
-    ),
-)
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: positional polynomial rolling hash over token
+    hashes mod 2^31-1 — order-sensitive (unlike minhash), exact int math."""
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
     pow_table = F.array(*[F.lit(p) for p in FP_POWS])
@@ -243,9 +233,7 @@ _SQL_PRED_LANG = "CASE {} END".format(
 )
 
 
-@register(
-    "corpus_prep_pipeline",
-    oracle=f"""
+_PREP_EXACT_ORACLE = f"""
         WITH keepers AS (
           SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         ),
@@ -272,23 +260,19 @@ _SQL_PRED_LANG = "CASE {} END".format(
           AND (n_distinct * 10 >= n_tokens)
           AND (stop_hits * 100 >= n_tokens)
           AND {_SQL_PRED_LANG} = 'en'
-    """,
-    doc=(
-        "End-to-end training-corpus prep: exact dedup (keep lowest doc_id "
-        "per identical text) -> Gopher-style quality gates -> language "
-        "filter (en) -> surviving docs with token counts. The chained "
-        "use-case the north-star operators exist for, composed as ONE "
-        "plan: a dedup semi-join plus a single groupBy computing quality "
-        "AND language scores in the same partial-aggregated pass."
-    ),
-)
+"""
+
+
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus prep, exact-dedup stage: exact dedup (keep lowest
+    doc_id per identical text) -> Gopher-style quality gates -> language
+    filter (en) -> surviving docs with token counts, composed as ONE
+    plan: a dedup semi-join plus a single groupBy computing quality AND
+    language scores in the same partial-aggregated pass."""
     return _corpus_prep(spark, sf_dir, near_dedup=False)
 
 
-@register(
-    "corpus_prep_full",
-    oracle=f"""
+_PREP_FULL_ORACLE = f"""
         WITH RECURSIVE {_sql_cluster_ctes()},
         keepers AS (
           SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
@@ -317,18 +301,42 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND (n_distinct * 10 >= n_tokens)
           AND (stop_hits * 100 >= n_tokens)
           AND {_SQL_PRED_LANG} = 'en'
+"""
+
+
+def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-prep chain a 100 TB training run executes:
+    exact dedup -> NEAR-dup removal (MinHash/LSH pairs -> connected-
+    component clusters, non-keepers dropped) -> Gopher-style quality
+    gates -> language filter. The near-dup stage reuses
+    dedup_duplicate_clusters wholesale."""
+    return _corpus_prep(spark, sf_dir, near_dedup=True)
+
+
+@register(
+    "corpus_prep",
+    oracle=f"""
+        SELECT 'exact_dedup' AS variant, * FROM ({_PREP_EXACT_ORACLE})
+        UNION ALL
+        SELECT 'near_dedup' AS variant, * FROM ({_PREP_FULL_ORACLE})
     """,
     doc=(
-        "The COMPLETE corpus-prep chain a 100 TB training run executes: "
-        "exact dedup -> NEAR-dup removal (MinHash/LSH pairs -> connected-"
-        "component clusters, non-keepers dropped) -> Gopher-style quality "
-        "gates -> language filter. The near-dup stage reuses "
-        "dedup_duplicate_clusters wholesale; the oracle recomputes the "
-        "clusters via the recursive-CTE closure inside one statement."
+        "End-to-end training-corpus prep at BOTH dedup depths, union-"
+        "tagged by `variant`: the exact-dedup chain (md5 keeper semi-join "
+        "-> quality gates -> language filter) and the full chain adding "
+        "MinHash/LSH near-dup cluster removal. Each stage keeps its own "
+        "independent oracle derivation (the full variant recomputes the "
+        "clusters via a recursive-CTE closure inside one statement)."
     ),
 )
-def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _corpus_prep(spark, sf_dir, near_dedup=True)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = corpus_prep_pipeline(spark, sf_dir).select(
+        F.lit("exact_dedup").alias("variant"), "*"
+    )
+    b = corpus_prep_full(spark, sf_dir).select(
+        F.lit("near_dedup").alias("variant"), "*"
+    )
+    return a.unionByName(b)
 
 
 def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFrame:
@@ -458,9 +466,7 @@ REP_TOKEN_PCT = 10
 REP_BIGRAM_PCT = 18
 
 
-@register(
-    "doc_repetition_stats",
-    oracle=f"""
+_REPSTATS_ORACLE = f"""
         WITH {_SQL_TOK_POS_CTE},
         tcnt AS (
           SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
@@ -503,18 +509,17 @@ REP_BIGRAM_PCT = 18
           (COALESCE(b.top_bigram_n, 0) * 100 <= COALESCE(b.n_bigrams, 0) * {REP_BIGRAM_PCT})
             AS rep_bigram_ok
         FROM tstats t LEFT JOIN bstats b USING (doc_id)
-    """,
-    doc=(
-        "Gopher-style repetition gates: most-common-token and most-common-"
-        "bigram fractions plus duplicate-token fraction per document — the "
-        "boilerplate/spam filter a pretraining pipeline runs after the "
-        "length/diversity gates. Counting is two partial-aggregated "
-        "shuffles on (doc, gram); the bigram build is the same posexplode"
-        "+lead window the shingler uses. Gate comparisons are pure integer "
-        "math (exact); reported fractions round to 9dp in both engines."
-    ),
-)
+"""
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: most-common-token and most-common-
+    bigram fractions plus duplicate-token fraction per document — the
+    boilerplate/spam filter a pretraining pipeline runs after the
+    length/diversity gates. Counting is two partial-aggregated
+    shuffles on (doc, gram); the bigram build is the same posexplode
+    +lead window the shingler uses. Gate comparisons are pure integer
+    math (exact); reported fractions round to 9dp in both engines."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
@@ -643,4 +648,58 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(planted, F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_hash"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+# ---------------------------------------------- folded per-doc text profile
+
+_LANG_SCORE_COLS = [f"score_{lg}" for lg in sorted(LANG_MARKERS)]
+
+
+@register(
+    "doc_text_profile",
+    oracle=f"""
+        SELECT
+          ts.doc_id, ts.n_chars, ts.n_tokens, ts.n_distinct_tokens,
+          ts.total_token_chars, ts.avg_token_len,
+          q.stop_hits, q.len_ok, q.word_len_ok, q.diversity_ok,
+          q.stopword_ok, q.quality_score,
+          {", ".join(f"l.{c}" for c in _LANG_SCORE_COLS)}, l.predicted_lang,
+          fp.fingerprint,
+          r.top_token_n, r.top_token_frac, r.n_bigrams, r.top_bigram_n,
+          r.top_bigram_frac, r.dup_token_frac, r.rep_token_ok, r.rep_bigram_ok
+        FROM ({_TOKSTATS_ORACLE}) ts
+        LEFT JOIN ({_QUALITY_ORACLE}) q ON ts.doc_id = q.doc_id
+        LEFT JOIN ({_LANGID_ORACLE}) l ON ts.doc_id = l.doc_id
+        LEFT JOIN ({_FPRINT_ORACLE}) fp ON ts.doc_id = fp.doc_id
+        LEFT JOIN ({_REPSTATS_ORACLE}) r ON ts.doc_id = r.doc_id
+    """,
+    doc=(
+        "The per-document text-analysis PROFILE: token counting, Gopher-"
+        "style quality gates, language-ID, positional rolling-hash "
+        "fingerprint, and repetition gates joined into one wide row per "
+        "document on the all-docs token-stats spine. Each metric family "
+        "keeps its own independent oracle derivation (joined the same "
+        "way in DuckDB), so one driver row certifies all five operators; "
+        "the individual functions remain the composable public API."
+    ),
+)
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = doc_token_stats(spark, sf_dir)
+    q = doc_quality(spark, sf_dir).select(
+        "doc_id", "stop_hits", "len_ok", "word_len_ok", "diversity_ok",
+        "stopword_ok", "quality_score",
+    )
+    lid = language_id(spark, sf_dir)
+    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    rep = doc_repetition_stats(spark, sf_dir).select(
+        "doc_id", "top_token_n", "top_token_frac", "n_bigrams",
+        "top_bigram_n", "top_bigram_frac", "dup_token_frac",
+        "rep_token_ok", "rep_bigram_ok",
+    )
+    return (
+        ts.join(q, "doc_id", "left")
+        .join(lid, "doc_id", "left")
+        .join(fp, "doc_id", "left")
+        .join(rep, "doc_id", "left")
     )

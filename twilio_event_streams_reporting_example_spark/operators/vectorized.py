@@ -49,6 +49,7 @@ def _l2_norm_arrow():
 
 @register(
     "embedding_norms_arrow",
+    priority=9,  # deliberate-Python-op demo; JVM-fold parity is tested locally
     oracle="""
         SELECT vec_id,
                round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 9)

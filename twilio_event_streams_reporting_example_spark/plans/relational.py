@@ -361,6 +361,7 @@ def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "promo_revenue_by_type",
+    priority=9,  # third star-join conditional agg; pricing_summary/revenue_by_nation in-window
     oracle="""
         SELECT
           p.p_type,
@@ -420,6 +421,7 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "supplier_region_rollup",
+    priority=9,  # second ROLLUP demo; order_priority_rollup holds the window slot
     oracle="""
         SELECT
           r.r_name AS region,

@@ -52,6 +52,7 @@ from ..functions.exprs import (
     seconds_between,
     truncate_ms,
 )
+from ..registry import track
 from ..taskrouter import schema as S
 
 # --------------------------------------------------------------- ingest
@@ -527,7 +528,7 @@ def segments_from_parsed(spark: SparkSession, parsed: DataFrame) -> DataFrame:
     # render every truncated timestamp in local time and value-mismatch
     # the golden oracles even though the instants are correct
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    parsed = parsed.cache()
+    parsed = track(parsed.cache())
     et = F.col("eventtype")
 
     # pass R: every reservation-keyed anchor lands on its rows in place
@@ -560,6 +561,7 @@ def segments_from_parsed(spark: SparkSession, parsed: DataFrame) -> DataFrame:
         )
         .cache()
     )
+    withentry = track(withentry)
     acc = (
         withentry.filter(et == S.ET_RESERVATION_ACCEPTED)
         .withColumn(

@@ -35,6 +35,69 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# ------------------------------------------------------- cache bookkeeping
+#
+# Operators persist()/cache()/localCheckpoint() intermediates for legitimate
+# within-query stage reuse (shingle sets, minhash signatures, CC round
+# tables). Across a long driver session running the whole registry those
+# blocks would accumulate on executors, but a global clearCache() between
+# queries is a blunt instrument: it also drops intermediates of a
+# previously-BUILT-but-not-yet-evaluated DataFrame a composing caller may
+# still hold. Instead every operator registers its persisted handles here
+# via track(); the harness (bench loop, driver sweep, tests) calls
+# release_caches() AFTER it has consumed the current query's result.
+#
+# Contract: release_caches() only after the last-built query has been
+# evaluated. Tracked localCheckpoint blocks are not recomputable (truncated
+# lineage) — re-collecting a stale DataFrame from before the release is an
+# error; rebuild the query instead.
+
+_TRACKED: list = []
+
+
+def track(df):
+    """Register a persisted/cached DataFrame for later release."""
+    _TRACKED.append(df.unpersist)
+    return df
+
+
+def track_release(fn) -> None:
+    """Register an arbitrary zero-arg release callback (e.g. dropping
+    localCheckpoint RDD blocks, which DataFrame.unpersist cannot reach)."""
+    _TRACKED.append(fn)
+
+
+def release_caches() -> None:
+    """Run every tracked release (see contract above)."""
+    while _TRACKED:
+        fn = _TRACKED.pop()
+        try:
+            fn()
+        except Exception:
+            pass  # session already stopped / blocks already dropped
+
+
+def persistent_rdd_entries(sc) -> dict:
+    """{rdd_id: java RDD handle} for every block-holding RDD — includes
+    localCheckpoint RDDs, which the SQL cache manager does not track."""
+    out = {}
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[e._1()] = e._2()
+    return out
+
+
+def unpersist_rdd_ids(sc, ids) -> None:
+    """Drop blocks of the given persisted RDD ids (non-blocking). Only safe
+    for RDDs whose consumers are already materialized — a localCheckpoint
+    RDD cannot be recomputed after its blocks are gone."""
+    entries = persistent_rdd_entries(sc)
+    for i in ids:
+        r = entries.get(i)
+        if r is not None:
+            r.unpersist(False)
+
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
 # in dict order. ``priority`` budgets that window explicitly:
 #   0 — the TaskRouter domain pipeline + streaming harnesses (the queries
@@ -45,6 +108,51 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #       physical strategy) whose exact form is still oracle-checked by the
 #       local replica (tests/test_oracle.py) every round.
 DRIVER_WINDOW = 50
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Pandas-UDF queries cloudpickle references to this package, so PYTHON
+    WORKERS must import it too. Workers inherit the JVM's env/cwd captured
+    at session creation — a harness running from another cwd (without the
+    repo on PYTHONPATH) would fail exactly the mapInPandas/applyInPandas
+    queries. addPyFile is runtime-effective: ship the package zip once per
+    application when the ambient path doesn't already cover it."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    _SHIPPED_APPS.add(app)
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    pkg_name = __name__.rsplit(".", 1)[0]
+
+    def _probe(_):  # closure: cloudpickled BY VALUE, runs even when the
+        try:  # package itself is unimportable on the worker
+            __import__(pkg_name)
+            return True
+        except Exception:
+            return False
+
+    try:
+        ok = bool(
+            spark.range(1)
+            .select(F.udf(_probe, "boolean")("id").alias("ok"))
+            .head()[0]
+        )
+    except Exception:
+        ok = False
+    if ok:
+        return  # workers already resolve the package (env/cwd covers it)
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}")
+    zp = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), pkg_name)
+    spark.sparkContext.addPyFile(zp)
 
 
 def register(
@@ -59,9 +167,17 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # type: ignore[attr-defined]
         _REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=wrapped,
             oracle=oracle,
             doc=doc or (fn.__doc__ or ""),
             bench=bench,

@@ -63,13 +63,15 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[str, str
     """Materialize orders + lineitem bucketed by order key (once per
     session per sf_dir); returns the catalog table names.
 
-    The path and table names are DETERMINISTIC per sf_dir (md5, not the
-    salted process hash()): a rerun overwrites the previous layout
-    instead of accumulating orphaned temp directories."""
+    The suffix hashes (sf_dir, pid): deterministic WITHIN a process — a
+    rerun in the same session overwrites its previous layout instead of
+    accumulating orphans — but unique ACROSS processes, so two concurrent
+    runs on the same sf_dir can't overwrite or atexit-delete each other's
+    live bucketed files. The atexit hook removes this process's directory."""
     key = f"{spark.sparkContext.applicationId}/{sf_dir}"
     if key in _BUCKETED:
         return _BUCKETED[key][0]
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:8]
     names = (f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}")
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{suffix}")
     (

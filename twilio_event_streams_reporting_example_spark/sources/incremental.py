@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..registry import track
 from ..taskrouter import schema as S
 
 _WORKER_EVENTS = [
@@ -98,7 +99,7 @@ def incremental_taskrouter_update(
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     paths = _paths(base_dir)
-    new_parsed = ingest_taskrouter(new_raw).cache()
+    new_parsed = track(ingest_taskrouter(new_raw).cache())
 
     # 1. affected keys (tiny → broadcast)
     aff_tasks = new_parsed.select("task_sid").filter(F.col("task_sid").isNotNull()).distinct()
@@ -116,6 +117,7 @@ def incremental_taskrouter_update(
             F.broadcast(aff_workers), "worker_sid", "left_semi"
         )
     ).dropDuplicates(["event_id"]).cache()
+    scoped_log = track(scoped_log)
 
     # 3. recompute the affected slice with the one true batch plan
     scoped_new = new_parsed.join(F.broadcast(aff_tasks), "task_sid", "left_semi").unionByName(
@@ -126,7 +128,7 @@ def incremental_taskrouter_update(
     scoped_all = _dedup_first_arrival(
         scoped_log.unionByName(scoped_new.select(*scoped_log.columns))
     )
-    recomputed = segments_from_parsed(spark, scoped_all).cache()
+    recomputed = track(segments_from_parsed(spark, scoped_all).cache())
 
     # 4. partition-level merge into the fact
     aff_ext = (
@@ -156,6 +158,10 @@ def incremental_taskrouter_update(
         )
         # materialize before writing: the merge reads the very partitions
         # the dynamic overwrite replaces (day-sized slice, not the table)
+        from ..registry import persistent_rdd_entries, unpersist_rdd_ids
+
+        sc = spark.sparkContext
+        pre_ckpt = set(persistent_rdd_entries(sc))
         merged = merged.localCheckpoint(eager=True)
         (
             merged.withColumn("segment_date", F.to_date("date"))
@@ -164,6 +170,8 @@ def incremental_taskrouter_update(
             .partitionBy("segment_date")
             .parquet(paths["segments"])
         )
+        # the write was the checkpoint's only consumer — drop its blocks now
+        unpersist_rdd_ids(sc, set(persistent_rdd_entries(sc)) - pre_ckpt)
 
     # 5. append only genuinely-new events to the log. Dedup against the FULL
     # log's event_ids, not the affected-key-scoped slice: a redelivered

@@ -50,10 +50,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         if ts_type == "bigint":
             # nanos-as-long → truncate to micros (DuckDB's nanos handling)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type != "timestamp":
-            # timestamp_ntz → reinterpret the wall clock in the (UTC)
-            # session timezone; values are unchanged
+        elif ts_type == "timestamp_ntz":
+            # reinterpret the wall clock in the (UTC) session timezone;
+            # values are unchanged
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # Any other dtype is schema drift (e.g. string/double from a
+            # malformed dataset); casting would silently yield nulls —
+            # fail loud instead.
+            raise TypeError(f"events.ts: unexpected dtype {ts_type!r}")
     return df
 
 
