@@ -511,6 +511,16 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _cluster_rows(cc: DataFrame) -> DataFrame:
+    w = W.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
+    )
+
+
 @register(
     "dedup_duplicate_clusters",
     oracle=f"""
@@ -529,14 +539,28 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
         "Duplicate-group clustering over the MinHash/LSH candidate pairs in "
         "BOTH distributed algorithms, union-tagged by `variant`: hash-min "
         "label propagation with pointer jumping, and alternating large-star/"
-        "small-star (Kiveris et al.). The oracle computes the components ONCE "
-        "via an independent recursive-CTE transitive closure, so the driver "
-        "cross-checks both algorithms against the same ground truth."
+        "small-star (Kiveris et al.). The candidate pairs are generated ONCE "
+        "and persisted — the expensive stage feeds both algorithms. The "
+        "oracle computes the components once via an independent recursive-"
+        "CTE transitive closure, so the driver cross-checks both algorithms "
+        "against the same ground truth."
     ),
 )
 def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = dedup_duplicate_clusters(spark, sf_dir).select(F.lit("hash_min").alias("variant"), "*")
-    b = dedup_duplicate_clusters_star(spark, sf_dir).select(F.lit("star").alias("variant"), "*")
+    from .graph import connected_components, connected_components_star
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = track(
+        minhash_candidate_pairs(docs)
+        .filter(F.col("matching_hashes") >= CLUSTER_MIN_MATCHES)
+        .persist()
+    )
+    a = _cluster_rows(connected_components(pairs)).select(
+        F.lit("hash_min").alias("variant"), "*"
+    )
+    b = _cluster_rows(connected_components_star(pairs)).select(
+        F.lit("star").alias("variant"), "*"
+    )
     return a.unionByName(b)
 
 

@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..registry import persistent_rdd_entries, track_release, unpersist_rdd_ids
+from ..registry import (
+    persistent_rdd_entries,
+    pin_new_checkpoints,
+    track_release,
+    unpersist_rdd_ids,
+)
 
 
 class _RoundCaches:
@@ -73,12 +78,7 @@ class _RoundCaches:
         self._live = set()
 
 
-def _pin_new_checkpoint(sc, before: set) -> None:
-    """Defer release of checkpoint RDDs created since ``before`` to
-    registry.release_caches() — for long-lived checkpoints the returned
-    result still reads (they must outlive the whole computation)."""
-    ids = set(persistent_rdd_entries(sc)) - before
-    track_release(lambda: unpersist_rdd_ids(sc, ids))
+_pin_new_checkpoint = pin_new_checkpoints  # long-lived edge checkpoints
 
 
 def connected_components(

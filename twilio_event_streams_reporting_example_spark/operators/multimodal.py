@@ -162,6 +162,7 @@ def multimodal_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
+    priority=9,  # per-frame UDTF demo; the mapInPandas kernel family is in-window via multimodal_item_profile
     oracle=f"""
         SELECT doc_id,
                CAST(j AS BIGINT) AS frame_idx,

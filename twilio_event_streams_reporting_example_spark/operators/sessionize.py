@@ -212,12 +212,15 @@ _SESSIONS_ORACLE = """
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
+    from ..registry import persistent_rdd_entries, pin_new_checkpoints
     from ..streaming.sessions import run_events_session_stream
 
+    sc = spark.sparkContext
+    before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
-        return run_events_session_stream(spark, d, sf_dir).localCheckpoint(
-            eager=True
-        )
+        out = run_events_session_stream(spark, d, sf_dir).localCheckpoint(eager=True)
+    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
+    return out
 
 
 # ----------------------------------------------- skew-hardened window lead

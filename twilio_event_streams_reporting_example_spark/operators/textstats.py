@@ -330,28 +330,37 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = corpus_prep_pipeline(spark, sf_dir).select(
-        F.lit("exact_dedup").alias("variant"), "*"
+    """One tokenize pass serves BOTH variants: the quality/language gates
+    aggregate per doc_id, so removing near-dup non-keepers AFTER the
+    aggregation (a left-anti on doc_id) is row-identical to removing them
+    before tokenization — at 100 TB that halves the dominant stage (the
+    token explode + groupBy), and the gated profile is persisted once."""
+    from ..registry import track
+    from .dedup import dedup_duplicate_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    gated = track(_gated_profile(_exact_kept(docs)).persist())
+    a = gated.select(F.lit("exact_dedup").alias("variant"), "*")
+    non_keepers = (
+        dedup_duplicate_clusters(spark, sf_dir)
+        .filter(F.col("is_keeper") == 0)
+        .select("doc_id")
     )
-    b = corpus_prep_full(spark, sf_dir).select(
+    b = gated.join(non_keepers, "doc_id", "left_anti").select(
         F.lit("near_dedup").alias("variant"), "*"
     )
     return a.unionByName(b)
 
 
-def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+def _exact_kept(docs: DataFrame) -> DataFrame:
+    """Exact-dedup stage: keep the lowest doc_id per identical text."""
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    kept = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
-    if near_dedup:
-        from .dedup import dedup_duplicate_clusters
+    return docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
 
-        non_keepers = (
-            dedup_duplicate_clusters(spark, sf_dir)
-            .filter(F.col("is_keeper") == 0)
-            .select("doc_id")
-        )
-        kept = kept.join(non_keepers, "doc_id", "left_anti")
+
+def _gated_profile(kept: DataFrame) -> DataFrame:
+    """Tokenize → one partial-aggregated pass computing quality AND
+    language scores → Gopher gates + 'en' filter."""
     tok = kept.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
 
     langs = sorted(LANG_MARKERS)
@@ -386,6 +395,21 @@ def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFram
         .filter(gates & (F.col("predicted_lang") == "en"))
         .select("doc_id", "predicted_lang", "n_tokens")
     )
+
+
+def _corpus_prep(spark: SparkSession, sf_dir: str, near_dedup: bool) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kept = _exact_kept(docs)
+    if near_dedup:
+        from .dedup import dedup_duplicate_clusters
+
+        non_keepers = (
+            dedup_duplicate_clusters(spark, sf_dir)
+            .filter(F.col("is_keeper") == 0)
+            .select("doc_id")
+        )
+        kept = kept.join(non_keepers, "doc_id", "left_anti")
+    return _gated_profile(kept)
 
 
 # ------------------------------------------------------------- 5. TF-IDF

@@ -199,34 +199,45 @@ def _report_conversations_df(spark: SparkSession) -> DataFrame:
     )
 
 
-@register(
-    "taskrouter_report_conversations",
-    oracle=golden_values_sql(_report_conv_rows(_sim().segment_rows()), _REPORT_CONV_COLS),
-    doc="O2 report surface: the conversations table as the report renders it.",
-)
-def taskrouter_report_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _report_conversations_df(spark)
-
-
-@register(
-    "taskrouter_conversation_lookup",
-    oracle=golden_values_sql(
-        [r for r in _report_conv_rows(_sim().segment_rows())
-         if r["conversation_id_short"] == "TK009"],
-        _REPORT_CONV_COLS,
-    ),
-    doc=(
-        "O3: the reference destructures filter_conv_id from req.params but "
-        "the route defines no params, so the filter is dead (routes/"
-        "index.js:8, a bug). This is that filter implemented as intended: "
-        "point lookup by conversation_id — at scale this prunes partitions "
-        "instead of scanning."
-    ),
-)
 def taskrouter_conversation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: the reference destructures filter_conv_id from req.params but
+    the route defines no params, so the filter is dead (routes/
+    index.js:8, a bug). This is that filter implemented as intended:
+    point lookup by conversation_id — at scale this prunes partitions
+    instead of scanning."""
     return _report_conversations_df(spark).filter(
         F.col("conversation_id_short") == "TK009"
     )
+
+
+@register(
+    "taskrouter_report_conversations",
+    oracle=f"""
+        SELECT 'all' AS scope, * FROM (
+          {golden_values_sql(_report_conv_rows(_sim().segment_rows()), _REPORT_CONV_COLS)}
+        )
+        UNION ALL
+        SELECT 'TK009' AS scope, * FROM (
+          {golden_values_sql(
+              [r for r in _report_conv_rows(_sim().segment_rows())
+               if r["conversation_id_short"] == "TK009"],
+              _REPORT_CONV_COLS,
+          )}
+        )
+    """,
+    doc=(
+        "O2 + O3 report surface, union-tagged by `scope`: the full "
+        "conversations table as the report renders it, plus the intended "
+        "(reference-dead, routes/index.js:8) conversation point-lookup "
+        "filter — each scope against its own golden-sim VALUES oracle."
+    ),
+)
+def taskrouter_report_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _report_conversations_df(spark).select(F.lit("all").alias("scope"), "*")
+    b = taskrouter_conversation_lookup(spark, sf_dir).select(
+        F.lit("TK009").alias("scope"), "*"
+    )
+    return a.unionByName(b)
 
 
 _REPORT_AGENT_COLS = [
@@ -396,6 +407,10 @@ def taskrouter_segments_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         batches.append(
             spark.createDataFrame(rows, "arrival_idx bigint, raw string")
         )
+    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+
+    sc = spark.sparkContext
+    before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
         initialize_taskrouter(spark, batches[0], d)
         for b in batches[1:]:
@@ -405,6 +420,7 @@ def taskrouter_segments_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         out = spark.read.parquet(f"{d}/segments").select(*cols).localCheckpoint(
             eager=True
         )
+    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
     return out
 
 
@@ -732,3 +748,49 @@ def taskrouter_segments_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agent_manager",
         )
     )
+
+
+@register(
+    "taskrouter_materialized_roundtrip",
+    bench=False,  # materialization harness: three parquet writes + read-back
+    oracle=golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS),
+    doc=(
+        "S4/S5/P12 sink round-trip: materialize the event log (append-only, "
+        "event-date partitioned), the segments fact (segment-date "
+        "partitioned, uuid row ids minted at write time) and the agents "
+        "dimension to parquet, then read the fact BACK from storage. The "
+        "build asserts every durable row carries a unique uuid (P12, "
+        "reference events.js:217) before dropping it; the read-back rows "
+        "must equal the golden-sim segment oracle — storage adds or loses "
+        "nothing."
+    ),
+)
+def taskrouter_materialized_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.sinks import materialize_taskrouter
+
+    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+
+    sc = spark.sparkContext
+    before = set(persistent_rdd_entries(sc))
+    cols = [c for c, _ in S.SEGMENT_COLUMNS]
+    with tempfile.TemporaryDirectory() as d:
+        paths = materialize_taskrouter(spark, fixture_df(spark), d)
+        seg = spark.read.parquet(paths["segments"])
+        ids = seg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("uuid")).alias("nu"),
+        ).head()
+        if ids["n"] != ids["nu"] or ids["n"] == 0:
+            raise AssertionError(
+                f"P12 uuid contract violated: {ids['n']} rows, {ids['nu']} distinct uuids"
+            )
+        # also touch the other two sinks so the round-trip covers S4 + dim
+        n_log = spark.read.parquet(paths["event_log"]).count()
+        n_agents = spark.read.parquet(paths["agents"]).count()
+        if n_log == 0 or n_agents == 0:
+            raise AssertionError("empty event_log/agents materialization")
+        out = seg.select(*cols).localCheckpoint(eager=True)
+    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
+    return out

@@ -98,6 +98,15 @@ def unpersist_rdd_ids(sc, ids) -> None:
         if r is not None:
             r.unpersist(False)
 
+
+def pin_new_checkpoints(sc, before: set) -> None:
+    """Defer release of checkpoint RDDs created since ``before`` to
+    release_caches() — for localCheckpoint-backed RESULTS, whose blocks
+    must live until the consumer has evaluated them (catalog clearCache
+    cannot see checkpoint blocks at all)."""
+    ids = set(persistent_rdd_entries(sc)) - before
+    track_release(lambda: unpersist_rdd_ids(sc, ids))
+
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
 # in dict order. ``priority`` budgets that window explicitly:
 #   0 — the TaskRouter domain pipeline + streaming harnesses (the queries
@@ -230,6 +239,7 @@ def _load_all() -> None:
     from .operators import multimodal  # noqa: F401
     from .operators import sampling  # noqa: F401
     from .operators import vectorized  # noqa: F401
+    from .sources import admission  # noqa: F401
     from .sources import bucketing  # noqa: F401
     from .plans import taskrouter_queries  # noqa: F401
 
