@@ -155,3 +155,34 @@ def test_cube_single_expand_pass(spark, sf_dir):
     plan = _plan(spark, "events_type_day_cube", sf_dir)
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_doc_text_profile_single_partitioning(spark, sf_dir):
+    """All five metric families aggregate AND join on doc_id — the 5-way
+    profile join must not introduce any other exchange key."""
+    import re
+
+    plan = _plan(spark, "doc_text_profile", sf_dir)
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
+    }
+    assert keys <= {"doc_id"}, keys
+
+
+def test_knn_methods_only_exact_variants_broadcast_nested_loop(spark, sf_dir):
+    """The union plan may contain the exact variants' deliberate 8-row
+    broadcast cross joins but no cartesian product anywhere."""
+    plan = _plan(spark, "knn_methods", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_tokenizes_once(spark, sf_dir):
+    """The exact and near variants share ONE persisted gated profile —
+    the token explode must appear in a single (cached) subtree, not once
+    per variant branch."""
+    df = all_queries()["corpus_prep"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the near branch reads the same InMemoryRelation the exact branch
+    # builds; a second Generate outside the cache means the share broke
+    assert "InMemoryRelation" in plan

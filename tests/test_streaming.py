@@ -360,3 +360,95 @@ def test_streaming_restart_exactly_once(spark):
         assert batch.exceptAll(stream.select(batch.columns)).count() == 0
         assert stream.select(batch.columns).exceptAll(batch).count() == 0
         shutil.rmtree(fact, ignore_errors=True)
+
+
+def test_kafka_wire_schema_end_to_end(spark, tmp_path):
+    """The Kafka path minus only the broker: fixture CloudEvents encoded
+    in Kafka's EXACT source schema (key/value binary, topic, partition,
+    offset, broker timestamp) stream through
+    cloudevents_from_kafka_records → the stateful lifecycle, and must
+    emit the same segments as the certified text-file harness — proving
+    the wire-format adaptation loses/adds nothing and transport metadata
+    is correctly ignored."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twilio_event_streams_reporting_example_spark.streaming.kafka_source import (
+        cloudevents_from_kafka_records,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        conversation_segments_stream,
+        run_fixture_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    indir = str(tmp_path / "kafka_in")
+    os.makedirs(indir)
+    ordered = sorted(FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"])
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_schema = pa.schema(
+        [
+            ("key", pa.binary()),
+            ("value", pa.binary()),
+            ("topic", pa.string()),
+            ("partition", pa.int32()),
+            ("offset", pa.int64()),
+            ("timestamp", pa.timestamp("us")),
+            ("timestampType", pa.int32()),
+        ]
+    )
+    files = 6
+    chunk = max(1, (len(ordered) + files - 1) // files)
+    for i in range(0, len(ordered), chunk):
+        batch = ordered[i : i + chunk]
+        table = pa.table(
+            {
+                "key": [
+                    (e["data"]["payload"].get("task_sid") or "k").encode()
+                    for e in batch
+                ],
+                "value": [json.dumps(e).encode() for e in batch],
+                "topic": ["cloudevents"] * len(batch),
+                "partition": [idx % 3 for idx in range(len(batch))],
+                "offset": [i + idx for idx in range(len(batch))],
+                # broker timestamp: engine must not read it
+                "timestamp": [None] * len(batch),
+                "timestampType": [0] * len(batch),
+            },
+            schema=pa_schema,
+        )
+        p = os.path.join(indir, f"batch-{i:04d}.parquet")
+        pq.write_table(table, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.schema(kafka_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    seg = conversation_segments_stream(cloudevents_from_kafka_records(raw))
+    q = (
+        seg.writeStream.format("memory")
+        .queryName("tr_kafka_wire_segments")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("tr_kafka_wire_segments")
+    want = run_fixture_stream(spark, str(tmp_path / "textref"))
+    want = want.select(*got.columns)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert got.count() > 0

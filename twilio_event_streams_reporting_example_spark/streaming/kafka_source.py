@@ -54,6 +54,21 @@ def kafka_cloudevents_reader(
     return reader
 
 
+def cloudevents_from_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka WIRE SCHEMA → the shared ``parse_stream`` contract.
+
+    ``records`` must carry Kafka's source schema (``key``/``value``
+    binary, ``topic``, ``partition``, ``offset``, ``timestamp``,
+    ``timestampType``): the CloudEvent JSON is the UTF-8 ``value``; keys,
+    offsets, and broker timestamps are transport metadata the engine
+    deliberately ignores (event time comes from the payload, redelivery
+    is handled by CloudEvent-id dedup within the watermark). Split out
+    from the reader so the wire-format adaptation is testable without a
+    broker — tests/test_streaming.py feeds a file-backed stream with this
+    exact schema through the full stateful pipeline."""
+    return parse_stream(records.select(F.col("value").cast("string").alias("value")))
+
+
 def kafka_events_stream(
     spark: SparkSession, bootstrap_servers: str, topic: str
 ) -> DataFrame:
@@ -61,4 +76,4 @@ def kafka_events_stream(
     event stream (the shared ``parse_stream`` contract). Requires the
     spark-sql-kafka connector on the classpath."""
     raw = kafka_cloudevents_reader(spark, bootstrap_servers, topic).load()
-    return parse_stream(raw.select(F.col("value").cast("string").alias("value")))
+    return cloudevents_from_kafka_records(raw)
