@@ -17,8 +17,10 @@ from twilio_event_streams_reporting_example_spark.registry import (
 SWEEP = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters",  # shared persisted pairs + both CC loops
     "embedding_duplicate_clusters",
+    "corpus_prep",  # persisted gated profile + CC via near-dup removal
+    "knn_methods",  # five-strategy union
 )
 
 

@@ -78,3 +78,61 @@ def test_star_cc_matches_hashmin_on_adversarial_graphs(spark):
     assert star_cc == hashmin
     # the chain's far end must have converged all the way down to 1
     assert star_cc[40] == 1
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Both distributed algorithms vs an independent driver-side
+    union-find oracle over seeded random graphs — including self-loops,
+    duplicate/reversed edges, and many small components (the dedup
+    shape)."""
+    import random
+
+    from twilio_event_streams_reporting_example_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: every node -> min of its component
+        out = {}
+        for n in list(parent):
+            r = find(n)
+            out[n] = min(out.get(r, r), r)
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        nodes = list(range(1, 120))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+        ] + [(n, n) for n in rng.sample(nodes, 5)]  # self-loops
+        edges += [(b, a) for a, b in rng.sample(edges, 20)]  # reversed dups
+        want = union_find(edges)
+        # union-find roots are path-compressed mins only if we normalize:
+        roots = {}
+        for n, r in want.items():
+            roots.setdefault(r, set()).add(n)
+        canon = {n: min(m) for r, m in roots.items() for n in m}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got_hm = {
+            r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        }
+        got_st = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got_hm == canon, f"hash-min mismatch seed={seed}"
+        assert got_st == canon, f"star mismatch seed={seed}"
