@@ -701,29 +701,135 @@ _LANG_SCORE_COLS = [f"score_{lg}" for lg in sorted(LANG_MARKERS)]
     doc=(
         "The per-document text-analysis PROFILE: token counting, Gopher-"
         "style quality gates, language-ID, positional rolling-hash "
-        "fingerprint, and repetition gates joined into one wide row per "
-        "document on the all-docs token-stats spine. Each metric family "
-        "keeps its own independent oracle derivation (joined the same "
-        "way in DuckDB), so one driver row certifies all five operators; "
-        "the individual functions remain the composable public API."
+        "fingerprint, and repetition gates in ONE wide row per document — "
+        "computed SINGLE-PASS: the corpus is tokenized once (persisted "
+        "posexplode), the (doc, token) count table feeds stats + quality + "
+        "language + top-token in one partial-aggregated pass, and only the "
+        "order-sensitive families (fingerprint, bigrams) re-read the cached "
+        "tokens. At 100 TB this is 1 scan+explode instead of the 5 the "
+        "naive per-family composition would run. The ORACLE stays the "
+        "five-way join of each family's independent derivation, so the "
+        "fused plan is certified cell-for-cell against the unfused "
+        "semantics; the individual functions remain the composable API."
     ),
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = doc_token_stats(spark, sf_dir)
-    q = doc_quality(spark, sf_dir).select(
-        "doc_id", "stop_hits", "len_ok", "word_len_ok", "diversity_ok",
-        "stopword_ok", "quality_score",
+    from pyspark.sql import Window as W
+
+    from ..registry import track
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = track(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+        ).persist()
     )
-    lid = language_id(spark, sf_dir)
-    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
-    rep = doc_repetition_stats(spark, sf_dir).select(
-        "doc_id", "top_token_n", "top_token_frac", "n_bigrams",
-        "top_bigram_n", "top_bigram_frac", "dup_token_frac",
-        "rep_token_ok", "rep_bigram_ok",
+
+    # (doc, token) counts: one table answers stats, quality, language-ID
+    # and the repetition top-token in a single further aggregation.
+    tcnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    langs = sorted(LANG_MARKERS)
+    fam = tcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_dis"),
+        F.sum(F.length("token") * F.col("c")).alias("tchars"),
+        F.sum(
+            F.when(F.col("token").isin(STOPWORDS), F.col("c")).otherwise(0)
+        ).alias("shits"),
+        F.max("c").alias("top_token_n"),
+        *[
+            F.sum(
+                F.when(F.col("token").isin(LANG_MARKERS[lg]), F.col("c")).otherwise(0)
+            ).alias(f"score_{lg}")
+            for lg in langs
+        ],
     )
+
+    # order-sensitive families over the SAME cached tokens
+    pow_table = F.array(*[F.lit(p) for p in FP_POWS])
+    term = (
+        (token_hash(F.col("token")) % FP_P)
+        * F.element_at(pow_table, (F.col("pos") % 16) + 1).cast("long")
+    ) % FP_P
+    fp = tok.groupBy("doc_id").agg((F.sum(term) % FP_P).alias("fingerprint"))
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    bstats = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams_raw"), F.max("c").alias("top_bigram_n_raw"))
+    )
+
+    prof = fam.join(fp, "doc_id").join(bstats, "doc_id", "left")
+
+    # gates/derived columns — identical expressions to the per-family ops
+    len_ok = F.col("n_tok").between(20, 100000)
+    word_len_ok = (F.col("tchars") * 10 >= F.col("n_tok") * 20) & (
+        F.col("tchars") * 10 <= F.col("n_tok") * 120
+    )
+    diversity_ok = F.col("n_dis") * 10 >= F.col("n_tok")
+    stopword_ok = F.col("shits") * 100 >= F.col("n_tok")
+    score = (
+        len_ok.cast("int") + word_len_ok.cast("int")
+        + diversity_ok.cast("int") + stopword_ok.cast("int")
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in langs:
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    # rep-family null semantics: for docs WITH tokens but no bigram the
+    # family coalesces bigram counts to 0; for docs with NO tokens the
+    # whole family row is absent (null after the spine join below) —
+    # n_tok.isNotNull() distinguishes the two on the fused row.
+    has_tokens = F.col("n_tok").isNotNull()
+    n_bigrams = F.when(has_tokens, F.coalesce("n_bigrams_raw", F.lit(0)))
+    top_bigram_n = F.when(has_tokens, F.coalesce("top_bigram_n_raw", F.lit(0)))
+
     return (
-        ts.join(q, "doc_id", "left")
-        .join(lid, "doc_id", "left")
-        .join(fp, "doc_id", "left")
-        .join(rep, "doc_id", "left")
+        docs.select("doc_id", "n_chars")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_tok", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_dis", F.lit(0)).alias("n_distinct_tokens"),
+            F.coalesce("tchars", F.lit(0)).alias("total_token_chars"),
+            (F.col("tchars").cast("double") / F.col("n_tok")).alias("avg_token_len"),
+            F.col("shits").alias("stop_hits"),
+            len_ok.alias("len_ok"),
+            word_len_ok.alias("word_len_ok"),
+            diversity_ok.alias("diversity_ok"),
+            stopword_ok.alias("stopword_ok"),
+            score.alias("quality_score"),
+            *[f"score_{lg}" for lg in langs],
+            pred.alias("predicted_lang"),
+            "fingerprint",
+            "top_token_n",
+            F.round(F.col("top_token_n").cast("double") / F.col("n_tok"), 9).alias(
+                "top_token_frac"
+            ),
+            n_bigrams.alias("n_bigrams"),
+            top_bigram_n.alias("top_bigram_n"),
+            F.round(
+                F.col("top_bigram_n_raw").cast("double") / F.col("n_bigrams_raw"), 9
+            ).alias("top_bigram_frac"),
+            F.round(
+                (F.col("n_tok") - F.col("n_dis")).cast("double") / F.col("n_tok"), 9
+            ).alias("dup_token_frac"),
+            (F.col("top_token_n") * 100 <= F.col("n_tok") * REP_TOKEN_PCT).alias(
+                "rep_token_ok"
+            ),
+            F.when(
+                has_tokens,
+                F.coalesce("top_bigram_n_raw", F.lit(0)) * 100
+                <= F.coalesce("n_bigrams_raw", F.lit(0)) * REP_BIGRAM_PCT,
+            ).alias("rep_bigram_ok"),
+        )
     )
