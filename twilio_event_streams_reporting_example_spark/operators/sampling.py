@@ -155,6 +155,9 @@ def stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64  # context-window size in tokens
 
 
+PACK_BUDGET = 4 * CHUNK_TOKENS  # packed context-window budget in tokens
+
+
 @register(
     "doc_chunking",
     oracle=f"""
@@ -163,31 +166,53 @@ CHUNK_TOKENS = 64  # context-window size in tokens
                  len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                  t -> t <> '')) AS n_tokens
           FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(unnest(range(0, CAST(ceil(CAST(n_tokens AS DOUBLE)
+                                                / {CHUNK_TOKENS}) AS BIGINT))) AS BIGINT)
+                   AS chunk_idx,
+                 n_tokens
+          FROM n WHERE n_tokens > 0
+        ),
+        sized AS (
+          SELECT *,
+                 CAST(LEAST({CHUNK_TOKENS}, n_tokens - chunk_idx * {CHUNK_TOKENS})
+                      AS BIGINT) AS chunk_tokens
+          FROM chunks
         )
-        SELECT doc_id,
-               CAST(unnest(range(0, CAST(ceil(CAST(n_tokens AS DOUBLE)
-                                              / {CHUNK_TOKENS}) AS BIGINT))) AS BIGINT)
-                 AS chunk_idx,
-               n_tokens
-        FROM n WHERE n_tokens > 0
+        SELECT doc_id, chunk_idx, n_tokens, chunk_tokens,
+               CAST((SUM(chunk_tokens) OVER (
+                       ORDER BY doc_id, chunk_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - chunk_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM sized
     """,
     doc=(
-        "Context-window chunking: each document becomes "
-        "ceil(n_tokens/{k}) chunk rows (doc_id, chunk_idx) — the "
-        "sequence-slicing step before packing a pretraining batch. "
-        "Pure per-row math + one explode: no shuffle, output size known "
-        "from the scan. The chunk token ranges are chunk_idx*{k} .. "
-        "min((chunk_idx+1)*{k}, n_tokens) by construction; downstream "
-        "slicing composes with F.slice on the token array."
-    ).replace("{k}", str(CHUNK_TOKENS)),
+        "Context-window chunking + deterministic SEQUENCE PACKING: each "
+        "document becomes ceil(n_tokens/{k}) chunk rows, each chunk gets "
+        "its token count, and chunks are streamed in (doc_id, chunk_idx) "
+        "order into fixed {b}-token bins (bin_id = exclusive-prefix-sum "
+        "div budget — the standard streaming pack; a chunk never splits, "
+        "a bin may overflow by at most one chunk tail). The prefix sum is "
+        "computed in the SCALE-SAFE two-phase form: per-doc running sums "
+        "partition by doc_id, and only ONE ROW PER DOCUMENT (its chunk-"
+        "token total) flows through the global ordering that assigns doc "
+        "start offsets — the chunk rows themselves never pass through a "
+        "single-partition window. The oracle derives bin_id with a "
+        "direct global SQL cumsum — the two formulations must agree "
+        "bit-for-bit."
+    ).replace("{k}", str(CHUNK_TOKENS)).replace("{b}", str(PACK_BUDGET)),
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     from .dedup import tokens
 
     docs = load_table(spark, "documents", sf_dir)
     n_tok = F.size(tokens(F.col("text")))
     n_chunks = F.ceil(n_tok.cast("double") / CHUNK_TOKENS).cast("long")
-    return (
+    chunks = (
         docs.select("doc_id", n_tok.alias("n_tokens"), n_chunks.alias("nc"))
         .filter(F.col("n_tokens") > 0)
         .select(
@@ -196,6 +221,45 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chunk_idx"
             ),
             "n_tokens",
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.col("n_tokens") - F.col("chunk_idx") * CHUNK_TOKENS,
+            ),
+        )
+    )
+    # phase 1: per-doc exclusive running sum — partitioned by doc_id, no
+    # global movement of chunk rows
+    w_doc = (
+        W.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    chunks = chunks.withColumn(
+        "cum_in_doc", F.sum("chunk_tokens").over(w_doc) - F.col("chunk_tokens")
+    )
+    # phase 2: ONE row per doc (its total) through the global offset
+    # window; at 100 TB this is the doc-count-sized table, and the join
+    # back is co-partitioned on doc_id with phase 1's shuffle
+    doc_tot = chunks.groupBy("doc_id").agg(F.sum("chunk_tokens").alias("dt"))
+    w_glob = (
+        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    doc_off = doc_tot.select(
+        "doc_id", F.coalesce(F.sum("dt").over(w_glob), F.lit(0)).alias("doc_off")
+    )
+    return (
+        chunks.join(doc_off, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            "chunk_tokens",
+            # integer `div`, not double `/`: offsets at 100 TB exceed
+            # 2^53 and double division would mis-assign bins
+            F.expr(f"(doc_off + cum_in_doc) div {PACK_BUDGET}").alias("bin_id"),
         )
     )
 
