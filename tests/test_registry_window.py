@@ -41,6 +41,7 @@ def test_only_priority9_falls_outside_window():
         "multimodal_frame_sample",
         "dataset_split_stratified",
         "embedding_norms_arrow",
+        "mixture_weighted_sample",
     }
     assert set(tail) | set(in_window_p9) <= documented
 

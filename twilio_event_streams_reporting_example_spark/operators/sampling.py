@@ -372,3 +372,71 @@ def stratified_downsample_variants(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("partial_topk").alias("variant"), "*"
     )
     return a.unionByName(b)
+
+
+# ------------------------------------------------- domain mixture sampling
+
+# Per-language KEEP RATES (percent): the pretraining-mixture knob — e.g.
+# upweight en, downsample the rest. Unlisted languages fall back to the
+# default rate. Deterministic per row (content-keyed hash), so re-running
+# the pipeline or growing the corpus never flips a kept document.
+MIXTURE_KEEP_PCT = {"en": 90, "de": 50, "es": 40, "fr": 40}
+MIXTURE_DEFAULT_PCT = 25
+_MIX_SALT = ":mix1"  # decorrelate from the split and downsample hashes
+
+_SQL_MIX_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '" + _MIX_SALT + "'), 1, 4)) "
+    "AS UBIGINT) % 100"
+)
+_SQL_MIX_PCT = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in sorted(MIXTURE_KEEP_PCT.items())
+) + f" ELSE {MIXTURE_DEFAULT_PCT} END"
+
+
+@register(
+    "mixture_weighted_sample",
+    priority=9,  # per-stratum keep-rate variant of the in-window hash sampling ops
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST({_SQL_MIX_BUCKET} AS BIGINT) AS mix_bucket,
+               CAST({_SQL_MIX_PCT} AS BIGINT) AS keep_pct
+        FROM documents
+        WHERE {_SQL_MIX_BUCKET} < {_SQL_MIX_PCT}
+    """,
+    doc=(
+        "Domain-mixture sampling: keep each document iff its content-keyed "
+        "hash bucket falls under its language's keep rate — the "
+        "proportional mixture-reweighting a pretraining data recipe "
+        "applies per domain (complementing stratified_downsample's hard "
+        "per-stratum cap). A pure per-row filter: rides the scan, no "
+        "shuffle, deterministic under corpus growth, and the salt "
+        "decorrelates it from the train/val/test split and the downsample "
+        "order so composed recipes stay unbiased."
+    ),
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    pct = None
+    for lg, p in sorted(MIXTURE_KEEP_PCT.items()):
+        cond = F.col("lang") == lg
+        pct = F.when(cond, p) if pct is None else pct.when(cond, p)
+    pct = pct.otherwise(MIXTURE_DEFAULT_PCT)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            bucket.alias("mix_bucket"),
+            pct.cast("long").alias("keep_pct"),
+        )
+        .filter(F.col("mix_bucket") < F.col("keep_pct"))
+    )
