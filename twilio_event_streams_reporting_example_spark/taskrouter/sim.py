@@ -50,9 +50,6 @@ from .schema import (
     TASKROUTER_PREFIX,
 )
 
-_MISSING = object()
-
-
 def _js_or(*vals):
     """JS ``||``: first truthy value ('' / 0 / None are falsy)."""
     for v in vals:
