@@ -94,11 +94,14 @@ def main() -> int:
     }
 
     # Belt-and-braces copy for humans/judges even if stdout is mangled.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
-            json.dump(result, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # Opt-out for harnesses (e.g. the contract test at sf0.001) that must
+    # not clobber the committed full-scale artifact.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_ARTIFACT") != "1":
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+                json.dump(result, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     # Stop Spark BEFORE printing: no more async JVM stderr can interleave
     # with (or glue onto) the machine-read JSON line. Then emit the line in
