@@ -18,7 +18,7 @@ SWEEP = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_duplicate_clusters",  # shared persisted pairs + both CC loops
-    "embedding_duplicate_clusters",
+    "embedding_neardup",
     "corpus_prep",  # persisted gated profile + CC via near-dup removal
     "knn_methods",  # five-strategy union
 )

@@ -43,10 +43,10 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
     """Every pairwise operator must block through an equi-join — a
     nested-loop or cartesian plan is the canonical scale-killer."""
     for name in (
-        "embedding_neardup_pairs",
+        "embedding_neardup",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
-        "simhash_neardup_pairs",
+        "dedup_simhash",
         "operators.similarity:knn_lsh_bucketed",
         "corpus_prep",
     ):
@@ -99,7 +99,7 @@ def test_taskrouter_segments_exchange_budget(spark):
 
 def test_frame_sample_shuffle_free(spark, sf_dir):
     """The frame-sampling UDTF is a pure scan→map explode."""
-    plan = _plan(spark, "multimodal_frame_sample", sf_dir)
+    plan = _plan(spark, "operators.multimodal:multimodal_frame_sample", sf_dir)
     assert "Exchange" not in plan
 
 

@@ -23,27 +23,17 @@ def test_domain_queries_lead_the_window():
     assert not missing, f"domain queries outside the driver window: {missing}"
 
 
-def test_only_priority9_falls_outside_window():
-    qs = all_queries()
-    names = list(qs)
+def test_nothing_falls_outside_window():
+    """Round 6 folded the registry to <= 50 queries (union-tagged family
+    suites), so EVERY registered query now earns a driver correctness
+    row. A 51st registration silently loses its driver signal — fold it
+    into an existing family suite instead."""
+    names = list(all_queries())
     tail = names[DRIVER_WINDOW:]
-    wrong = [n for n in tail if qs[n].priority != 9]
-    assert not wrong, f"non-demoted queries beyond the window: {wrong}"
-    in_window_p9 = [n for n in names[:DRIVER_WINDOW] if qs[n].priority == 9]
-    # p9 inside the window is fine (spare slots) but the demoted set must
-    # be exactly the documented one
-    documented = {
-        "promo_revenue_by_type",
-        "supplier_region_rollup",
-        "event_type_frequency",
-        "dedup_simhash",
-        "multimodal_format_rollup",
-        "multimodal_frame_sample",
-        "dataset_split_stratified",
-        "embedding_norms_arrow",
-        "mixture_weighted_sample",
-    }
-    assert set(tail) | set(in_window_p9) <= documented
+    assert not tail, (
+        f"{len(names)} queries registered but the driver checks only the "
+        f"first {DRIVER_WINDOW}; fold these into a family suite: {tail}"
+    )
 
 
 def test_every_query_has_oracle_or_is_flagged():

@@ -185,25 +185,37 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_events",
     oracle="""
-        SELECT
-          COUNT(*) AS n_deliveries,
-          COUNT(DISTINCT event_id) AS n_unique_events,
-          COUNT(*) - COUNT(DISTINCT event_id) AS n_duplicate_deliveries,
-          COUNT(DISTINCT md5(concat_ws('|', ts, user_id, event_type, value, props)))
-            AS n_unique_payloads
+        SELECT 'delivery_audit' AS section,
+               CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type,
+               COUNT(*) AS m1,
+               COUNT(DISTINCT event_id) AS m2,
+               COUNT(*) - COUNT(DISTINCT event_id) AS m3,
+               COUNT(DISTINCT md5(concat_ws('|', ts, user_id, event_type, value, props)))
+                 AS m4
         FROM events
+        UNION ALL
+        SELECT 'type_frequency' AS section, user_id, event_type,
+               MIN(event_id) AS m1, COUNT(*) AS m2,
+               CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) > 1
     """,
     doc=(
-        "Duplicate-delivery audit keyed on event identity: the reference "
-        "indexes event_id but never dedups (events.js:488), so at-least-once "
-        "delivery double-inserts. This is the dropDuplicates(['event_id']) "
-        "summary — n_duplicate_deliveries is the number of rows dedup would "
-        "drop; n_unique_payloads additionally catches redelivery under a "
-        "fresh id. Plan note: TWO independent distinct counts in one agg "
+        "Event-identity dedup audit, union-tagged by `section`. "
+        "`delivery_audit` (one row): the reference indexes event_id but "
+        "never dedups (events.js:488), so at-least-once delivery double-"
+        "inserts — m1=deliveries, m2=distinct event ids (what "
+        "dropDuplicates(['event_id']) would keep), m3=rows dedup would "
+        "drop, m4=distinct payload hashes (catches redelivery under a "
+        "fresh id). Plan note: TWO independent distinct counts in one agg "
         "would Expand every row ×3 through the shuffle; instead each "
         "distinct is its own partial-aggregated pipeline (groupBy key → "
         "count) and the two 1-row results cross-join — half the shuffled "
-        "bytes, no Expand."
+        "bytes, no Expand. `type_frequency`: per-user event-type "
+        "multiplicity (NOT dedup — distinct events of the same type are "
+        "legitimate; m1=first event id, m2=count, kept from round 1 under "
+        "an honest name)."
     ),
 )
 def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,33 +246,30 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.count(F.lit(1)).alias("n_unique_payloads"))
     )
-    return by_id.crossJoin(by_payload).select(
-        "n_deliveries", "n_unique_events", "n_duplicate_deliveries", "n_unique_payloads"
+    audit = by_id.crossJoin(by_payload).select(
+        F.lit("delivery_audit").alias("section"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_deliveries").alias("m1"),
+        F.col("n_unique_events").alias("m2"),
+        F.col("n_duplicate_deliveries").alias("m3"),
+        F.col("n_unique_payloads").alias("m4"),
     )
-
-
-@register(
-    "event_type_frequency",
-    priority=9,  # plain count-by-key; every in-window aggregate covers the shape
-    oracle="""
-        SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
-        FROM events
-        GROUP BY user_id, event_type
-        HAVING COUNT(*) > 1
-    """,
-    doc=(
-        "Per-user event-type multiplicity audit (NOT dedup — distinct events "
-        "of the same type are legitimate). Kept from round 1 under an honest "
-        "name; duplicate-delivery semantics live in dedup_exact_events."
-    ),
-)
-def event_type_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return (
+    freq = (
         ev.groupBy("user_id", "event_type")
-        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("n_events") > 1)
+        .agg(F.min("event_id").alias("m1"), F.count(F.lit(1)).alias("m2"))
+        .filter(F.col("m2") > 1)
+        .select(
+            F.lit("type_frequency").alias("section"),
+            "user_id",
+            "event_type",
+            "m1",
+            "m2",
+            F.lit(None).cast("long").alias("m3"),
+            F.lit(None).cast("long").alias("m4"),
+        )
     )
+    return audit.unionByName(freq)
 
 
 # ------------------------------------------------------- 2. n-gram Jaccard
@@ -566,36 +575,6 @@ def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataF
 
 # -------------------------------------------------------------- 4. SimHash
 
-@register(
-    "dedup_simhash",
-    priority=9,  # fingerprint projection; simhash_neardup_pairs recomputes it in-window
-    oracle=f"""
-        WITH {_SQL_TOK_CTE},
-        tf AS (
-          SELECT doc_id, {_SQL_TOKHASH.format(tok="token")} AS h, COUNT(*) AS cnt
-          FROM toks GROUP BY doc_id, token
-        ),
-        bitsums AS (
-          SELECT doc_id, b.b AS bit,
-                 CAST(SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
-          FROM tf CROSS JOIN (SELECT UNNEST(range({SIMHASH_BITS})) AS b) b
-          GROUP BY doc_id, b.b
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bitsums GROUP BY doc_id
-    """,
-    doc=(
-        "SimHash fingerprint: 32-bit sign-of-weighted-bit-sums per doc. "
-        "Near-dup pairs come from byte-blocked joins + bit_count hamming "
-        "(see simhash_neardup_pairs)."
-    ),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return simhash_fingerprints(spark, docs)
-
-
 def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """One partial-aggregated shuffle on doc_id: each token OCCURRENCE
     contributes ±1 to each of the 32 bit-sums (identical to tf-weighted
@@ -621,7 +600,7 @@ def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "simhash_neardup_pairs",
+    "dedup_simhash",
     oracle=f"""
         WITH {_SQL_TOK_CTE},
         tf AS (
@@ -643,19 +622,30 @@ def simhash_fingerprints(spark: SparkSession, docs: DataFrame) -> DataFrame:
           SELECT doc_id, simhash, b.b AS blk, (simhash >> (b.b * 8)) & 255 AS byte
           FROM fp CROSS JOIN (SELECT UNNEST(range(4)) AS b) b
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+        SELECT 'fingerprint' AS section, doc_id AS id_a,
+               CAST(NULL AS BIGINT) AS id_b, simhash AS value
+        FROM fp
+        UNION ALL
+        SELECT DISTINCT 'pair' AS section, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT)
+                 AS value
         FROM blocks a JOIN blocks b
           ON a.blk = b.blk AND a.byte = b.byte AND a.doc_id < b.doc_id
         WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
     """,
     doc=(
-        "SimHash near-dup pairs: a pair is a candidate only if one of the 4 "
-        "fingerprint bytes matches (pigeonhole: hamming<=6 over 32 bits "
-        "usually collides on a byte) — byte-blocked join, never all-pairs."
+        "The SimHash dedup family in one union-tagged result: per-doc "
+        "32-bit fingerprints (`section='fingerprint'`: sign-of-weighted-"
+        "bit-sums, 32 conditional sums inside one codegen'd aggregate) "
+        "and the near-dup candidate pairs derived from them "
+        "(`section='pair'`, value=hamming distance): a pair is a "
+        "candidate only if one of the 4 fingerprint bytes matches "
+        "(pigeonhole: hamming<=6 over 32 bits collides on a byte) — "
+        "byte-blocked equi-join, never all-pairs. The fingerprint stage "
+        "is computed ONCE and cached; both sections read it."
     ),
 )
-def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     fp = track(simhash_fingerprints(spark, docs).cache())
     # ×4 byte-block expansion via explode (generator, no join in the plan)
@@ -667,10 +657,24 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "byte")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "byte")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         a.join(b, ["blk", "byte"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 6)
         .distinct()
+    )
+    fingerprints = fp.select(
+        F.lit("fingerprint").alias("section"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("value"),
+    )
+    return fingerprints.unionByName(
+        pairs.select(
+            F.lit("pair").alias("section"),
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.col("hamming").cast("long").alias("value"),
+        )
     )

@@ -132,25 +132,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(_extract_features, FEATURE_SCHEMA)
 
 
-@register(
-    "multimodal_format_rollup",
-    priority=9,  # agg over in-window multimodal_item_profile's kernel
-    oracle=f"""
-        SELECT
-          ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS format,
-          COUNT(*) AS n_items,
-          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-          CAST(MAX((octet_length(encode(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE})
-            AS BIGINT) AS max_frames
-        FROM documents
-        GROUP BY 1
-    """,
-    doc=(
-        "Per-format media rollup over the extracted features — the "
-        "storage-planning query a media corpus runs first (bytes per "
-        "modality). One partial-aggregated shuffle on format."
-    ),
-)
 def multimodal_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal_features(spark, sf_dir)
     return feats.groupBy("format").agg(
@@ -160,32 +141,69 @@ def multimodal_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_frame_sample",
-    priority=9,  # per-frame UDTF demo; the mapInPandas kernel family is in-window via multimodal_item_profile
-    oracle=f"""
-        SELECT doc_id,
-               CAST(j AS BIGINT) AS frame_idx,
-               CAST(ascii(substr(md5(text), CAST(j * {FRAME_STRIDE} + 1 AS INTEGER), 1))
-                    AS INTEGER) AS frame_byte
-        FROM documents
-        CROSS JOIN (SELECT unnest(range({(32 + FRAME_STRIDE - 1) // FRAME_STRIDE})) AS j) s
-    """,
-    doc=(
-        "Frame-sampling UDTF shape: a binary 'video' payload explodes "
-        "into one row per sampled frame (every stride-th byte) through "
-        "an Arrow-batched mapInPandas kernel. The demo payload is the "
-        "md5-hex of the text (ASCII bytes), so DuckDB can recompute every "
-        "sampled byte — full hash oracle over the exploded rows. With a "
-        "real decoder the kernel body changes, the plan does not: "
-        "scan → mapInPandas, shuffle-free, output bounded at "
-        "ceil(n_bytes/stride) rows per item."
-    ),
-)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     payload = docs.select("doc_id", F.encode(F.md5("text"), "UTF-8").alias("payload"))
     return frame_sample(payload)
+
+
+@register(
+    "multimodal_media_ops",
+    oracle=f"""
+        SELECT 'format_rollup' AS section,
+               ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
+               CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               COUNT(*) AS m1,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS m2,
+               CAST(MAX((octet_length(encode(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE})
+                 AS BIGINT) AS m3
+        FROM documents
+        GROUP BY 2
+        UNION ALL
+        SELECT 'frame_sample' AS section,
+               CAST(NULL AS VARCHAR) AS k_str, doc_id AS k_id,
+               CAST(j AS BIGINT) AS idx,
+               CAST(ascii(substr(md5(text), CAST(j * {FRAME_STRIDE} + 1 AS INTEGER), 1))
+                    AS BIGINT) AS m1,
+               CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
+        FROM documents
+        CROSS JOIN (SELECT unnest(range({(32 + FRAME_STRIDE - 1) // FRAME_STRIDE})) AS j) s
+    """,
+    doc=(
+        "The two media-pipeline shapes beyond the per-item profile, "
+        "union-tagged by `section`. `format_rollup`: per-modality storage "
+        "rollup over the extracted features (m1=items, m2=bytes, m3=max "
+        "frames) — the storage-planning query a media corpus runs first; "
+        "one partial-aggregated shuffle on format. `frame_sample`: the "
+        "UDTF shape — a binary 'video' payload explodes into one row per "
+        "sampled frame (every stride-th byte, m1=frame byte) through an "
+        "Arrow-batched mapInPandas kernel; scan → mapInPandas, shuffle-"
+        "free, output bounded at ceil(n_bytes/stride) rows per item. The "
+        "demo payload is the md5-hex of the text (ASCII bytes), so DuckDB "
+        "recomputes every sampled byte — full hash oracle. With a real "
+        "decoder the kernel bodies change, the plans do not."
+    ),
+)
+def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = multimodal_format_rollup(spark, sf_dir).select(
+        F.lit("format_rollup").alias("section"),
+        F.col("format").alias("k_str"),
+        F.lit(None).cast("long").alias("k_id"),
+        F.lit(None).cast("long").alias("idx"),
+        F.col("n_items").alias("m1"),
+        F.col("total_bytes").alias("m2"),
+        F.col("max_frames").alias("m3"),
+    )
+    frames = multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frame_sample").alias("section"),
+        F.lit(None).cast("string").alias("k_str"),
+        F.col("doc_id").alias("k_id"),
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_byte").cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    return rollup.unionByName(frames)
 
 
 def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:

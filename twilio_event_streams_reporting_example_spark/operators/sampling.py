@@ -51,22 +51,6 @@ _SQL_SPLIT = f"""CASE
       ELSE 'test' END"""
 
 
-@register(
-    "dataset_split_assignment",
-    oracle=f"""
-        SELECT doc_id, lang,
-               CAST({_SQL_BUCKET} AS BIGINT) AS split_bucket,
-               {_SQL_SPLIT} AS split
-        FROM documents
-    """,
-    doc=(
-        "Deterministic train/val/test assignment (80/10/10) via content-"
-        "keyed hash bucketing — a pure projection: no shuffle, no RNG, "
-        "stable under corpus growth. The property a random split column "
-        "cannot give: re-running the pipeline, or adding documents, never "
-        "moves an existing document across splits."
-    ),
-)
 def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     b = split_bucket(F.col("doc_id"))
@@ -78,24 +62,6 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dataset_split_stratified",
-    priority=9,  # audit agg over the in-window dataset_split_assignment expression
-    oracle=f"""
-        SELECT lang, split, COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM (
-          SELECT lang, n_chars, {_SQL_SPLIT} AS split FROM documents
-        )
-        GROUP BY lang, split
-    """,
-    doc=(
-        "Split-balance audit: per (lang, split) document and character "
-        "counts — the check that hash bucketing is unbiased across strata. "
-        "One partial-aggregated shuffle over (lang, split); the bucket "
-        "expression stays in the scan stage."
-    ),
-)
 def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
@@ -350,22 +316,6 @@ def stratified_downsample_partial(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "stratified_downsample",
-    oracle=f"""
-        SELECT 'window' AS variant, * FROM ({_DOWNSAMPLE_ORACLE})
-        UNION ALL
-        SELECT 'partial_topk' AS variant, * FROM ({_DOWNSAMPLE_ORACLE})
-    """,
-    doc=(
-        "Deterministic per-stratum downsample (keep K docs per language by "
-        "content-hash order) in BOTH physical strategies, union-tagged by "
-        "`variant`: the single per-stratum window, and the two-phase "
-        "partial top-K plan (per-core candidate cap, then a window over "
-        "n_partitions*K survivors — the 100 TB form). One oracle "
-        "derivation; the two plans must be bit-identical."
-    ),
-)
 def stratified_downsample_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = stratified_downsample(spark, sf_dir).select(F.lit("window").alias("variant"), "*")
     b = stratified_downsample_partial(spark, sf_dir).select(
@@ -393,27 +343,6 @@ _SQL_MIX_PCT = "CASE " + " ".join(
 ) + f" ELSE {MIXTURE_DEFAULT_PCT} END"
 
 
-@register(
-    "mixture_weighted_sample",
-    priority=9,  # per-stratum keep-rate variant of the in-window hash sampling ops
-    oracle=f"""
-        SELECT doc_id, lang,
-               CAST({_SQL_MIX_BUCKET} AS BIGINT) AS mix_bucket,
-               CAST({_SQL_MIX_PCT} AS BIGINT) AS keep_pct
-        FROM documents
-        WHERE {_SQL_MIX_BUCKET} < {_SQL_MIX_PCT}
-    """,
-    doc=(
-        "Domain-mixture sampling: keep each document iff its content-keyed "
-        "hash bucket falls under its language's keep rate — the "
-        "proportional mixture-reweighting a pretraining data recipe "
-        "applies per domain (complementing stratified_downsample's hard "
-        "per-stratum cap). A pure per-row filter: rides the scan, no "
-        "shuffle, deterministic under corpus growth, and the salt "
-        "decorrelates it from the train/val/test split and the downsample "
-        "order so composed recipes stay unbiased."
-    ),
-)
 def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     bucket = (
@@ -440,3 +369,113 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("mix_bucket") < F.col("keep_pct"))
     )
+
+
+# ------------------------------------------------------- folded sampling suite
+
+_NULL_ID = "CAST(NULL AS BIGINT)"
+
+
+@register(
+    "sampling_suite",
+    oracle=f"""
+        SELECT 'split_assignment' AS section, doc_id, lang,
+               CAST({_SQL_BUCKET} AS BIGINT) AS bucket, {_SQL_SPLIT} AS label,
+               {_NULL_ID} AS m1, {_NULL_ID} AS m2
+        FROM documents
+        UNION ALL
+        SELECT 'split_audit' AS section, {_NULL_ID} AS doc_id, lang,
+               {_NULL_ID} AS bucket, split AS label,
+               COUNT(*) AS m1, CAST(SUM(n_chars) AS BIGINT) AS m2
+        FROM (SELECT lang, n_chars, {_SQL_SPLIT} AS split FROM documents)
+        GROUP BY lang, split
+        UNION ALL
+        SELECT 'mixture_kept' AS section, doc_id, lang,
+               CAST({_SQL_MIX_BUCKET} AS BIGINT) AS bucket,
+               CAST(NULL AS VARCHAR) AS label,
+               CAST({_SQL_MIX_PCT} AS BIGINT) AS m1, {_NULL_ID} AS m2
+        FROM documents
+        WHERE {_SQL_MIX_BUCKET} < {_SQL_MIX_PCT}
+        UNION ALL
+        SELECT 'downsample_window' AS section, doc_id, lang,
+               {_NULL_ID} AS bucket, CAST(NULL AS VARCHAR) AS label,
+               sample_rank AS m1, {_NULL_ID} AS m2
+        FROM ({_DOWNSAMPLE_ORACLE})
+        UNION ALL
+        SELECT 'downsample_partial_topk' AS section, doc_id, lang,
+               {_NULL_ID} AS bucket, CAST(NULL AS VARCHAR) AS label,
+               sample_rank AS m1, {_NULL_ID} AS m2
+        FROM ({_DOWNSAMPLE_ORACLE})
+    """,
+    doc=(
+        "The deterministic corpus-sampling toolkit in one union-tagged "
+        "result (each section keeps its own independent oracle "
+        "derivation). `split_assignment`: content-keyed 80/10/10 "
+        "train/val/test hash bucketing — a pure projection (no shuffle, "
+        "no RNG; corpus growth never moves an existing doc across "
+        "splits). `split_audit`: the per-(lang, split) balance check "
+        "(m1=docs, m2=chars), one partial-aggregated shuffle. "
+        "`mixture_kept`: domain-mixture sampling — keep a doc iff its "
+        "salted hash bucket falls under its language's keep rate; a "
+        "per-row filter that rides the scan. `downsample_window` / "
+        "`downsample_partial_topk`: keep at most K docs per language by "
+        "content-hash order in BOTH physical strategies — the single "
+        "per-stratum window, and the two-phase partial top-K plan "
+        "(per-core candidate cap, then a window over n_partitions*K "
+        "survivors — the 100 TB form); one oracle derivation, the two "
+        "plans must be bit-identical. All three hash families are "
+        "salt-decorrelated so composed recipes stay unbiased."
+    ),
+)
+def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nid = F.lit(None).cast("long")
+    nstr = F.lit(None).cast("string")
+    assignment = dataset_split_assignment(spark, sf_dir).select(
+        F.lit("split_assignment").alias("section"),
+        "doc_id",
+        "lang",
+        F.col("split_bucket").alias("bucket"),
+        F.col("split").alias("label"),
+        nid.alias("m1"),
+        nid.alias("m2"),
+    )
+    audit = dataset_split_stratified(spark, sf_dir).select(
+        F.lit("split_audit").alias("section"),
+        nid.alias("doc_id"),
+        "lang",
+        nid.alias("bucket"),
+        F.col("split").alias("label"),
+        F.col("n_docs").alias("m1"),
+        F.col("total_chars").alias("m2"),
+    )
+    mixture = mixture_weighted_sample(spark, sf_dir).select(
+        F.lit("mixture_kept").alias("section"),
+        "doc_id",
+        "lang",
+        F.col("mix_bucket").alias("bucket"),
+        nstr.alias("label"),
+        F.col("keep_pct").alias("m1"),
+        nid.alias("m2"),
+    )
+    def _ds(section: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            "doc_id",
+            "lang",
+            nid.alias("bucket"),
+            nstr.alias("label"),
+            F.col("sample_rank").alias("m1"),
+            nid.alias("m2"),
+        )
+
+    parts = [
+        assignment,
+        audit,
+        mixture,
+        _ds("downsample_window", stratified_downsample(spark, sf_dir)),
+        _ds("downsample_partial_topk", stratified_downsample_partial(spark, sf_dir)),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register, track
 from ..sources.tables import load_table
+from .vectorized import NORMS_ORACLE as _NORMS_ORACLE
 
 N_QUERIES = 8  # vec_id < N_QUERIES form the query set in the demo queries
 TOP_K = 10
@@ -303,32 +304,6 @@ _ND_BANDS_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "embedding_neardup_pairs",
-    oracle=f"""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ),
-        bands AS ({_ND_BANDS_SQL}),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.bkt = b.bkt
-          WHERE a.vec_id < b.vec_id
-        )
-        SELECT cand.id_a, cand.id_b, {_COSINE_SQL} AS score
-        FROM cand
-        JOIN e q ON q.vec_id = cand.id_a
-        JOIN e c ON c.vec_id = cand.id_b
-        WHERE {_COSINE_SQL} > {NEARDUP_THRESHOLD}
-    """,
-    doc=(
-        "Embedding-cosine near-dup pairs (dedup north star), banded-LSH "
-        "blocked: a pair is rescored only if all planes of some band agree "
-        "(candidate volume bounded by bucket sizes, never all-pairs — the "
-        "plan is bucket equi-joins, no BroadcastNestedLoopJoin). Recall for "
-        "true near-dups (cos>=0.9) ~ 0.99 at 5 bands x 3 planes."
-    ),
-)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = track(with_norm(
         load_table(spark, "embeddings", sf_dir).select(
@@ -363,10 +338,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_duplicate_clusters",
-    oracle=f"""
-        WITH RECURSIVE e AS (
+_ND_PAIRS_SQL = f"""
+        e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         bands AS ({_ND_BANDS_SQL}),
@@ -376,12 +349,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE a.vec_id < b.vec_id
         ),
         pairs AS (
-          SELECT cand.id_a, cand.id_b
+          SELECT cand.id_a, cand.id_b, {_COSINE_SQL} AS score
           FROM cand
           JOIN e q ON q.vec_id = cand.id_a
           JOIN e c ON c.vec_id = cand.id_b
           WHERE {_COSINE_SQL} > {NEARDUP_THRESHOLD}
-        ),
+        )
+"""
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+        WITH RECURSIVE {_ND_PAIRS_SQL},
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION
@@ -393,20 +373,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT ed.dst, r.lab FROM reach r JOIN edges ed ON ed.src = r.node
         ),
         cc AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
-        SELECT vec_id, cluster_id,
-               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
-               CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        SELECT 'pair' AS section, id_a, id_b, score,
+               CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2
+        FROM pairs
+        UNION ALL
+        SELECT 'cluster' AS section, vec_id AS id_a, cluster_id AS id_b,
+               CAST(NULL AS DOUBLE) AS score,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS m1,
+               CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS m2
         FROM cc
     """,
     doc=(
-        "Embedding near-dup pairs → duplicate groups: the SAME "
-        "connected-components operator (operators/graph.py) over the "
-        "banded-LSH cosine pairs — the cluster builder is pair-source-"
-        "agnostic (MinHash text pairs and embedding pairs compose "
-        "identically). Oracle: independent recursive-CTE closure."
+        "Embedding-cosine near-dup, pairs AND duplicate groups in one "
+        "union-tagged result. `pair` (id_a, id_b, score): banded-LSH "
+        "blocked — a pair is rescored only if all planes of some band "
+        "agree (candidate volume bounded by bucket sizes, never "
+        "all-pairs; bucket equi-joins, no BroadcastNestedLoopJoin; "
+        "recall ~0.99 for cos>=0.9 at 5 bands x 3 planes). `cluster` "
+        "(id_a=vec_id, id_b=cluster_id, m1=members, m2=is_keeper): the "
+        "SAME connected-components operator (operators/graph.py) over "
+        "those pairs — the cluster builder is pair-source-agnostic "
+        "(MinHash text pairs compose identically). The pair stage is "
+        "computed ONCE and cached; both sections read it (folding the "
+        "two former registrations halved the LSH work). Oracle: "
+        "independent recursive-CTE closure."
     ),
 )
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import connected_components
+
+    pairs = track(embedding_neardup_pairs(spark, sf_dir).cache())
+    cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    w = W.partitionBy("cluster_id")
+    nulld = F.lit(None).cast("double")
+    nulll = F.lit(None).cast("long")
+    pair_rows = pairs.select(
+        F.lit("pair").alias("section"),
+        "id_a",
+        "id_b",
+        "score",
+        nulll.alias("m1"),
+        nulll.alias("m2"),
+    )
+    cluster_rows = cc.select(
+        F.lit("cluster").alias("section"),
+        F.col("node").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        nulld.alias("score"),
+        F.count(F.lit(1)).over(w).alias("m1"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("m2"),
+    )
+    return pair_rows.unionByName(cluster_rows)
+
+
 def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone cluster form (kept composable; registered via the
+    `cluster` section of embedding_neardup)."""
     from .graph import connected_components
 
     pairs = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -765,6 +787,11 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ivf' AS method, * FROM ({_KNN_IVF_ORACLE})
         UNION ALL
         SELECT 'ivf_kmeans' AS method, * FROM ({_KNN_IVF_KMEANS_ORACLE})
+        UNION ALL
+        SELECT 'arrow_l2norm' AS method, vec_id AS query_id,
+               CAST(NULL AS BIGINT) AS neighbor_id, l2_norm AS score,
+               CAST(NULL AS INTEGER) AS rk
+        FROM ({_NORMS_ORACLE})
     """,
     doc=(
         "Top-k cosine neighbor search in all FIVE physical strategies, "
@@ -773,7 +800,11 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact plans must agree), the sign-LSH bucket-pruned path, IVF "
         "with deterministic seed centroids, and IVF after Lloyd-refined "
         "k-means training. Each method keeps its own independent DuckDB "
-        "oracle derivation, so one driver row checks every ANN strategy."
+        "oracle derivation, so one driver row checks every ANN strategy. "
+        "A sixth section, `arrow_l2norm`, certifies the Arrow-batched "
+        "pandas_udf extension point (per-vector L2 norms through the "
+        "vectorized Python kernel — the deliberate Python op; the "
+        "production norm stays JVM-side in with_norm)."
     ),
 )
 def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +823,17 @@ def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = [
         fn(spark, sf_dir).select(F.lit(m).alias("method"), "*") for m, fn in parts
     ]
+    from .vectorized import embedding_norms_arrow
+
+    dfs.append(
+        embedding_norms_arrow(spark, sf_dir).select(
+            F.lit("arrow_l2norm").alias("method"),
+            F.col("vec_id").alias("query_id"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.col("l2_norm").alias("score"),
+            F.lit(None).cast("int").alias("rk"),
+        )
+    )
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)

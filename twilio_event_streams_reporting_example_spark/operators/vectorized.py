@@ -47,25 +47,24 @@ def _l2_norm_arrow():
     return fn
 
 
-@register(
-    "embedding_norms_arrow",
-    priority=9,  # deliberate-Python-op demo; JVM-fold parity is tested locally
-    oracle="""
+# Oracle derivation for the Arrow-norm section folded into knn_methods
+# (similarity.py); kept here beside the kernel it describes.
+NORMS_ORACLE = """
         SELECT vec_id,
                round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 9)
                  AS l2_norm
         FROM embeddings
-    """,
-    doc=(
-        "Embedding L2 norms through the Arrow-batched pandas_udf "
-        "extension point — the one deliberately-Python operator, proving "
-        "the UDF surface end-to-end (Arrow batch transfer, numpy kernel, "
-        "9dp cross-engine rounding). Pure projection: no shuffle, scan-"
-        "speed minus the Arrow tax; the production norm stays in the JVM "
-        "(similarity.with_norm) and a test pins both formulations equal."
-    ),
-)
+"""
+
+
 def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norms through the Arrow-batched pandas_udf
+    extension point — the one deliberately-Python operator, proving
+    the UDF surface end-to-end (Arrow batch transfer, numpy kernel,
+    9dp cross-engine rounding). Pure projection: no shuffle, scan-
+    speed minus the Arrow tax; the production norm stays in the JVM
+    (similarity.with_norm) and a test pins both formulations equal.
+    Registered as the `arrow_l2norm` section of knn_methods."""
     emb = load_table(spark, "embeddings", sf_dir)
     norm = _l2_norm_arrow()
     return emb.select(

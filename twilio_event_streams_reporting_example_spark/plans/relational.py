@@ -359,35 +359,6 @@ def events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "promo_revenue_by_type",
-    priority=9,  # third star-join conditional agg; pricing_summary/revenue_by_nation in-window
-    oracle="""
-        SELECT
-          p.p_type,
-          COUNT(*) AS n_lines,
-          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-            AS revenue,
-          round(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9)
-            AS promo_share
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_type
-    """,
-    doc=(
-        "TPC-H Q14-style promo revenue per part type: fact⋈part-dimension "
-        "join with DECIMAL-exact discounted revenue and a 9dp-rounded "
-        "promo share. The part dimension is explicitly BROADCAST — at "
-        "100 TB lineitem never shuffles for a dimension join; filters on "
-        "p_type prune map-side. Division of two decimal-exact doubles is "
-        "IEEE-deterministic, so the share hash-matches bit-for-bit."
-    ),
-)
 def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
@@ -419,32 +390,6 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "supplier_region_rollup",
-    priority=9,  # second ROLLUP demo; order_priority_rollup holds the window slot
-    oracle="""
-        SELECT
-          r.r_name AS region,
-          n.n_name AS nation,
-          COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
-          COUNT(*) AS n_lines,
-          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-            AS gross_revenue
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name, n.n_name
-    """,
-    doc=(
-        "Supplier-geography rollup (TPC-H Q5 family): the fact joined "
-        "through the supplier→nation→region snowflake, every dimension "
-        "hop BROADCAST so lineitem crosses zero exchanges before the "
-        "final (region, nation) aggregation. Covers the last two unused "
-        "tables of the driver schema (supplier, and part above): all ten "
-        "tables now have registered, oracle-checked queries."
-    ),
-)
 def supplier_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     sup = load_table(spark, "supplier", sf_dir)
@@ -465,6 +410,68 @@ def supplier_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gross_revenue"),
         )
     )
+
+
+@register(
+    "star_join_rollups",
+    oracle="""
+        SELECT 'promo_by_type' AS family,
+               p.p_type AS k1, CAST(NULL AS VARCHAR) AS k2,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS m1,
+               round(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9)
+                 AS m2
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+        UNION ALL
+        SELECT 'supplier_region' AS family,
+               r.r_name AS k1, n.n_name AS k2,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m1,
+               CAST(COUNT(DISTINCT s.s_suppkey) AS DOUBLE) AS m2
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc=(
+        "Two broadcast-dimension star rollups, union-tagged by `family`: "
+        "TPC-H Q14-style promo revenue per part type (m1=decimal-exact "
+        "revenue, m2=9dp promo share) and the Q5-family supplier→nation→"
+        "region snowflake rollup (m1=gross revenue, m2=distinct "
+        "suppliers). Every dimension hop is explicitly BROADCAST — at "
+        "100 TB lineitem never crosses an exchange before its final "
+        "group-key aggregation; filters on dimension columns prune "
+        "map-side. Together with pricing_summary/revenue_by_nation these "
+        "keep all ten driver tables under oracle-checked coverage."
+    ),
+)
+def star_join_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    promo = promo_revenue_by_type(spark, sf_dir).select(
+        F.lit("promo_by_type").alias("family"),
+        F.col("p_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n_lines",
+        F.col("revenue").alias("m1"),
+        F.col("promo_share").alias("m2"),
+    )
+    supp = supplier_region_rollup(spark, sf_dir).select(
+        F.lit("supplier_region").alias("family"),
+        F.col("region").alias("k1"),
+        F.col("nation").alias("k2"),
+        "n_lines",
+        F.col("gross_revenue").alias("m1"),
+        F.col("n_suppliers").cast("double").alias("m2"),
+    )
+    return promo.unionByName(supp)
 
 
 @register(

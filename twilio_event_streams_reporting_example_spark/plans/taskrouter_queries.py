@@ -325,31 +325,6 @@ def taskrouter_agent_activity_report(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "taskrouter_queue_percentiles",
-    oracle=f"""
-        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
-        SELECT
-          "queue",
-          COUNT(queue_time) AS n_queue_obs,
-          round(quantile_cont(CAST(queue_time AS DOUBLE), 0.5), 9) AS queue_p50,
-          round(quantile_cont(CAST(queue_time AS DOUBLE), 0.9), 9) AS queue_p90,
-          round(quantile_cont(CAST(talk_time AS DOUBLE), 0.5), 9) AS talk_p50,
-          round(quantile_cont(CAST(talk_time AS DOUBLE), 0.9), 9) AS talk_p90
-        FROM seg
-        WHERE segment_kind IN ('QUEUE', 'CONVERSATION')
-        GROUP BY "queue"
-    """,
-    doc=(
-        "Distribution KPIs (p50/p90 wait and talk) per queue — the SLA "
-        "percentile layer Flex Insights reports on top of segments. Exact "
-        "linear-interpolation percentiles (Spark `percentile` == DuckDB "
-        "`quantile_cont`, verified bit-identical; both sides round to 9dp "
-        "as drift defense). One partial-aggregated shuffle; at 100 TB "
-        "swap `percentile` for `percentile_approx` (t-digest sketch, "
-        "mergeable map-side) — same plan shape, bounded memory."
-    ),
-)
 def taskrouter_queue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = materialized_segments(spark)
     qt = F.col("queue_time").cast("double")
@@ -462,32 +437,6 @@ def taskrouter_segments_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ KPI rollup
 
 
-@register(
-    "taskrouter_queue_kpis",
-    oracle=f"""
-        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
-        SELECT
-          "queue",
-          segment_kind,
-          COUNT(*) AS n_segments,
-          CAST(SUM(queue_time) AS BIGINT) AS sum_queue_time,
-          CAST(SUM(ring_time) AS BIGINT) AS sum_ring_time,
-          CAST(SUM(talk_time) AS BIGINT) AS sum_talk_time,
-          CAST(SUM(wrapup_time) AS BIGINT) AS sum_wrapup_time,
-          CAST(SUM(CASE WHEN abandoned = 'Yes' THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
-        FROM seg
-        GROUP BY "queue", segment_kind
-    """,
-    doc=(
-        "Report-layer KPI rollup per (queue, segment_kind) — the GROUP BY "
-        "aggregation layer the reference stops short of (SURVEY §2.7: Flex "
-        "Insights aggregates, the reference only materializes segments). "
-        "Exact integer sums; the oracle aggregates the simulator's golden "
-        "rows in DuckDB, so both the fact table AND the rollup are "
-        "independently derived. At scale: one partial-aggregated shuffle "
-        "over the date-pruned fact."
-    ),
-)
 def taskrouter_queue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = materialized_segments(spark)
     return seg.groupBy("queue", "segment_kind").agg(
@@ -498,6 +447,72 @@ def taskrouter_queue_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wrapup_time").alias("sum_wrapup_time"),
         F.sum(F.when(F.col("abandoned") == "Yes", 1).otherwise(0)).alias("n_abandoned"),
     )
+
+
+@register(
+    "taskrouter_queue_stats",
+    oracle=f"""
+        WITH seg AS ({golden_values_sql(_sim().segment_rows(), S.SEGMENT_COLUMNS)})
+        SELECT 'kpis' AS section, "queue", segment_kind,
+               COUNT(*) AS n,
+               CAST(SUM(queue_time) AS DOUBLE) AS m1,
+               CAST(SUM(ring_time) AS DOUBLE) AS m2,
+               CAST(SUM(talk_time) AS DOUBLE) AS m3,
+               CAST(SUM(wrapup_time) AS DOUBLE) AS m4,
+               CAST(SUM(CASE WHEN abandoned = 'Yes' THEN 1 ELSE 0 END) AS DOUBLE) AS m5
+        FROM seg
+        GROUP BY "queue", segment_kind
+        UNION ALL
+        SELECT 'percentiles' AS section, "queue", CAST(NULL AS VARCHAR) AS segment_kind,
+               COUNT(queue_time) AS n,
+               round(quantile_cont(CAST(queue_time AS DOUBLE), 0.5), 9) AS m1,
+               round(quantile_cont(CAST(queue_time AS DOUBLE), 0.9), 9) AS m2,
+               round(quantile_cont(CAST(talk_time AS DOUBLE), 0.5), 9) AS m3,
+               round(quantile_cont(CAST(talk_time AS DOUBLE), 0.9), 9) AS m4,
+               CAST(NULL AS DOUBLE) AS m5
+        FROM seg
+        WHERE segment_kind IN ('QUEUE', 'CONVERSATION')
+        GROUP BY "queue"
+    """,
+    doc=(
+        "The per-queue report layer the reference stops short of (SURVEY "
+        "§2.7: Flex Insights aggregates, the reference only materializes "
+        "segments), union-tagged by `section`. `kpis`: per (queue, "
+        "segment_kind) counts + exact integer time sums + abandon count "
+        "(m1..m5 = queue/ring/talk/wrapup/abandoned). `percentiles`: SLA "
+        "distribution KPIs per queue — exact linear-interpolation p50/p90 "
+        "of wait and talk (Spark `percentile` == DuckDB `quantile_cont`, "
+        "bit-identical, 9dp-rounded as drift defense; m1..m4 = "
+        "queue_p50/p90, talk_p50/p90). Each section is one partial-"
+        "aggregated shuffle over the date-pruned fact; at 100 TB swap "
+        "`percentile` for `percentile_approx` (t-digest sketch, mergeable "
+        "map-side) — same plan shape, bounded memory."
+    ),
+)
+def taskrouter_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kpis = taskrouter_queue_kpis(spark, sf_dir).select(
+        F.lit("kpis").alias("section"),
+        "queue",
+        "segment_kind",
+        F.col("n_segments").alias("n"),
+        F.col("sum_queue_time").cast("double").alias("m1"),
+        F.col("sum_ring_time").cast("double").alias("m2"),
+        F.col("sum_talk_time").cast("double").alias("m3"),
+        F.col("sum_wrapup_time").cast("double").alias("m4"),
+        F.col("n_abandoned").cast("double").alias("m5"),
+    )
+    pct = taskrouter_queue_percentiles(spark, sf_dir).select(
+        F.lit("percentiles").alias("section"),
+        "queue",
+        F.lit(None).cast("string").alias("segment_kind"),
+        F.col("n_queue_obs").alias("n"),
+        F.col("queue_p50").alias("m1"),
+        F.col("queue_p90").alias("m2"),
+        F.col("talk_p50").alias("m3"),
+        F.col("talk_p90").alias("m4"),
+        F.lit(None).cast("double").alias("m5"),
+    )
+    return kpis.unionByName(pct)
 
 
 # ------------------------------------------------------------- streaming
