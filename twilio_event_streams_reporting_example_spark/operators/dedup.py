@@ -678,3 +678,188 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").cast("long").alias("value"),
         )
     )
+
+
+# ------------------------------------------- 5. incremental corpus ingestion
+
+# The batch-ingestion path a 100 TB corpus actually runs: new documents
+# arrive in batches and must be deduplicated AGAINST THE EXISTING CORPUS
+# without reprocessing the corpus. Demo split: doc_id % 10 == 0 is the
+# incoming batch, the rest is the accepted corpus.
+INC_BATCH_MOD = 10
+INC_JACCARD_PCT = 50  # near-dup admission threshold (stricter than the
+#                       10% pair-REPORTING threshold above: admission is
+#                       a keep/drop decision, not a candidate survey)
+
+
+@register(
+    "corpus_incremental_dedup",
+    oracle=f"""
+        WITH {_SQL_TOK_POS_CTE},
+        led AS (
+          SELECT doc_id,
+            concat_ws(' ', token,
+              LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+              LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+            LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+          FROM tok
+        ),
+        shingles_all AS (
+          SELECT DISTINCT doc_id,
+            {_SQL_TOKHASH.format(tok="shingle")} AS shingle_hash
+          FROM led WHERE t2 IS NOT NULL
+        ),
+        shingles AS (
+          SELECT doc_id, shingle_hash FROM (
+            SELECT doc_id, shingle_hash,
+                   COUNT(*) OVER (PARTITION BY shingle_hash) AS sh_df
+            FROM shingles_all
+          ) WHERE sh_df <= {MAX_SHINGLE_DF}
+        ),
+        hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        new AS (SELECT doc_id, h FROM hashes WHERE doc_id % {INC_BATCH_MOD} = 0),
+        corpus AS (SELECT doc_id, h FROM hashes WHERE doc_id % {INC_BATCH_MOD} <> 0),
+        batch_min AS (SELECT h, MIN(doc_id) AS first_id FROM new GROUP BY h),
+        corpus_hash AS (SELECT h, MIN(doc_id) AS corpus_id FROM corpus GROUP BY h),
+        tier1 AS (
+          SELECT n.doc_id,
+                 CASE WHEN bm.first_id < n.doc_id THEN 'batch_dup'
+                      WHEN ch.corpus_id IS NOT NULL THEN 'exact_dup' END AS verdict,
+                 CASE WHEN bm.first_id < n.doc_id THEN bm.first_id
+                      ELSE ch.corpus_id END AS matched_doc_id
+          FROM new n
+          JOIN batch_min bm ON n.h = bm.h
+          LEFT JOIN corpus_hash ch ON n.h = ch.h
+        ),
+        survivors AS (SELECT doc_id FROM tier1 WHERE verdict IS NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+          FROM shingles a
+          JOIN shingles b ON a.shingle_hash = b.shingle_hash
+          WHERE a.doc_id IN (SELECT doc_id FROM survivors)
+            AND b.doc_id % {INC_BATCH_MOD} <> 0
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT p.new_id, p.corpus_id, p.inter,
+                 sa.n_sh + sb.n_sh - p.inter AS uni
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.new_id
+          JOIN sizes sb ON sb.doc_id = p.corpus_id
+          WHERE p.inter * 100 >= (sa.n_sh + sb.n_sh - p.inter) * {INC_JACCARD_PCT}
+        ),
+        best AS (
+          SELECT new_id, corpus_id, inter, uni FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY new_id
+              ORDER BY CAST(inter AS DOUBLE) / uni DESC, corpus_id) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT doc_id, verdict, matched_doc_id,
+               CAST(NULL AS BIGINT) AS inter, CAST(NULL AS BIGINT) AS uni
+        FROM tier1 WHERE verdict IS NOT NULL
+        UNION ALL
+        SELECT s.doc_id,
+               CASE WHEN b.corpus_id IS NOT NULL THEN 'near_dup' ELSE 'kept' END
+                 AS verdict,
+               b.corpus_id AS matched_doc_id, b.inter, b.uni
+        FROM survivors s LEFT JOIN best b ON b.new_id = s.doc_id
+    """,
+    doc=(
+        "Incremental corpus ingestion (the batch-dedup path a growing "
+        "100 TB corpus actually runs): every incoming document "
+        "(doc_id % 10 == 0) is admitted or rejected against the existing "
+        "corpus WITHOUT reprocessing the corpus. Tier 1 — exact: "
+        "within-batch first-writer-wins on md5(text) (`batch_dup`) and a "
+        "hash equi-join against the corpus hash set (`exact_dup`); the "
+        "corpus side of that join is a per-hash MIN aggregate, in "
+        "production a stored manifest. Tier 2 — only tier-1 SURVIVORS "
+        "reach the expensive stage (probe-side shrink before the join): "
+        "shingle-blocked n-gram Jaccard against the corpus at a strict "
+        "50% admission threshold; best match per doc by exact-ratio "
+        "order with id tie-break (`near_dup`), else `kept`. The shingle "
+        "universe (with the hot-shingle DF cap) is computed once over "
+        "all docs here; in production the corpus shingles are a stored, "
+        "bucket-partitioned index the batch probes — same plan, no "
+        "corpus rescan. Never all-pairs: both tiers block on equi-join "
+        "keys (hash, shingle)."
+    ),
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    is_new = F.col("doc_id") % INC_BATCH_MOD == 0
+    new = hashes.filter(is_new)
+    corpus = hashes.filter(~is_new)
+
+    batch_min = new.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    corpus_hash = corpus.groupBy("h").agg(F.min("doc_id").alias("corpus_id"))
+    tier1 = (
+        new.join(batch_min, "h")
+        .join(corpus_hash, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("first_id") < F.col("doc_id"), F.lit("batch_dup"))
+            .when(F.col("corpus_id").isNotNull(), F.lit("exact_dup"))
+            .alias("verdict"),
+            F.when(F.col("first_id") < F.col("doc_id"), F.col("first_id"))
+            .otherwise(F.col("corpus_id"))
+            .alias("matched_doc_id"),
+        )
+    )
+    tier1 = track(tier1.persist())  # read twice: dup rows + survivor probe
+
+    survivors = tier1.filter(F.col("verdict").isNull()).select("doc_id")
+
+    sh = track(_shingles(docs, "doc_id", "text").persist())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_new = sh.join(survivors, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("new_id"), "shingle_hash"
+    )
+    sh_corpus = sh.filter(F.col("doc_id") % INC_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("corpus_id"), "shingle_hash"
+    )
+    pairs = (
+        sh_new.join(sh_corpus, "shingle_hash")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_b"))
+    scored = (
+        pairs.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * INC_JACCARD_PCT)
+    )
+    w = W.partitionBy("new_id").orderBy(
+        (F.col("inter").cast("double") / F.col("uni")).desc(), "corpus_id"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "corpus_id", "inter", "uni")
+    )
+
+    dup_rows = tier1.filter(F.col("verdict").isNotNull()).select(
+        "doc_id",
+        "verdict",
+        "matched_doc_id",
+        F.lit(None).cast("long").alias("inter"),
+        F.lit(None).cast("long").alias("uni"),
+    )
+    survivor_rows = (
+        survivors.join(best, survivors["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.col("corpus_id").alias("matched_doc_id"),
+            "inter",
+            "uni",
+        )
+    )
+    return dup_rows.unionByName(survivor_rows)

@@ -371,6 +371,41 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ training-shard manifest
+
+N_SHARDS = 16
+_SHARD_SALT = ":shard1"  # decorrelate from split/downsample/mixture hashes
+
+_SQL_SHARD_HASH = (
+    "md5(CAST(doc_id AS VARCHAR) || '" + _SHARD_SALT + "')"
+)
+_SQL_SHARD = (
+    f"CAST(('0x' || substring({_SQL_SHARD_HASH}, 1, 4)) AS UBIGINT) % {N_SHARDS}"
+)
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded for parallel
+    writers: each doc hashes (salted) to one of N_SHARDS shards, and gets
+    a position within its shard by content-hash order — the 'shuffle the
+    corpus before training' step, reproducible with no RNG state and
+    stable per document. One hash shuffle on shard + an in-partition
+    sort; at 100 TB N_SHARDS scales with writer parallelism and each
+    shard sorts externally (no global sort, no single-partition
+    bottleneck beyond the per-shard merge a shard writer needs anyway)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hkey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHARD_SALT)))
+    shard = (F.conv(F.substring(hkey, 1, 4), 16, 10).cast("long")) % N_SHARDS
+    w = W.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        docs.select("doc_id", "lang", shard.alias("shard"), hkey.alias("hkey"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shard", "position")
+    )
+
+
 # ------------------------------------------------------- folded sampling suite
 
 _NULL_ID = "CAST(NULL AS BIGINT)"
@@ -406,6 +441,15 @@ _NULL_ID = "CAST(NULL AS BIGINT)"
                {_NULL_ID} AS bucket, CAST(NULL AS VARCHAR) AS label,
                sample_rank AS m1, {_NULL_ID} AS m2
         FROM ({_DOWNSAMPLE_ORACLE})
+        UNION ALL
+        SELECT 'shard_manifest' AS section, doc_id, lang,
+               CAST({_SQL_SHARD} AS BIGINT) AS bucket,
+               CAST(NULL AS VARCHAR) AS label,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY {_SQL_SHARD}
+                 ORDER BY {_SQL_SHARD_HASH}, doc_id) AS BIGINT) AS m1,
+               {_NULL_ID} AS m2
+        FROM documents
     """,
     doc=(
         "The deterministic corpus-sampling toolkit in one union-tagged "
@@ -424,7 +468,12 @@ _NULL_ID = "CAST(NULL AS BIGINT)"
         "(per-core candidate cap, then a window over n_partitions*K "
         "survivors — the 100 TB form); one oracle derivation, the two "
         "plans must be bit-identical. All three hash families are "
-        "salt-decorrelated so composed recipes stay unbiased."
+        "salt-decorrelated so composed recipes stay unbiased. "
+        "`shard_manifest`: the deterministic global training-order "
+        "shuffle — each doc hashes (salted) to one of 16 shards "
+        "(bucket) with a content-hash-ordered position within its "
+        "shard (m1); one hash shuffle + in-partition sort, no global "
+        "sort, shard count scales with writer parallelism at 100 TB."
     ),
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,12 +517,22 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             nid.alias("m2"),
         )
 
+    shards = training_shard_manifest(spark, sf_dir).select(
+        F.lit("shard_manifest").alias("section"),
+        "doc_id",
+        "lang",
+        F.col("shard").alias("bucket"),
+        nstr.alias("label"),
+        F.col("position").alias("m1"),
+        nid.alias("m2"),
+    )
     parts = [
         assignment,
         audit,
         mixture,
         _ds("downsample_window", stratified_downsample(spark, sf_dir)),
         _ds("downsample_partial_topk", stratified_downsample_partial(spark, sf_dir)),
+        shards,
     ]
     out = parts[0]
     for df in parts[1:]:
