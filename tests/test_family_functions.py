@@ -63,6 +63,104 @@ def test_standalone_cc_wrappers_agree(spark, sf_dir):
     assert a  # non-empty on the fixture corpus
 
 
+def test_doc_dup_substrings_matches_oracle(spark, sf_dir):
+    """Standalone cross-doc duplicated-substring stats (Lee-et-al-style
+    hashed rolling windows) vs an independent DuckDB derivation over the
+    full document spine."""
+    sql = f"""
+        SELECT d.doc_id,
+               COALESCE(ds.n_windows, 0) AS n_windows,
+               COALESCE(ds.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(ds.n_dup_windows, 0) * 100
+                 <= COALESCE(ds.n_windows, 0) * {T.DUPSUB_MAX_PCT} AS dup_win_ok
+        FROM documents d
+        LEFT JOIN ({T._DUPSUB_ORACLE}) ds ON d.doc_id = ds.doc_id
+    """
+    _compare_to_sql(spark, sf_dir, T.doc_dup_substrings, sql)
+
+
+def test_dup_substrings_detect_planted_duplicates(spark, sf_dir):
+    """The fixture corpus plants NEAR-duplicate documents (no exact text
+    twins — prefix/suffix edits) that share long runs of tokens: the
+    hashed-window operator must surface them as docs whose windows are
+    (almost) all cross-doc-duplicated, while fully unique docs stay at
+    dup fraction ~0."""
+    rows = {r["doc_id"]: r for r in T.doc_dup_substrings(spark, sf_dir).collect()}
+    heavy = [
+        r
+        for r in rows.values()
+        if r["n_windows"] > 0 and r["n_dup_windows"] * 2 >= r["n_windows"]
+    ]
+    clean = [r for r in rows.values() if r["n_dup_windows"] == 0]
+    assert len(heavy) >= 10  # the planted near-dup population
+    assert len(clean) >= 10  # most of the corpus is untouched
+    # the gate separates them: every heavy doc fails, every clean doc passes
+    assert all(not r["dup_win_ok"] for r in heavy)
+    assert all(r["dup_win_ok"] for r in clean)
+    # sanity: counts are consistent
+    assert all(0 <= r["n_dup_windows"] <= r["n_windows"] for r in rows.values())
+
+
+def test_semantic_dedup_matches_oracle(spark, sf_dir):
+    from twilio_event_streams_reporting_example_spark.operators import (
+        similarity as S,
+    )
+
+    sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        {S._SEMDEDUP_SQL_CTES}
+        SELECT vec_id, cell_id, best_lower_cos,
+               CAST(kept AS BIGINT) AS kept, CAST(cell_size AS BIGINT) AS cell_size
+        FROM sd
+    """
+    _compare_to_sql(spark, sf_dir, S.semantic_dedup, sql)
+
+
+def test_semantic_dedup_keep_rule(spark, sf_dir):
+    """Keep-lowest-id invariants: the min-id member of every cell is kept,
+    and any two KEPT cellmates sit below SEMDEDUP_TAU (B kept means no
+    lower-id mate >= tau, which covers every kept pair)."""
+    from twilio_event_streams_reporting_example_spark.operators import (
+        similarity as S,
+    )
+
+    rows = S.semantic_dedup(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["kept"] == 1, f"cell {cell}: min-id member dropped"
+        assert all(m["cell_size"] == len(members) for m in members)
+    kept = sum(r["kept"] for r in rows)
+    assert 0 < kept < len(rows)  # threshold actually bites on the fixture
+
+
+def test_pq_adc_contract_and_recall(spark, sf_dir):
+    """PQ/ADC emits exactly TOP_K ranked rows per query, and its
+    codes-only scores retrieve a meaningful share of the true top-k:
+    random 64-d vectors at 64x compression (8 subspaces x 16 untrained
+    seed codewords) land ~0.3 recall@10 — assert a stable floor, plus
+    that every PQ score is a valid cosine."""
+    from collections import Counter
+
+    from twilio_event_streams_reporting_example_spark.operators.similarity import (
+        TOP_K,
+        knn_bruteforce_cosine,
+        knn_pq_adc,
+    )
+
+    pq_rows = knn_pq_adc(spark, sf_dir).collect()
+    per_q = Counter(r["query_id"] for r in pq_rows)
+    assert all(n == TOP_K for n in per_q.values())
+    for r in pq_rows:
+        assert 1 <= r["rk"] <= TOP_K
+        assert -1.0 <= r["score"] <= 1.0
+    bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce_cosine(spark, sf_dir).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    assert len(bf & pq) / len(bf) >= 0.15
+
+
 def test_first_state_helper(spark):
     from pyspark.sql import functions as F
 

@@ -358,6 +358,121 @@ _ND_PAIRS_SQL = f"""
 """
 
 
+# ------------------------------------------------------------- SemDeDup
+
+SEMDEDUP_TAU = 0.35  # within-cell cosine at/above which the higher id drops
+SEMDEDUP_CELLS = 16  # seed rule shared with IVF: vec_id < K are cell seeds
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023): assign every
+    vector to its nearest of K seed centroids (broadcast — no corpus
+    shuffle), then compute EXACT pairwise cosine only WITHIN each cell
+    and drop a vector iff a lower-id cellmate sits at cosine >=
+    SEMDEDUP_TAU (deterministic keep-lowest-id; SemDeDup's keep rule is
+    a free parameter).
+
+    Contrast with the banded-LSH near-dup path: LSH bounds candidates
+    probabilistically across the whole corpus; SemDeDup bounds them
+    structurally by clustering, then pays exact quadratic cost per cell.
+    Scale: within-cell pairwise is O(sum cell_size^2) BY DESIGN — at
+    100 TB the cell count K grows with N (K ~ N / target_cell_size, the
+    paper's regime) so cell sizes stay bounded; the self-join is a hash
+    shuffle on cell_id and each cell's quadratic block is one task.
+    Output: (vec_id, cell_id, best_lower_cos, kept, cell_size).
+    """
+    emb = track(with_norm(
+        load_table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    ).cache())
+    cent = emb.filter(F.col("id") < SEMDEDUP_CELLS).select(
+        F.col("id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # (id, centroid_id) — persisted: read by both self-join sides AND the
+    # final spine; without it the broadcast-assign pass runs 3x.
+    assign = track(_nearest_cell(_scored_cells(emb, cent)).persist())
+    mem = assign.join(emb, "id").select(
+        F.col("centroid_id").alias("cell_id"), "id", "v", "nrm"
+    )
+    a = mem.select(
+        "cell_id", F.col("id").alias("vid"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = mem.select(
+        "cell_id", F.col("id").alias("oid"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    mates = (
+        a.join(b, "cell_id")
+        .filter(F.col("oid") < F.col("vid"))
+        .select(
+            "vid",
+            rounded(
+                cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn"))
+            ).alias("cos"),
+        )
+    )
+    dup = mates.groupBy("vid").agg(F.max("cos").alias("best_lower_cos"))
+    w = W.partitionBy("cell_id")
+    return (
+        assign.join(dup, assign.id == dup.vid, "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("centroid_id").alias("cell_id"),
+            "best_lower_cos",
+            F.when(F.col("best_lower_cos") >= SEMDEDUP_TAU, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
+        .withColumn("cell_size", F.count(F.lit(1)).over(w))
+    )
+
+
+_SEMDEDUP_SQL_CTES = f"""
+        sd_cent AS (
+          SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {SEMDEDUP_CELLS}
+        ),
+        sd_scored AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))), {SCORE_DP}) AS cs
+          FROM e CROSS JOIN sd_cent c
+        ),
+        sd_assign AS (
+          SELECT vec_id, centroid_id AS cell_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, centroid_id) AS rn
+            FROM sd_scored) WHERE rn = 1
+        ),
+        sd_mates AS (
+          SELECT a.vec_id AS vid,
+                 round(list_dot_product(ea.v, eb.v) /
+                       (sqrt(list_dot_product(ea.v, ea.v)) *
+                        sqrt(list_dot_product(eb.v, eb.v))), {SCORE_DP}) AS cos
+          FROM sd_assign a
+          JOIN sd_assign b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id
+        ),
+        sd_dup AS (
+          SELECT vid, MAX(cos) AS best_lower_cos FROM sd_mates GROUP BY vid
+        ),
+        sd AS (
+          SELECT a.vec_id, a.cell_id, d.best_lower_cos,
+                 CASE WHEN d.best_lower_cos >= {SEMDEDUP_TAU} THEN 0 ELSE 1 END AS kept,
+                 COUNT(*) OVER (PARTITION BY a.cell_id) AS cell_size
+          FROM sd_assign a LEFT JOIN sd_dup d ON a.vec_id = d.vid
+        )
+"""
+
+
 @register(
     "embedding_neardup",
     oracle=f"""
@@ -372,7 +487,8 @@ _ND_PAIRS_SQL = f"""
           UNION
           SELECT ed.dst, r.lab FROM reach r JOIN edges ed ON ed.src = r.node
         ),
-        cc AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        cc AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        {_SEMDEDUP_SQL_CTES}
         SELECT 'pair' AS section, id_a, id_b, score,
                CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2
         FROM pairs
@@ -382,21 +498,31 @@ _ND_PAIRS_SQL = f"""
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS m1,
                CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS m2
         FROM cc
+        UNION ALL
+        SELECT 'semdedup' AS section, vec_id AS id_a, cell_id AS id_b,
+               best_lower_cos AS score,
+               CAST(kept AS BIGINT) AS m1, CAST(cell_size AS BIGINT) AS m2
+        FROM sd
     """,
     doc=(
-        "Embedding-cosine near-dup, pairs AND duplicate groups in one "
-        "union-tagged result. `pair` (id_a, id_b, score): banded-LSH "
-        "blocked — a pair is rescored only if all planes of some band "
-        "agree (candidate volume bounded by bucket sizes, never "
-        "all-pairs; bucket equi-joins, no BroadcastNestedLoopJoin; "
-        "recall ~0.99 for cos>=0.9 at 5 bands x 3 planes). `cluster` "
-        "(id_a=vec_id, id_b=cluster_id, m1=members, m2=is_keeper): the "
-        "SAME connected-components operator (operators/graph.py) over "
-        "those pairs — the cluster builder is pair-source-agnostic "
-        "(MinHash text pairs compose identically). The pair stage is "
-        "computed ONCE and cached; both sections read it (folding the "
-        "two former registrations halved the LSH work). Oracle: "
-        "independent recursive-CTE closure."
+        "Embedding-cosine near-dup, THREE strategies in one union-tagged "
+        "result. `pair` (id_a, id_b, score): banded-LSH blocked — a pair "
+        "is rescored only if all planes of some band agree (candidate "
+        "volume bounded by bucket sizes, never all-pairs; bucket "
+        "equi-joins, no BroadcastNestedLoopJoin; recall ~0.99 for "
+        "cos>=0.9 at 5 bands x 3 planes). `cluster` (id_a=vec_id, "
+        "id_b=cluster_id, m1=members, m2=is_keeper): the SAME connected-"
+        "components operator (operators/graph.py) over those pairs — the "
+        "cluster builder is pair-source-agnostic (MinHash text pairs "
+        "compose identically). `semdedup` (id_a=vec_id, id_b=cell_id, "
+        "score=best cosine to a lower-id cellmate, m1=kept, "
+        "m2=cell_size): SemDeDup (Abbas et al. 2023) — nearest-centroid "
+        "cell assignment (broadcast, no corpus shuffle) then EXACT "
+        "pairwise cosine within each cell only; at 100 TB the cell count "
+        "scales with N so the per-cell quadratic block stays bounded. "
+        "The LSH pair stage is computed ONCE and cached; pair+cluster "
+        "read it. Oracle: independent recursive-CTE closure plus an "
+        "independent within-cell EXISTS derivation."
     ),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +549,15 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("m1"),
         (F.col("node") == F.col("cluster_id")).cast("long").alias("m2"),
     )
-    return pair_rows.unionByName(cluster_rows)
+    sd_rows = semantic_dedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("section"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cell_id").alias("id_b"),
+        F.col("best_lower_cos").alias("score"),
+        F.col("kept").alias("m1"),
+        F.col("cell_size").cast("long").alias("m2"),
+    )
+    return pair_rows.unionByName(cluster_rows).unionByName(sd_rows)
 
 
 def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +574,8 @@ def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_members"),
         (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
     )
+
+
 
 
 # ------------------------------------------------------------- IVF kNN
@@ -772,6 +908,196 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- product quantization (PQ/ADC)
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODEBOOK = 16  # codewords per subspace (seed rule: vec_id < 16)
+_PQ_DEC = "decimal(28,12)"  # exact order-free accumulator for 9dp terms
+
+
+def _subspace_slices(vcol: str):
+    """array<array<double>>: the M contiguous subvectors of ``vcol`` —
+    static slices, so posexplode yields (j, subvector) with j in [0,M)."""
+    return F.array(
+        *[
+            F.expr(f"slice({vcol}, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM})")
+            for j in range(PQ_M)
+        ]
+    )
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization kNN with asymmetric distance computation
+    (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"): each candidate is compressed to PQ_M codebook
+    ids (argmin-L2 per subspace against PQ_CODEBOOK deterministic seed
+    codewords); queries score candidates from the CODES ONLY —
+    approx_dot = sum_j <q_j, codeword(code_j)> — normalized by the
+    reconstructed candidate norm, i.e. exact cosine against the
+    DEcompressed vector.
+
+    Why this is the 100 TB ANN memory path: the candidate corpus is
+    M * log2(K) = 32 bits/vector instead of 64 float64s — the index
+    fits in RAM at ~64x compression and the raw vectors are never
+    touched after encoding. Plan shape: encoding is one broadcast join
+    (128 codeword rows) + per-(cand, subspace) argmin; the ADC scan is
+    a broadcast of Q query subvectors + a (query, cand)-keyed partial
+    aggregation. In production the per-query 8x16 lookup table makes
+    the scan table-lookup-only, and the final top-k composes with the
+    bounded-accumulator form (knn_topk_partial) so the shuffle carries
+    partitions*Q*k rows — both noted here, neither changes semantics.
+
+    Cross-engine exactness: every dot product is the proven
+    bit-identical sequential fold; distances/terms are rounded to
+    SCORE_DP and accumulated in DECIMAL (order-free); argmins tie-break
+    on lowest codeword id; ranks tie-break on neighbor_id."""
+    emb = track(
+        load_table(spark, "embeddings", sf_dir)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .persist()
+    )
+    sub = emb.select("id", F.posexplode(_subspace_slices("v")).alias("j", "sv"))
+    seeds_sub = sub.filter(F.col("id") < PQ_CODEBOOK).select(
+        F.col("id").alias("seed_id"),
+        "j",
+        F.col("sv").alias("cw"),
+        rounded(dot(F.col("sv"), F.col("sv"))).alias("cwn2"),
+    )
+    cand_sub = sub.filter(F.col("id") >= N_QUERIES).select(
+        F.col("id").alias("cand_id"), "j", F.col("sv").alias("vj")
+    )
+    # encode: nearest codeword per (candidate, subspace) — ||v||^2 - 2<v,c>
+    # + ||c||^2 in a FIXED expression order on both engines
+    dists = cand_sub.join(F.broadcast(seeds_sub), "j").select(
+        "cand_id",
+        "j",
+        "seed_id",
+        "cwn2",
+        "cw",
+        rounded(
+            dot(F.col("vj"), F.col("vj"))
+            - 2 * dot(F.col("vj"), F.col("cw"))
+            + dot(F.col("cw"), F.col("cw"))
+        ).alias("dist"),
+    )
+    codes = (
+        dists.groupBy("cand_id", "j")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("seed_id").alias("code"),
+                    F.col("cwn2"),
+                    F.col("cw"),
+                ),
+                F.struct(F.col("dist"), F.col("seed_id")),
+            ).alias("best")
+        )
+        .select("cand_id", "j", "best.code", "best.cwn2", "best.cw")
+    )
+    cnorm = codes.groupBy("cand_id").agg(
+        F.sqrt(F.sum(F.col("cwn2").cast(_PQ_DEC)).cast("double")).alias("cnrm")
+    )
+    qsub = sub.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("query_id"), "j", F.col("sv").alias("qj")
+    )
+    qnorm = with_norm(emb.filter(F.col("id") < N_QUERIES)).select(
+        F.col("id").alias("query_id"), F.col("nrm").alias("qn")
+    )
+    terms = codes.join(F.broadcast(qsub), "j").select(
+        "query_id",
+        "cand_id",
+        rounded(dot(F.col("qj"), F.col("cw"))).alias("term"),
+    )
+    adc = terms.groupBy("query_id", "cand_id").agg(
+        F.sum(F.col("term").cast(_PQ_DEC)).cast("double").alias("dot_hat")
+    )
+    scored = (
+        adc.join(F.broadcast(qnorm), "query_id")
+        .join(cnorm, "cand_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            rounded(F.col("dot_hat") / (F.col("qn") * F.col("cnrm"))).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+_KNN_PQ_ORACLE = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        sub AS (
+          SELECT vec_id, j,
+                 v[j*{PQ_SUBDIM}+1 : j*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+          FROM e, UNNEST(generate_series(0, {PQ_M - 1})) AS t(j)
+        ),
+        pq_seeds AS (
+          SELECT vec_id AS seed_id, j, sv AS cw,
+                 round(list_dot_product(sv, sv), {SCORE_DP}) AS cwn2
+          FROM sub WHERE vec_id < {PQ_CODEBOOK}
+        ),
+        pq_cand AS (
+          SELECT vec_id AS cand_id, j, sv AS vj FROM sub WHERE vec_id >= {N_QUERIES}
+        ),
+        pq_dists AS (
+          SELECT c.cand_id, c.j, s.seed_id, s.cwn2, s.cw,
+                 round(list_dot_product(c.vj, c.vj)
+                       - 2 * list_dot_product(c.vj, s.cw)
+                       + list_dot_product(s.cw, s.cw), {SCORE_DP}) AS dist
+          FROM pq_cand c JOIN pq_seeds s ON c.j = s.j
+        ),
+        pq_codes AS (
+          SELECT cand_id, j, seed_id AS code, cwn2, cw FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id, j
+                                         ORDER BY dist, seed_id) AS rn
+            FROM pq_dists) WHERE rn = 1
+        ),
+        pq_cnorm AS (
+          SELECT cand_id,
+                 sqrt(CAST(SUM(CAST(cwn2 AS DECIMAL(28,12))) AS DOUBLE)) AS cnrm
+          FROM pq_codes GROUP BY cand_id
+        ),
+        pq_qsub AS (
+          SELECT vec_id AS query_id, j, sv AS qj FROM sub WHERE vec_id < {N_QUERIES}
+        ),
+        pq_qn AS (
+          SELECT vec_id AS query_id, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id < {N_QUERIES}
+        ),
+        pq_terms AS (
+          SELECT q.query_id, c.cand_id,
+                 round(list_dot_product(q.qj, c.cw), {SCORE_DP}) AS term
+          FROM pq_codes c JOIN pq_qsub q ON c.j = q.j
+        ),
+        pq_adc AS (
+          SELECT query_id, cand_id,
+                 CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS dot_hat
+          FROM pq_terms GROUP BY query_id, cand_id
+        )
+        SELECT query_id, neighbor_id, score, rk FROM (
+          SELECT a.query_id, a.cand_id AS neighbor_id,
+                 round(a.dot_hat / (qn.qn * cn.cnrm), {SCORE_DP}) AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.query_id
+                   ORDER BY round(a.dot_hat / (qn.qn * cn.cnrm), {SCORE_DP}) DESC,
+                            a.cand_id) AS rk
+          FROM pq_adc a
+          JOIN pq_qn qn ON a.query_id = qn.query_id
+          JOIN pq_cnorm cn ON a.cand_id = cn.cand_id
+        ) WHERE rk <= {TOP_K}
+"""
+
+
 # ------------------------------------------------- folded kNN registration
 
 @register(
@@ -788,23 +1114,29 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'ivf_kmeans' AS method, * FROM ({_KNN_IVF_KMEANS_ORACLE})
         UNION ALL
+        SELECT 'pq_adc' AS method, * FROM ({_KNN_PQ_ORACLE})
+        UNION ALL
         SELECT 'arrow_l2norm' AS method, vec_id AS query_id,
                CAST(NULL AS BIGINT) AS neighbor_id, l2_norm AS score,
                CAST(NULL AS INTEGER) AS rk
         FROM ({_NORMS_ORACLE})
     """,
     doc=(
-        "Top-k cosine neighbor search in all FIVE physical strategies, "
+        "Top-k cosine neighbor search in SIX physical strategies, "
         "union-tagged by `method`: the exact broadcast brute force, the "
         "scale-correct map-side partial top-k (identical oracle — the two "
         "exact plans must agree), the sign-LSH bucket-pruned path, IVF "
-        "with deterministic seed centroids, and IVF after Lloyd-refined "
-        "k-means training. Each method keeps its own independent DuckDB "
-        "oracle derivation, so one driver row checks every ANN strategy. "
-        "A sixth section, `arrow_l2norm`, certifies the Arrow-batched "
-        "pandas_udf extension point (per-vector L2 norms through the "
-        "vectorized Python kernel — the deliberate Python op; the "
-        "production norm stays JVM-side in with_norm)."
+        "with deterministic seed centroids, IVF after Lloyd-refined "
+        "k-means training, and `pq_adc` — product quantization with "
+        "asymmetric distance computation (Jegou et al. 2011): candidates "
+        "compressed to 8 codebook ids, scored from codes only, the ~64x "
+        "memory-compression path a 100 TB in-RAM index needs. Each method "
+        "keeps its own independent DuckDB oracle derivation, so one "
+        "driver row checks every ANN strategy. A further section, "
+        "`arrow_l2norm`, certifies the Arrow-batched pandas_udf extension "
+        "point (per-vector L2 norms through the vectorized Python kernel "
+        "— the deliberate Python op; the production norm stays JVM-side "
+        "in with_norm)."
     ),
 )
 def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +1151,7 @@ def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("ivf", knn_ivf),
         ("ivf_kmeans", knn_ivf_kmeans),
+        ("pq_adc", knn_pq_adc),
     ]
     dfs = [
         fn(spark, sf_dir).select(F.lit(m).alias("method"), "*") for m, fn in parts

@@ -17,6 +17,7 @@ from ..sources.tables import load_table
 from .dedup import (
     _SQL_TOK_CTE,
     _SQL_TOK_POS_CTE,
+    _SQL_TOKENS,
     _SQL_TOKHASH,
     _sql_cluster_ctes,
     token_hash,
@@ -677,6 +678,91 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- folded per-doc text profile
 
+# ------------------------------------ cross-document duplicated substrings
+
+DUPSUB_W = 8  # rolling window width in tokens (Lee et al. 2021 use 50-token
+#               windows on web corpora; the synthetic fixture docs are short)
+DUPSUB_MAX_PCT = 20  # gate: at most 20% of a doc's windows cross-doc-dup'd
+
+
+def _win_hashes(toks: str) -> object:
+    """array<string>: 64-bit-equivalent md5-prefix hash of every rolling
+    DUPSUB_W-token window — built from the token ARRAY with transform/
+    slice, so window construction is per-row JVM work with NO shuffle."""
+    return F.expr(
+        f"transform(sequence(1, size({toks}) - {DUPSUB_W} + 1), "
+        f"i -> substring(md5(concat_ws(' ', slice({toks}, i, {DUPSUB_W}))), 1, 16))"
+    )
+
+
+def doc_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring stats, the hashed-window
+    approximation of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    DUPSUB_W-token window is duplicated iff its hash occurs in >= 2
+    DISTINCT documents; per doc, report total windows and how many of
+    its window occurrences are duplicated, plus the keep gate.
+
+    Scale shape: windows come off the token array per-row (no shuffle);
+    then (hash, doc) partial-agg -> per-hash doc count -> rejoin — every
+    exchange is post-reduction, nothing carries the corpus quadratically.
+    Hot boilerplate hashes reduce to one row per (hash, doc) before the
+    doc-count, so a window shared by millions of docs costs |docs(hash)|
+    rows, not |occurrences|."""
+    docs = load_table(spark, "documents", sf_dir)
+    arr = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    wins = arr.filter(F.size("toks") >= DUPSUB_W).select(
+        "doc_id", F.explode(_win_hashes("toks")).alias("whash")
+    )
+    cpd = wins.groupBy("whash", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = cpd.groupBy("whash").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        cpd.join(nd, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            (
+                F.coalesce("n_dup_windows", F.lit(0)) * 100
+                <= F.coalesce("n_windows", F.lit(0)) * DUPSUB_MAX_PCT
+            ).alias("dup_win_ok"),
+        )
+    )
+
+
+_DUPSUB_ORACLE = f"""
+        WITH wtok AS (
+          SELECT doc_id, {_SQL_TOKENS.format(col="text")} AS toks FROM documents
+        ),
+        wins AS (
+          SELECT doc_id,
+                 substring(md5(array_to_string(toks[i:i+{DUPSUB_W}-1], ' ')), 1, 16)
+                   AS whash
+          FROM wtok, LATERAL UNNEST(
+            generate_series(1, greatest(len(toks) - {DUPSUB_W} + 1, 0))) AS g(i)
+        ),
+        cpd AS (SELECT whash, doc_id, COUNT(*) AS c FROM wins GROUP BY whash, doc_id),
+        nd AS (SELECT whash, COUNT(*) AS ndocs FROM cpd GROUP BY whash)
+        SELECT cpd.doc_id,
+               CAST(SUM(cpd.c) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN cpd.c ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+        FROM cpd JOIN nd ON cpd.whash = nd.whash
+        GROUP BY cpd.doc_id
+"""
+
+
 _LANG_SCORE_COLS = [f"score_{lg}" for lg in sorted(LANG_MARKERS)]
 
 
@@ -691,12 +777,17 @@ _LANG_SCORE_COLS = [f"score_{lg}" for lg in sorted(LANG_MARKERS)]
           {", ".join(f"l.{c}" for c in _LANG_SCORE_COLS)}, l.predicted_lang,
           fp.fingerprint,
           r.top_token_n, r.top_token_frac, r.n_bigrams, r.top_bigram_n,
-          r.top_bigram_frac, r.dup_token_frac, r.rep_token_ok, r.rep_bigram_ok
+          r.top_bigram_frac, r.dup_token_frac, r.rep_token_ok, r.rep_bigram_ok,
+          COALESCE(ds.n_windows, 0) AS n_windows,
+          COALESCE(ds.n_dup_windows, 0) AS n_dup_windows,
+          COALESCE(ds.n_dup_windows, 0) * 100
+            <= COALESCE(ds.n_windows, 0) * {DUPSUB_MAX_PCT} AS dup_win_ok
         FROM ({_TOKSTATS_ORACLE}) ts
         LEFT JOIN ({_QUALITY_ORACLE}) q ON ts.doc_id = q.doc_id
         LEFT JOIN ({_LANGID_ORACLE}) l ON ts.doc_id = l.doc_id
         LEFT JOIN ({_FPRINT_ORACLE}) fp ON ts.doc_id = fp.doc_id
         LEFT JOIN ({_REPSTATS_ORACLE}) r ON ts.doc_id = r.doc_id
+        LEFT JOIN ({_DUPSUB_ORACLE}) ds ON ts.doc_id = ds.doc_id
     """,
     doc=(
         "The per-document text-analysis PROFILE: token counting, Gopher-"
@@ -719,11 +810,13 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import track
 
     docs = load_table(spark, "documents", sf_dir)
-    tok = track(
-        docs.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
-        ).persist()
+    # ONE scan of documents: the token ARRAY is cached, and both the
+    # positional explode (stats/quality/language/fingerprint/bigrams)
+    # and the rolling-window family read it.
+    arr = track(
+        docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
     )
+    tok = track(arr.select("doc_id", F.posexplode("toks").alias("pos", "token")).persist())
 
     # (doc, token) counts: one table answers stats, quality, language-ID
     # and the repetition top-token in a single further aggregation.
@@ -766,7 +859,28 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n_bigrams_raw"), F.max("c").alias("top_bigram_n_raw"))
     )
 
-    prof = fam.join(fp, "doc_id").join(bstats, "doc_id", "left")
+    # cross-doc duplicated windows over the SAME cached token arrays
+    wins = arr.filter(F.size("toks") >= DUPSUB_W).select(
+        "doc_id", F.explode(_win_hashes("toks")).alias("whash")
+    )
+    cpd = wins.groupBy("whash", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    ndh = cpd.groupBy("whash").agg(F.count(F.lit(1)).alias("ndocs"))
+    dsub = (
+        cpd.join(ndh, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows_raw"),
+            F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_windows_raw"
+            ),
+        )
+    )
+
+    prof = (
+        fam.join(fp, "doc_id")
+        .join(bstats, "doc_id", "left")
+        .join(dsub, "doc_id", "left")
+    )
 
     # gates/derived columns — identical expressions to the per-family ops
     len_ok = F.col("n_tok").between(20, 100000)
@@ -831,5 +945,11 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("top_bigram_n_raw", F.lit(0)) * 100
                 <= F.coalesce("n_bigrams_raw", F.lit(0)) * REP_BIGRAM_PCT,
             ).alias("rep_bigram_ok"),
+            F.coalesce("n_windows_raw", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows_raw", F.lit(0)).alias("n_dup_windows"),
+            (
+                F.coalesce("n_dup_windows_raw", F.lit(0)) * 100
+                <= F.coalesce("n_windows_raw", F.lit(0)) * DUPSUB_MAX_PCT
+            ).alias("dup_win_ok"),
         )
     )
