@@ -162,24 +162,101 @@ def _sql_shingles_cte(n: int = 3, max_df: int = MAX_SHINGLE_DF) -> str:
 
 # ---------------------------------------------------------------- 1. exact
 
-@register(
-    "dedup_exact_documents",
-    oracle="""
-        SELECT
-          md5(text) AS text_hash,
-          MIN(doc_id) AS keeper_doc_id,
-          COUNT(*) AS n_copies
-        FROM documents
-        GROUP BY md5(text)
-    """,
-    doc="Exact dedup: hash-groupBy, keep lowest doc_id per identical text.",
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+# Synthetic-scale section constants: 1M generated rows, every content
+# repeated exactly _SCALE_COPIES times -> closed-form dedup result.
+_SCALE_ROWS = 1_000_000
+_SCALE_COPIES = 4
+_SCALE_GROUPS = _SCALE_ROWS // _SCALE_COPIES
+
+
+def _dedup_synthetic_summary(spark: SparkSession) -> DataFrame:
+    """Run the exact-dedup plan over a generated 1M-row corpus (content
+    key = id % _SCALE_GROUPS, so keeper of content c is c) and reduce to
+    summary rows with a closed-form oracle. range() generates partitions
+    in parallel - nothing is collected or broadcast."""
+    syn = spark.range(_SCALE_ROWS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("syn-"), (F.col("id") % _SCALE_GROUPS).cast("string")).alias(
+            "text"
+        ),
+    )
+    d = syn.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_rows"),
+        F.min("n_copies").alias("min_copies"),
+        F.max("n_copies").alias("max_copies"),
+        F.sum("keeper_doc_id").alias("keeper_id_sum"),
+    )
+    nulll = F.lit(None).cast("long")
+
+    def row(metric, v1, v2):
+        return s.select(
+            F.lit("scale_synthetic").alias("section"),
+            F.lit(metric).alias("text_hash"),
+            (v1 if v1 is not None else nulll).cast("long").alias("keeper_doc_id"),
+            (v2 if v2 is not None else nulll).cast("long").alias("n_copies"),
+        )
+
+    out = row("n_groups", None, F.col("n_groups"))
+    for m, v1, v2 in [
+        ("n_rows", None, F.col("n_rows")),
+        ("min_copies", None, F.col("min_copies")),
+        ("max_copies", None, F.col("max_copies")),
+        ("keeper_id_sum", F.col("keeper_id_sum"), None),
+    ]:
+        out = out.unionByName(row(m, v1, v2))
+    return out
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+        SELECT 'corpus' AS section,
+               md5(text) AS text_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        UNION ALL
+        SELECT 'scale_synthetic' AS section, metric AS text_hash,
+               CAST(v1 AS BIGINT) AS keeper_doc_id, CAST(v2 AS BIGINT) AS n_copies
+        FROM (VALUES
+          ('n_groups',      NULL,                               {_SCALE_GROUPS}),
+          ('n_rows',        NULL,                               {_SCALE_ROWS}),
+          ('min_copies',    NULL,                               {_SCALE_COPIES}),
+          ('max_copies',    NULL,                               {_SCALE_COPIES}),
+          ('keeper_id_sum', {_SCALE_GROUPS * (_SCALE_GROUPS - 1) // 2}, NULL)
+        ) AS t(metric, v1, v2)
+    """,
+    doc=(
+        "Exact dedup, union-tagged. `corpus`: hash-groupBy over the "
+        "documents table, keep lowest doc_id per identical text — ONE "
+        "partial-aggregated shuffle, the canonical exact-dedup plan. "
+        "`scale_synthetic`: the SAME operator over a generated corpus "
+        "200x the sf0.01 fixture (range(1M) -> synthetic text with each "
+        "content repeated exactly 4x) reduced to summary rows checked "
+        "against a CLOSED-FORM oracle (keeper of content c is c, so the "
+        "keeper-id sum, group count, and copy counts are literals) — the "
+        "in-gate proof the dedup plan survives a 6-figure-key "
+        "aggregation, not just the 500-doc fixture, in the style of "
+        "taskrouter_segments_scale."
+    ),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    corpus_rows = corpus.select(
+        F.lit("corpus").alias("section"), "text_hash", "keeper_doc_id", "n_copies"
+    )
+    d = _dedup_synthetic_summary(spark)
+    return corpus_rows.unionByName(d)
 
 
 @register(
@@ -373,25 +450,78 @@ def _sql_band_key(band: int) -> str:
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        )
-        SELECT
-          c.doc_a, c.doc_b,
-          ({" + ".join(
-            f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
-          )}) AS matching_hashes
-        FROM cand c
-        JOIN sig sa ON c.doc_a = sa.doc_id
-        JOIN sig sb ON c.doc_b = sb.doc_id
+        ),
+        mh_pairs AS (
+          SELECT
+            c.doc_a, c.doc_b,
+            ({" + ".join(
+              f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+            )}) AS matching_hashes
+          FROM cand c
+          JOIN sig sa ON c.doc_a = sa.doc_id
+          JOIN sig sb ON c.doc_b = sb.doc_id
+        ),
+        emb_d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT 'pairs' AS section, doc_a, doc_b, matching_hashes,
+               CAST(NULL AS DOUBLE) AS emb_cosine
+        FROM mh_pairs
+        UNION ALL
+        SELECT 'embedding_agreement' AS section, p.doc_a, p.doc_b,
+               p.matching_hashes,
+               round(list_dot_product(q.v, c2.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) *
+                      sqrt(list_dot_product(c2.v, c2.v))), 9) AS emb_cosine
+        FROM mh_pairs p
+        JOIN emb_d q ON q.vec_id = p.doc_a
+        JOIN emb_d c2 ON c2.vec_id = p.doc_b
     """,
     doc=(
-        "MinHash+LSH near-dup: shingle→16-perm signature→4×4 band buckets→"
-        "bucket equi-join. Candidates exist only on band collision; the "
-        "signature join estimates Jaccard as matching/16."
+        "MinHash+LSH near-dup, union-tagged. `pairs`: shingle→16-perm "
+        "signature→4×4 band buckets→bucket equi-join; candidates exist "
+        "only on band collision and the signature join estimates Jaccard "
+        "as matching/16. `embedding_agreement`: the CROSS-MODAL QA check "
+        "— every text near-dup pair whose BOTH sides carry an embedding "
+        "is re-scored by embedding cosine (two equi-joins against the "
+        "embeddings table, pair set computed once and cached), so a "
+        "multimodal corpus can audit whether its text dedup and its "
+        "embedding space tell the same duplicate story before one of "
+        "them drives deletion at 100 TB."
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_normed, cosine, rounded
+
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_candidate_pairs(docs)
+    pairs = track(minhash_candidate_pairs(docs).cache())
+    nulld = F.lit(None).cast("double")
+    base = pairs.select(
+        F.lit("pairs").alias("section"),
+        "doc_a",
+        "doc_b",
+        "matching_hashes",
+        nulld.alias("emb_cosine"),
+    )
+    emb = _emb_normed(spark, sf_dir)
+    ea = emb.select(
+        F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = emb.select(
+        F.col("id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    agree = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            F.lit("embedding_agreement").alias("section"),
+            "doc_a",
+            "doc_b",
+            "matching_hashes",
+            rounded(
+                cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            ).alias("emb_cosine"),
+        )
+    )
+    return base.unionByName(agree)
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:

@@ -304,12 +304,20 @@ _ND_BANDS_SQL = " UNION ALL ".join(
 )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = track(with_norm(
+def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, v, nrm) — the shared embeddings load used by the near-dup
+    family; callers cache it once and pass it down."""
+    return with_norm(
         load_table(spark, "embeddings", sf_dir).select(
-            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
-    ).cache())
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
+    if emb is None:
+        emb = track(_emb_normed(spark, sf_dir).cache())
     bands = None
     for b in range(NEARDUP_BANDS):
         part = emb.select(
@@ -364,7 +372,7 @@ SEMDEDUP_TAU = 0.35  # within-cell cosine at/above which the higher id drops
 SEMDEDUP_CELLS = 16  # seed rule shared with IVF: vec_id < K are cell seeds
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023): assign every
     vector to its nearest of K seed centroids (broadcast — no corpus
     shuffle), then compute EXACT pairwise cosine only WITHIN each cell
@@ -381,12 +389,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on cell_id and each cell's quadratic block is one task.
     Output: (vec_id, cell_id, best_lower_cos, kept, cell_size).
     """
-    emb = track(with_norm(
-        load_table(spark, "embeddings", sf_dir).select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-    ).cache())
+    if emb is None:
+        emb = track(_emb_normed(spark, sf_dir).cache())
     cent = emb.filter(F.col("id") < SEMDEDUP_CELLS).select(
         F.col("id").alias("centroid_id"),
         F.col("v").alias("cv"),
@@ -528,7 +532,8 @@ _SEMDEDUP_SQL_CTES = f"""
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
-    pairs = track(embedding_neardup_pairs(spark, sf_dir).cache())
+    emb = track(_emb_normed(spark, sf_dir).cache())  # ONE load for all sections
+    pairs = track(embedding_neardup_pairs(spark, sf_dir, emb=emb).cache())
     cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
     w = W.partitionBy("cluster_id")
     nulld = F.lit(None).cast("double")
@@ -549,7 +554,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("m1"),
         (F.col("node") == F.col("cluster_id")).cast("long").alias("m2"),
     )
-    sd_rows = semantic_dedup(spark, sf_dir).select(
+    sd_rows = semantic_dedup(spark, sf_dir, emb=emb).select(
         F.lit("semdedup").alias("section"),
         F.col("vec_id").alias("id_a"),
         F.col("cell_id").alias("id_b"),
