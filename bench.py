@@ -89,6 +89,16 @@ def main() -> int:
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # cold = the FIRST run of each query (includes any within-process
+        # warm state a query intentionally builds, e.g. the TaskRouter
+        # report family's session-memoized materialized fact: its cold
+        # number is the build+query cost, its min is the steady-state
+        # query-the-fact cost — both are design points, so both are
+        # published rather than hiding one inside `runs`).
+        "cold": {k: (v[0] if v else -1.0) for k, v in all_runs.items()},
+        "cold_total": round(
+            sum(v[0] for v in all_runs.values() if v and v[0] >= 0), 3
+        ),
         "runs": all_runs,
         "sf": sf,
     }

@@ -501,7 +501,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matching_hashes",
         nulld.alias("emb_cosine"),
     )
-    emb = _emb_normed(spark, sf_dir)
+    # cached: read by BOTH join sides (ea/eb) — without it the
+    # embeddings scan + norm fold runs twice per query (the
+    # _emb_normed contract: callers cache it once)
+    emb = track(_emb_normed(spark, sf_dir).cache())
     ea = emb.select(
         F.col("id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

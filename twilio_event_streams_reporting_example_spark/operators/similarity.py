@@ -315,15 +315,38 @@ def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
-    if emb is None:
-        emb = track(_emb_normed(spark, sf_dir).cache())
+def _plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-signature bucket id over an arbitrary plane list (bit j = 1
+    iff dot(v, planes[j]) >= 0). band_bucket is the NEARDUP_PLANES
+    3-plane instance; the synthetic-scale section widens to 16 planes so
+    the bucket space grows with N (2^planes buckets — the knob that keeps
+    banded LSH subquadratic as the corpus grows)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, plane_col) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def banded_lsh_pairs(
+    emb: DataFrame, plane_sets: list[list[list[float]]], threshold: float
+) -> DataFrame:
+    """(id_a, id_b, score): the banded-LSH near-dup pair plan over
+    ``emb`` (id, v, nrm — caller caches): per-band sign buckets →
+    bucket equi-join candidates (dedup'd across bands) → exact cosine
+    rescore, keep score > threshold. The SAME physical shape at every
+    parameterization — the registered corpus query pins (5 bands x 3
+    planes, tau=0.35); the scale section runs (2 x 16, tau=0.8)."""
     bands = None
-    for b in range(NEARDUP_BANDS):
+    for b, planes in enumerate(plane_sets):
         part = emb.select(
-            "id", F.lit(b).alias("band"), band_bucket(F.col("v"), b).alias("bkt")
+            "id", F.lit(b).alias("band"), _plane_bucket(F.col("v"), planes).alias("bkt")
         )
         bands = part if bands is None else bands.unionByName(part)
+    # cached: BOTH self-join sides read it, and the bucket signature
+    # (bands x planes dot products per row) is the expensive projection —
+    # without the cache each side re-derives it from emb.
+    bands = track(bands.cache())
     a = bands.select(F.col("id").alias("id_a"), "band", "bkt")
     b_ = bands.select(F.col("id").alias("id_b"), "band", "bkt")
     cand = (
@@ -342,8 +365,157 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, emb: DataFrame | N
             "id_b",
             rounded(cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))).alias("score"),
         )
-        .filter(F.col("score") > NEARDUP_THRESHOLD)
+        .filter(F.col("score") > threshold)
     )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
+    if emb is None:
+        emb = track(_emb_normed(spark, sf_dir).cache())
+    plane_sets = [
+        NEARDUP_PLANES[b * NEARDUP_BAND_PLANES : (b + 1) * NEARDUP_BAND_PLANES]
+        for b in range(NEARDUP_BANDS)
+    ]
+    return banded_lsh_pairs(emb, plane_sets, NEARDUP_THRESHOLD)
+
+
+# ------------------------------------- synthetic-scale section (planted)
+
+# Planted-cluster corpus: SCALE_DUP_GROUPS directions, each duplicated
+# exactly SCALE_DUP_COPIES times (vec ids g*C .. g*C+C-1). Directions are
+# Reed-Muller RM(2,6) codeword sign vectors in {-1,+1}^64: group g with
+# linear bits a = g & 63 and quadratic bits b = g >> 6 has
+#   v[x] = 1 - 2 * parity(bit_count(a & x) + bit_count(b & quadmask(x)))
+# RM(2,6) is a [64, 22, 16] linear code, so ANY two distinct codewords
+# differ in >= 16 of 64 coordinates -> cross-group cosine <= 1 - 2*16/64
+# = 0.5 (and >= -0.5: the all-ones complement needs the constant bit,
+# outside the 14 bits used). With SCALE_ND_THRESHOLD = 0.8 the closed
+# form is therefore GUARANTEED by coding theory, not sampled: every
+# within-group pair scores exactly 1.0 (identical vectors — same bucket
+# in every band, so banded LSH recall is exactly 1), every cross-group
+# candidate rescores <= 0.5 and is filtered. Verified independently by
+# tests/test_scale_synthetic.py (numpy re-derivation of the code's
+# minimum weight and the expected summary literals).
+SCALE_DUP_GROUPS = 16384
+SCALE_DUP_COPIES = 4
+SCALE_DUP_N = SCALE_DUP_GROUPS * SCALE_DUP_COPIES  # 65,536 = 131x sf0.01 fixture
+SCALE_ND_BANDS = 2
+SCALE_ND_BAND_PLANES = 16  # 2^16 buckets/band: the knob that grows with N
+SCALE_ND_THRESHOLD = 0.8
+SCALE_ND_PLANES = _planes("ndscale", SCALE_ND_BANDS * SCALE_ND_BAND_PLANES)
+
+_SCALE_PAIRS = SCALE_DUP_GROUPS * (SCALE_DUP_COPIES * (SCALE_DUP_COPIES - 1) // 2)
+_SCALE_KEEPER_SUM = SCALE_DUP_COPIES * SCALE_DUP_GROUPS * (SCALE_DUP_GROUPS - 1) // 2
+
+
+def _rm2_quad_mask(x: int) -> int:
+    """15-bit mask of x_i*x_j for coordinate pairs i<j of the 6-bit point x."""
+    mask, k = 0, 0
+    for i in range(6):
+        for j in range(i + 1, 6):
+            if (x >> i) & 1 and (x >> j) & 1:
+                mask |= 1 << k
+            k += 1
+    return mask
+
+
+def scale_corpus(spark: SparkSession) -> DataFrame:
+    """(id, v): the planted-duplicate synthetic corpus, generated in
+    parallel from range() — per-slot exprs are pure integer bit math
+    (bit_count of literal masks), nothing collected or broadcast."""
+    g = F.shiftright(F.col("id"), 2)  # id // SCALE_DUP_COPIES
+    glin = g.bitwiseAND(F.lit(63))
+    gquad = F.shiftright(g, 6)
+    slots = []
+    for x in range(DIM):
+        parity = (
+            F.bit_count(glin.bitwiseAND(F.lit(x)))
+            + F.bit_count(gquad.bitwiseAND(F.lit(_rm2_quad_mask(x))))
+        ) % 2
+        slots.append((F.lit(1.0) - F.lit(2.0) * parity.cast("double")))
+    return spark.range(SCALE_DUP_N).select("id", F.array(*slots).alias("v"))
+
+
+def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
+    """Run the SAME banded-LSH pair + connected-components operators over
+    the planted corpus and reduce to summary rows with a closed-form
+    oracle: n_pairs = G * C(C,2), zero cross-group pairs, exactly G
+    clusters of size C with keeper (min id) g*C. The in-gate proof the
+    near-dup plan (bucket equi-join -> rescore -> CC) survives a 65k-
+    vector corpus, in the style of dedup_exact_documents.scale_synthetic.
+    Wider bands (16 planes -> 65,536 buckets) stand in for how the
+    operator is parameterized as N grows; identical duplicates make LSH
+    recall exactly 1, so the reduction is deterministic."""
+    from .graph import connected_components
+
+    emb = track(with_norm(scale_corpus(spark)).cache())
+    plane_sets = [
+        SCALE_ND_PLANES[b * SCALE_ND_BAND_PLANES : (b + 1) * SCALE_ND_BAND_PLANES]
+        for b in range(SCALE_ND_BANDS)
+    ]
+    pairs = track(
+        banded_lsh_pairs(emb, plane_sets, SCALE_ND_THRESHOLD).cache()
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    ga = F.shiftright(F.col("id_a"), 2)
+    gb = F.shiftright(F.col("id_b"), 2)
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("score"), SCORE_DP).alias("score_sum"),
+        F.sum((ga != gb).cast("long")).alias("n_cross_pairs"),
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    cstats = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        F.sum("cluster_id").alias("keeper_id_sum"),
+    )
+    vstats = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    s = pstats.crossJoin(cstats).crossJoin(vstats)  # 1-row x 1-row x 1-row
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
+
+    def row(metric, m1=None, score=None):
+        return s.select(
+            F.lit(f"scale:{metric}").alias("section"),
+            nulll.alias("id_a"),
+            nulll.alias("id_b"),
+            (score if score is not None else nulld).cast("double").alias("score"),
+            (m1 if m1 is not None else nulll).cast("long").alias("m1"),
+            nulll.alias("m2"),
+        )
+
+    out = row("n_vectors", m1=F.col("n_vectors"))
+    for metric, m1, score in [
+        ("n_pairs", F.col("n_pairs"), None),
+        ("score_sum", None, F.col("score_sum")),
+        ("n_cross_pairs", F.col("n_cross_pairs"), None),
+        ("n_clusters", F.col("n_clusters"), None),
+        ("min_cluster_size", F.col("min_sz"), None),
+        ("max_cluster_size", F.col("max_sz"), None),
+        ("keeper_id_sum", F.col("keeper_id_sum"), None),
+    ]:
+        out = out.unionByName(row(metric, m1=m1, score=score))
+    return out
+
+
+_SCALE_ORACLE_VALUES = f"""
+        SELECT section,
+               CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(score AS DOUBLE) AS score,
+               CAST(m1 AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2
+        FROM (VALUES
+          ('scale:n_vectors',        NULL,      {SCALE_DUP_N}),
+          ('scale:n_pairs',          NULL,      {_SCALE_PAIRS}),
+          ('scale:score_sum',        {float(_SCALE_PAIRS)}, NULL),
+          ('scale:n_cross_pairs',    NULL,      0),
+          ('scale:n_clusters',       NULL,      {SCALE_DUP_GROUPS}),
+          ('scale:min_cluster_size', NULL,      {SCALE_DUP_COPIES}),
+          ('scale:max_cluster_size', NULL,      {SCALE_DUP_COPIES}),
+          ('scale:keeper_id_sum',    NULL,      {_SCALE_KEEPER_SUM})
+        ) AS t(section, score, m1)
+"""
 
 
 _ND_PAIRS_SQL = f"""
@@ -370,28 +542,48 @@ _ND_PAIRS_SQL = f"""
 
 SEMDEDUP_TAU = 0.35  # within-cell cosine at/above which the higher id drops
 SEMDEDUP_CELLS = 16  # seed rule shared with IVF: vec_id < K are cell seeds
+SEMDEDUP_TARGET_CELL = 64  # default target cell size when deriving K from N
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
+def semdedup_n_cells(n_vectors: int, target_cell_size: int = SEMDEDUP_TARGET_CELL) -> int:
+    """K ~ N / target_cell_size, the SemDeDup scaling rule: cell count
+    grows linearly with corpus size so the per-cell exact-quadratic block
+    stays O(target_cell_size^2) regardless of N. This is the API form of
+    the 100 TB claim — callers sizing a real corpus pass the derived K to
+    :func:`semantic_dedup` (the registered fixture query stays pinned at
+    SEMDEDUP_CELLS=16 for oracle stability)."""
+    return max(1, -(-n_vectors // max(1, target_cell_size)))
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    n_cells: int = SEMDEDUP_CELLS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023): assign every
-    vector to its nearest of K seed centroids (broadcast — no corpus
-    shuffle), then compute EXACT pairwise cosine only WITHIN each cell
-    and drop a vector iff a lower-id cellmate sits at cosine >=
-    SEMDEDUP_TAU (deterministic keep-lowest-id; SemDeDup's keep rule is
-    a free parameter).
+    vector to its nearest of ``n_cells`` seed centroids (broadcast — no
+    corpus shuffle), then compute EXACT pairwise cosine only WITHIN each
+    cell and drop a vector iff a lower-id cellmate sits at cosine >=
+    ``tau`` (deterministic keep-lowest-id; SemDeDup's keep rule is a
+    free parameter — this keeps the LOWEST id, so a chain of near-dups
+    can drop transitively relative to a keep-one-representative rule;
+    documented deviation, oracle-consistent).
 
     Contrast with the banded-LSH near-dup path: LSH bounds candidates
     probabilistically across the whole corpus; SemDeDup bounds them
     structurally by clustering, then pays exact quadratic cost per cell.
     Scale: within-cell pairwise is O(sum cell_size^2) BY DESIGN — at
     100 TB the cell count K grows with N (K ~ N / target_cell_size, the
-    paper's regime) so cell sizes stay bounded; the self-join is a hash
-    shuffle on cell_id and each cell's quadratic block is one task.
+    paper's regime; :func:`semdedup_n_cells` is that rule) so cell sizes
+    stay bounded; the self-join is a hash shuffle on cell_id and each
+    cell's quadratic block is one task.
     Output: (vec_id, cell_id, best_lower_cos, kept, cell_size).
     """
     if emb is None:
         emb = track(_emb_normed(spark, sf_dir).cache())
-    cent = emb.filter(F.col("id") < SEMDEDUP_CELLS).select(
+    cent = emb.filter(F.col("id") < n_cells).select(
         F.col("id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -428,7 +620,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, emb: DataFrame | None = Non
             F.col("id").alias("vec_id"),
             F.col("centroid_id").alias("cell_id"),
             "best_lower_cos",
-            F.when(F.col("best_lower_cos") >= SEMDEDUP_TAU, F.lit(0))
+            F.when(F.col("best_lower_cos") >= tau, F.lit(0))
             .otherwise(F.lit(1))
             .cast("long")
             .alias("kept"),
@@ -507,6 +699,8 @@ _SEMDEDUP_SQL_CTES = f"""
                best_lower_cos AS score,
                CAST(kept AS BIGINT) AS m1, CAST(cell_size AS BIGINT) AS m2
         FROM sd
+        UNION ALL
+        {_SCALE_ORACLE_VALUES}
     """,
     doc=(
         "Embedding-cosine near-dup, THREE strategies in one union-tagged "
@@ -526,7 +720,16 @@ _SEMDEDUP_SQL_CTES = f"""
         "scales with N so the per-cell quadratic block stays bounded. "
         "The LSH pair stage is computed ONCE and cached; pair+cluster "
         "read it. Oracle: independent recursive-CTE closure plus an "
-        "independent within-cell EXISTS derivation."
+        "independent within-cell EXISTS derivation. `scale:*` summary "
+        "rows: the SAME banded-LSH + CC operators over a generated "
+        "planted-cluster corpus 131x the sf0.01 fixture (65,536 vectors "
+        "= 16,384 Reed-Muller RM(2,6) sign directions x 4 exact copies; "
+        "min code distance 16 bounds cross-group cosine at 0.5, so the "
+        "0.8-threshold closed form — G clusters of size C, keeper sums, "
+        "zero cross pairs — is guaranteed by coding theory) reduced to "
+        "literal-checked summary rows: the in-gate proof the near-dup "
+        "plan survives a 6-figure-vector corpus with bands widened to "
+        "2^16 buckets, not just the 500-vector fixture."
     ),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +765,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").alias("m1"),
         F.col("cell_size").cast("long").alias("m2"),
     )
-    return pair_rows.unionByName(cluster_rows).unionByName(sd_rows)
+    return (
+        pair_rows.unionByName(cluster_rows)
+        .unionByName(sd_rows)
+        .unionByName(_neardup_scale_summary(spark))
+    )
 
 
 def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -757,7 +757,14 @@ def doc_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is post-reduction, nothing carries the corpus quadratically.
     Hot boilerplate hashes reduce to one row per (hash, doc) before the
     doc-count, so a window shared by millions of docs costs |docs(hash)|
-    rows, not |occurrences|."""
+    rows, not |occurrences|.
+
+    Approximation bound: windows are keyed by a 64-bit md5 prefix, so at
+    ~1e12 distinct windows (the 100 TB regime) birthday collisions mark
+    ~n^2/2^65 ~ 2.7e10 window PAIRS — i.e. on the order of 1e-2 of docs
+    gain a false dup window. Fine for a dup-RATE gate (the stat this
+    feeds); widen the prefix (substring(md5,1,24) = 96 bits) if exact
+    per-window attribution at that scale ever matters."""
     docs = load_table(spark, "documents", sf_dir)
     arr = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     wins = arr.filter(F.size("toks") >= DUPSUB_W).select(
