@@ -265,10 +265,11 @@ def test_kafka_source_config(spark):
 def test_tws_lifecycle(spark, tmp_path):
     """transformWithStateInPandas port of the lifecycle: same state
     machine, same golden expectation as the applyInPandasWithState path.
-    The TWS Python state protocol needs google.protobuf, which this
-    container does not ship — in that case assert the clean environment
-    failure (the processor itself is exercised unit-style via the shared
-    pure state machine everywhere else)."""
+    The TWS Python state protocol needs google.protobuf; session.py
+    wires the vendored pure-Python runtime (tools/vendor/README.md)
+    when no real install exists, so this parity check EXECUTES here. If
+    neither is available the test still asserts the clean environment
+    failure rather than a hang."""
     import pytest
 
     from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
@@ -288,14 +289,28 @@ def test_tws_lifecycle(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in base.collect()}
 
 
-def test_streaming_restart_exactly_once(spark):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        None,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs-default", "rocksdb"],
+)
+def test_streaming_restart_exactly_once(spark, provider):
     """Failure-recovery contract: stop the streaming pipeline mid-fixture,
     then restart from the SAME checkpoint with the remaining files PLUS a
     redelivered copy of already-processed events. The stateful lifecycle,
     dedup state, and file-source progress all live in the checkpoint, so
     the restarted run must resume without reprocessing (file log), and
     the redelivered stale events must be discarded (watermark/dedup) —
-    the durable fact ends exactly equal to the batch recompute."""
+    the durable fact ends exactly equal to the batch recompute.
+
+    Runs under BOTH state-store providers: the default HDFS-backed store
+    and RocksDB — the provider a large deployment uses once lifecycle +
+    dedup state outgrow executor heap (state is spilled/compacted off-
+    heap and checkpointed incrementally). Certifies the
+    applyInPandasWithState path restarts exactly-once on each."""
     import json
     import os
     import shutil
@@ -322,6 +337,33 @@ def test_streaming_restart_exactly_once(spark):
         wide = wide_conversation_segments_stream(parse_stream(raw))
         q = write_segments_stream(wide, fact, ck).trigger(availableNow=True).start()
         q.awaitTermination(300)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    if provider is not None:
+        spark.conf.set(provider_key, provider)
+    try:
+        _restart_body(spark, run_once)
+    finally:
+        if provider is not None:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+
+def _restart_body(spark, run_once):
+    import json
+    import os
+    import shutil
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+        fixture_df,
+    )
 
     with tempfile.TemporaryDirectory() as d:
         indir, fact, ck = (os.path.join(d, p) for p in ("in", "fact", "ck"))
