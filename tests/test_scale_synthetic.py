@@ -1,7 +1,7 @@
 """Independent verification of the embedding_neardup synthetic-scale
 section's closed-form oracle (operators/similarity.py).
 
-The Spark side generates 65,536 vectors as 16,384 Reed-Muller RM(2,6)
+The Spark side generates 65,536 vectors as 16,384 Reed-Muller RM(2,5)
 sign directions x 4 exact copies and claims, by coding theory, that the
 banded-LSH + connected-components reduction is exactly G clusters of
 size C with zero cross-group pairs. These tests re-derive that claim
@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from twilio_event_streams_reporting_example_spark.operators.similarity import (
     DIM,
+    SCALE_DIM,
+    _SCALE_RM_M,
     SCALE_DUP_COPIES,
     SCALE_DUP_GROUPS,
     SCALE_DUP_N,
@@ -33,35 +35,36 @@ from twilio_event_streams_reporting_example_spark.operators.similarity import (
 
 
 def _codeword_bits(g: np.ndarray) -> np.ndarray:
-    """(len(g), 64) uint8 matrix of RM(2,6) codeword bits for message
-    indices g — the SAME formula as scale_corpus's per-slot expression."""
-    glin = (g & 63).astype(np.uint64)
-    gquad = (g >> 6).astype(np.uint64)
-    masks = np.array([_rm2_quad_mask(x) for x in range(DIM)], dtype=np.uint64)
-    xs = np.arange(DIM, dtype=np.uint64)
+    """(len(g), SCALE_DIM) uint8 matrix of RM(2,5) codeword bits for
+    message indices g — the SAME formula as scale_corpus's per-slot
+    expression."""
+    glin = (g & (SCALE_DIM - 1)).astype(np.uint64)
+    gquad = (g >> _SCALE_RM_M).astype(np.uint64)
+    masks = np.array([_rm2_quad_mask(x) for x in range(SCALE_DIM)], dtype=np.uint64)
+    xs = np.arange(SCALE_DIM, dtype=np.uint64)
 
     def popcount(a):
         return np.unpackbits(a.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1).sum(
             axis=1
         )
 
-    out = np.empty((len(g), DIM), dtype=np.uint8)
-    for x in range(DIM):
+    out = np.empty((len(g), SCALE_DIM), dtype=np.uint8)
+    for x in range(SCALE_DIM):
         out[:, x] = (popcount(glin & xs[x]) + popcount(gquad & masks[x])) % 2
     return out
 
 
 def test_rm_code_min_distance_guarantees_closed_form():
     """Linearity: the XOR of codewords g and h is the codeword of g^h,
-    so 'every distinct pair differs in >= 16 coordinates' reduces to
-    'every nonzero difference class d in [1, G) has weight >= 16'.
-    Weight w -> cosine 1 - 2w/64, so min weight 16 caps cross-group
+    so 'every distinct pair differs in >= 8 coordinates' reduces to
+    'every nonzero difference class d in [1, G) has weight >= 8'.
+    Weight w -> cosine 1 - 2w/32, so min weight 8 caps cross-group
     cosine at 0.5 — strictly under the 0.8 scale threshold, which is
     what makes the section's oracle closed-form rather than sampled."""
     d = np.arange(1, SCALE_DUP_GROUPS, dtype=np.uint64)
     weights = _codeword_bits(d).sum(axis=1)
-    assert weights.min() >= 16  # [64, 22, 16] code: min distance 16
-    max_cross_cos = 1 - 2 * weights.min() / DIM
+    assert weights.min() >= 8  # [32, 16, 8] code: min distance 8
+    max_cross_cos = 1 - 2 * weights.min() / SCALE_DIM
     assert max_cross_cos <= 0.5 < SCALE_ND_THRESHOLD
     # injectivity of the group -> direction map (weight 0 only at d=0)
     assert (weights > 0).all()
@@ -88,7 +91,7 @@ def test_scale_corpus_matches_numpy_slice(spark):
     got = np.array([r.v for r in rows])
     g = np.arange(n) // SCALE_DUP_COPIES
     want = 1.0 - 2.0 * _codeword_bits(g.astype(np.uint64)).astype(np.float64)
-    assert got.shape == (n, DIM)
+    assert got.shape == (n, SCALE_DIM)
     assert (got == want).all()
     # copies within a group are identical; adjacent groups are not
     assert (got[0] == got[SCALE_DUP_COPIES - 1]).all()

@@ -123,7 +123,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
+        mid = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
@@ -132,10 +132,14 @@ def connected_components(
                     "mid_label"
                 ),
             )
-            # materialize BEFORE the self-join below: both sides of the
-            # jump read this table, and un-checkpointed it would recompute
-            # the neighbor join twice per round
-            .localCheckpoint(eager=True)
+            # LAZY cache, not an eager checkpoint: both sides of the jump
+            # self-join below read this table, and the single fixpoint
+            # count at the end of the round materializes everything in
+            # ONE Spark job — per-round scheduling overhead (the dominant
+            # cost on small/medium graphs: 3 jobs/round → 1) collapses,
+            # while the end-of-round localCheckpoint still truncates the
+            # iterative lineage.
+            .cache()
         )
         # pointer jumping: shortcut each label to its label's label
         # (label values are node ids of the same component, so the self-
@@ -144,11 +148,9 @@ def connected_components(
         # halves the remaining distance every round → O(log diameter)
         # rounds on chain-shaped near-dup graphs, at the cost of one
         # extra equi-join on the (small) label table.
-        jump = stepped.select(
-            F.col("node").alias("jn"), F.col("mid_label").alias("jl")
-        )
+        jump = mid.select(F.col("node").alias("jn"), F.col("mid_label").alias("jl"))
         stepped = (
-            stepped.join(jump, stepped["mid_label"] == jump["jn"], "left")
+            mid.join(jump, mid["mid_label"] == jump["jn"], "left")
             .select(
                 "node",
                 "label",
@@ -156,12 +158,15 @@ def connected_components(
                     F.col("mid_label"), F.coalesce("jl", "mid_label")
                 ).alias("new_label"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            # lazy: materialized (and lineage-truncated) by the count below
+            .localCheckpoint(eager=False)
         )
+        # the ONE action of the round: computes mid (filling its cache),
+        # the jump join, the checkpoint, and the fixpoint test together
+        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         # this round is materialized and nothing reads round N-1 again —
         # drop its checkpoint blocks (bounded footprint per round)
         rc.rotate()
-        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             rc.finish()
@@ -253,7 +258,9 @@ def connected_components_star(
         .select("node", F.col("node").alias("cluster_id"))
     )
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fixpoint count below materializes (and
+        # lineage-truncates) the round in ONE job instead of two
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # fixpoint test: the star forest is stable iff the (small-star
         # canonical, big→small oriented) edge multiset did not move
         changed = (

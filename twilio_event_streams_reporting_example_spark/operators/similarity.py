@@ -47,13 +47,13 @@ NEARDUP_BANDS = 5
 NEARDUP_BAND_PLANES = 3
 
 
-def _planes(prefix: str, n: int) -> list[list[float]]:
+def _planes(prefix: str, n: int, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — identical constants
     are embedded in the oracle SQL, so no RNG/library dependency."""
     planes = []
     for i in range(n):
         row = []
-        for j in range(DIM):
+        for j in range(dim):
             h = int(hashlib.md5(f"{prefix}_{i}_{j}".encode()).hexdigest()[:15], 16)
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
@@ -383,40 +383,67 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, emb: DataFrame | N
 
 # Planted-cluster corpus: SCALE_DUP_GROUPS directions, each duplicated
 # exactly SCALE_DUP_COPIES times (vec ids g*C .. g*C+C-1). Directions are
-# Reed-Muller RM(2,6) codeword sign vectors in {-1,+1}^64: group g with
-# linear bits a = g & 63 and quadratic bits b = g >> 6 has
+# Reed-Muller RM(2,5) codeword sign vectors in {-1,+1}^32: group g with
+# linear bits a = g & 31 and quadratic bits b = g >> 5 has
 #   v[x] = 1 - 2 * parity(bit_count(a & x) + bit_count(b & quadmask(x)))
-# RM(2,6) is a [64, 22, 16] linear code, so ANY two distinct codewords
-# differ in >= 16 of 64 coordinates -> cross-group cosine <= 1 - 2*16/64
+# RM(2,5) is a [32, 16, 8] linear code, so ANY two distinct codewords
+# differ in >= 8 of 32 coordinates -> cross-group cosine <= 1 - 2*8/32
 # = 0.5 (and >= -0.5: the all-ones complement needs the constant bit,
-# outside the 14 bits used). With SCALE_ND_THRESHOLD = 0.8 the closed
+# outside the 15 bits used). With SCALE_ND_THRESHOLD = 0.8 the closed
 # form is therefore GUARANTEED by coding theory, not sampled: every
 # within-group pair scores exactly 1.0 (identical vectors — same bucket
 # in every band, so banded LSH recall is exactly 1), every cross-group
-# candidate rescores <= 0.5 and is filtered. Verified independently by
+# candidate rescores <= 0.5 and is filtered. 32 dims (vs the fixture's
+# 64) keeps the 65k-row section inside the default 1g heap of a vanilla
+# driver session — the operators under test are dimension-agnostic, so
+# nothing about the plan shape changes. Verified independently by
 # tests/test_scale_synthetic.py (numpy re-derivation of the code's
 # minimum weight and the expected summary literals).
-SCALE_DUP_GROUPS = 16384
+SCALE_DIM = 32
+_SCALE_RM_M = 5  # RM(2,m): 2^m coords, m linear + C(m,2) quadratic bits
+SCALE_DUP_GROUPS = 16384  # needs 14 message bits <= 5 + 10 available
 SCALE_DUP_COPIES = 4
 SCALE_DUP_N = SCALE_DUP_GROUPS * SCALE_DUP_COPIES  # 65,536 = 131x sf0.01 fixture
 SCALE_ND_BANDS = 2
 SCALE_ND_BAND_PLANES = 16  # 2^16 buckets/band: the knob that grows with N
 SCALE_ND_THRESHOLD = 0.8
-SCALE_ND_PLANES = _planes("ndscale", SCALE_ND_BANDS * SCALE_ND_BAND_PLANES)
+SCALE_ND_PLANES = _planes(
+    "ndscale", SCALE_ND_BANDS * SCALE_ND_BAND_PLANES, dim=SCALE_DIM
+)
 
 _SCALE_PAIRS = SCALE_DUP_GROUPS * (SCALE_DUP_COPIES * (SCALE_DUP_COPIES - 1) // 2)
 _SCALE_KEEPER_SUM = SCALE_DUP_COPIES * SCALE_DUP_GROUPS * (SCALE_DUP_GROUPS - 1) // 2
 
 
-def _rm2_quad_mask(x: int) -> int:
-    """15-bit mask of x_i*x_j for coordinate pairs i<j of the 6-bit point x."""
+def _rm2_quad_mask(x: int, m: int = _SCALE_RM_M) -> int:
+    """C(m,2)-bit mask of x_i*x_j for coordinate pairs i<j of the m-bit
+    point x."""
     mask, k = 0, 0
-    for i in range(6):
-        for j in range(i + 1, 6):
+    for i in range(m):
+        for j in range(i + 1, m):
             if (x >> i) & 1 and (x >> j) & 1:
                 mask |= 1 << k
             k += 1
     return mask
+
+
+def _scale_input_partitions(spark: SparkSession) -> int:
+    """Input-partition count for the synthetic corpus, sized so the
+    SECTION's map-side shuffle memory fits a default-1g vanilla session:
+    each map task writing an S-partition shuffle holds ~S open
+    compressed stream buffers (~128 KiB each with the default bypass
+    sort path), so concurrent_tasks x S x 128KiB must stay well under
+    the heap. With the session's own 32-partition shuffle config this
+    returns full parallelism; with a vanilla 200-partition session it
+    throttles the scale section's map concurrency instead of OOMing.
+    (Downstream exchanges are AQE-coalesced, so only these root scans
+    need explicit sizing.)"""
+    try:
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuf = 200
+    budget_tasks = max(2, (256 << 20) // (shuf * (128 << 10)))
+    return max(2, min(spark.sparkContext.defaultParallelism, budget_tasks))
 
 
 def scale_corpus(spark: SparkSession) -> DataFrame:
@@ -424,16 +451,18 @@ def scale_corpus(spark: SparkSession) -> DataFrame:
     parallel from range() — per-slot exprs are pure integer bit math
     (bit_count of literal masks), nothing collected or broadcast."""
     g = F.shiftright(F.col("id"), 2)  # id // SCALE_DUP_COPIES
-    glin = g.bitwiseAND(F.lit(63))
-    gquad = F.shiftright(g, 6)
+    glin = g.bitwiseAND(F.lit(SCALE_DIM - 1))
+    gquad = F.shiftright(g, _SCALE_RM_M)
     slots = []
-    for x in range(DIM):
+    for x in range(SCALE_DIM):
         parity = (
             F.bit_count(glin.bitwiseAND(F.lit(x)))
             + F.bit_count(gquad.bitwiseAND(F.lit(_rm2_quad_mask(x))))
         ) % 2
         slots.append((F.lit(1.0) - F.lit(2.0) * parity.cast("double")))
-    return spark.range(SCALE_DUP_N).select("id", F.array(*slots).alias("v"))
+    return spark.range(
+        0, SCALE_DUP_N, 1, numPartitions=_scale_input_partitions(spark)
+    ).select("id", F.array(*slots).alias("v"))
 
 
 def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
@@ -446,8 +475,11 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
     Wider bands (16 planes -> 65,536 buckets) stand in for how the
     operator is parameterized as N grows; identical duplicates make LSH
     recall exactly 1, so the reduction is deterministic."""
+    from ..registry import persistent_rdd_entries, unpersist_rdd_ids
     from .graph import connected_components
 
+    sc = spark.sparkContext
+    pre_section = set(persistent_rdd_entries(sc))
     emb = track(with_norm(scale_corpus(spark)).cache())
     plane_sets = [
         SCALE_ND_PLANES[b * SCALE_ND_BAND_PLANES : (b + 1) * SCALE_ND_BAND_PLANES]
@@ -456,6 +488,15 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
     pairs = track(
         banded_lsh_pairs(emb, plane_sets, SCALE_ND_THRESHOLD).cache()
     )
+    # Eager fill (one cheap action): the summary's pair/cluster/vector
+    # aggregate subtrees are INDEPENDENT, so a single fused final action
+    # would run their stages concurrently — corpus generation, bucket
+    # self-join, and rescore shuffles all in flight at once, which OOMs
+    # small-heap vanilla sessions (default 1g driver). Materializing the
+    # pair cache first sequences the heavy stages; CC below then iterates
+    # over cached pairs and the final action only aggregates cached /
+    # checkpointed data.
+    pairs.count()
     cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
     ga = F.shiftright(F.col("id_a"), 2)
     gb = F.shiftright(F.col("id_b"), 2)
@@ -476,28 +517,48 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
     nulll = F.lit(None).cast("long")
     nulld = F.lit(None).cast("double")
 
-    def row(metric, m1=None, score=None):
-        return s.select(
+    # ONE evaluation of the aggregate row, exploded into the 8 metric
+    # rows — a per-metric union of selects over `s` would re-run every
+    # aggregate (including the CC fixpoint's final join) once per branch.
+    def entry(metric, m1=None, score=None):
+        return F.struct(
             F.lit(f"scale:{metric}").alias("section"),
-            nulll.alias("id_a"),
-            nulll.alias("id_b"),
             (score if score is not None else nulld).cast("double").alias("score"),
             (m1 if m1 is not None else nulll).cast("long").alias("m1"),
-            nulll.alias("m2"),
         )
 
-    out = row("n_vectors", m1=F.col("n_vectors"))
-    for metric, m1, score in [
-        ("n_pairs", F.col("n_pairs"), None),
-        ("score_sum", None, F.col("score_sum")),
-        ("n_cross_pairs", F.col("n_cross_pairs"), None),
-        ("n_clusters", F.col("n_clusters"), None),
-        ("min_cluster_size", F.col("min_sz"), None),
-        ("max_cluster_size", F.col("max_sz"), None),
-        ("keeper_id_sum", F.col("keeper_id_sum"), None),
-    ]:
-        out = out.unionByName(row(metric, m1=m1, score=score))
-    return out
+    out = s.select(
+        F.explode(
+            F.array(
+                entry("n_vectors", m1=F.col("n_vectors")),
+                entry("n_pairs", m1=F.col("n_pairs")),
+                entry("score_sum", score=F.col("score_sum")),
+                entry("n_cross_pairs", m1=F.col("n_cross_pairs")),
+                entry("n_clusters", m1=F.col("n_clusters")),
+                entry("min_cluster_size", m1=F.col("min_sz")),
+                entry("max_cluster_size", m1=F.col("max_sz")),
+                entry("keeper_id_sum", m1=F.col("keeper_id_sum")),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.section").alias("section"),
+        nulll.alias("id_a"),
+        nulll.alias("id_b"),
+        F.col("r.score").alias("score"),
+        F.col("r.m1").alias("m1"),
+        nulll.alias("m2"),
+    )
+    # Materialize the EIGHT summary rows now (the same driver-sync class
+    # as the CC fixpoint counts — O(1) rows, the distributed work already
+    # ran above) and immediately drop every block the section created:
+    # corpus/band/pair caches AND the CC checkpoint RDDs. The section is
+    # then footprint-free for the rest of the query — and for the rest of
+    # a 50-query single-JVM gate run — instead of holding ~65k-row caches
+    # until release_caches(). The returned literal-backed plan keeps the
+    # schema byte-identical for the union with the fixture sections.
+    rows = out.collect()
+    unpersist_rdd_ids(sc, set(persistent_rdd_entries(sc)) - pre_section)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 _SCALE_ORACLE_VALUES = f"""
@@ -723,8 +784,8 @@ _SEMDEDUP_SQL_CTES = f"""
         "independent within-cell EXISTS derivation. `scale:*` summary "
         "rows: the SAME banded-LSH + CC operators over a generated "
         "planted-cluster corpus 131x the sf0.01 fixture (65,536 vectors "
-        "= 16,384 Reed-Muller RM(2,6) sign directions x 4 exact copies; "
-        "min code distance 16 bounds cross-group cosine at 0.5, so the "
+        "= 16,384 Reed-Muller RM(2,5) sign directions x 4 exact copies; "
+        "min code distance 8/32 bounds cross-group cosine at 0.5, so the "
         "0.8-threshold closed form — G clusters of size C, keeper sums, "
         "zero cross pairs — is guaranteed by coding theory) reduced to "
         "literal-checked summary rows: the in-gate proof the near-dup "
