@@ -141,3 +141,93 @@ def test_semdedup_n_cells_rule():
     assert semdedup_n_cells(64, 64) == 1
     assert semdedup_n_cells(65, 64) == 2
     assert semdedup_n_cells(10**12, 64) == -(-(10**12) // 64)
+
+
+# ----------------------------------- representative-mode SemDeDup
+
+
+def test_semdedup_representative_chain_semantics(spark):
+    """The defining difference from the transitive rule: a chain
+    v0 ~ v1 ~ v2 where cos(v0,v2) < tau. Transitive drops BOTH v1 and
+    v2 (each has SOME lower-id mate >= tau); representative keeps v2,
+    because its only >=tau mate (v1) was itself dropped."""
+    from twilio_event_streams_reporting_example_spark.operators.similarity import (
+        semantic_dedup_representative,
+    )
+
+    # 2-d unit-ish vectors: angles 0, 50, 100 degrees; tau=0.7 ->
+    # cos(0,50)=0.643... wait, need cos(adjacent) >= tau > cos(ends).
+    # angles 0, 40, 80: cos40=0.766, cos80=0.174; tau=0.7.
+    import math
+
+    vecs = [
+        [math.cos(math.radians(a)), math.sin(math.radians(a))]
+        for a in (0.0, 40.0, 80.0)
+    ]
+    emb = with_norm(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+        )
+    ).cache()
+    tau = 0.7
+    rep = (
+        semantic_dedup_representative(spark, "unused", emb=emb, n_cells=1, tau=tau)
+        .orderBy("vec_id")
+        .collect()
+    )
+    tra = (
+        semantic_dedup(spark, "unused", emb=emb, n_cells=1, tau=tau)
+        .orderBy("vec_id")
+        .collect()
+    )
+    emb.unpersist()
+    assert [r.kept for r in tra] == [1, 0, 0]  # transitive over-drops v2
+    assert [r.kept for r in rep] == [1, 0, 1]  # representative keeps v2
+    assert [r.cell_size for r in rep] == [3, 3, 3]
+
+
+def test_semdedup_representative_matches_python_golden(spark):
+    """Cross-check the distributed per-cell kernel against a direct
+    single-process greedy reference on pseudo-random vectors."""
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.similarity import (
+        semantic_dedup_representative,
+    )
+
+    n, k, tau = 512, 8, 0.2  # low tau so drops actually occur
+    emb = _pseudo_random_emb(spark, n).cache()
+    out = (
+        semantic_dedup_representative(spark, "unused", emb=emb, n_cells=k, tau=tau)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    rows = emb.orderBy("id").collect()
+    emb.unpersist()
+    V = np.array([[float(x) for x in r.v] for r in rows])
+    nrm = np.array([float(r.nrm) for r in rows])
+    # reference assignment: nearest of the first k vectors by cosine,
+    # ties to the lower centroid id (same rule as _nearest_cell)
+    cos_cent = (V @ V[:k].T) / np.outer(nrm, nrm[:k])
+    cell = np.round(cos_cent, 9).argmax(axis=1)  # argmax takes first max
+    golden_kept = {}
+    for c in range(k):
+        ids = [i for i in range(n) if cell[i] == c]
+        kept_ids = []
+        for i in ids:
+            cos = [
+                round(float(V[j] @ V[i] / (nrm[j] * nrm[i])), 9) for j in kept_ids
+            ]
+            if cos and max(cos) >= tau:
+                golden_kept[i] = 0
+            else:
+                golden_kept[i] = 1
+                kept_ids.append(i)
+    assert len(out) == n
+    assert int(out["kept"].sum()) < n  # drops occurred; test has teeth
+    mismatches = [
+        (i, int(out.loc[out.vec_id == i, "kept"].iloc[0]), golden_kept[i])
+        for i in range(n)
+        if int(out.loc[out.vec_id == i, "kept"].iloc[0]) != golden_kept[i]
+    ]
+    assert not mismatches, mismatches[:10]

@@ -690,6 +690,82 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_representative(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    n_cells: int = SEMDEDUP_CELLS,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup with KEPT-REPRESENTATIVE semantics: within each cell,
+    scanning ids ascending, a vector is dropped iff some already-KEPT
+    lower-id cellmate sits at cosine >= ``tau`` — so a chain
+    v0~v1~v2 with cos(v0,v2) < tau keeps v0 AND v2 (the transitive rule
+    in :func:`semantic_dedup` would drop both v1 and v2). This is the
+    greedy maximal-independent-set selection some SemDeDup deployments
+    use; which rule a corpus wants is a policy choice, so both are API.
+
+    The keep decision for id i depends on the keep decisions of all
+    lower ids in the cell — an inherently sequential per-cell recurrence
+    no built-in aggregate expresses — so the per-cell scan runs as an
+    Arrow-batched ``applyInPandas`` kernel (numpy dot against the kept
+    set, O(cell_size^2) worst case). Cells are bounded by construction
+    (K ~ N / target_cell_size, :func:`semdedup_n_cells`), so per-group
+    work stays O(target^2) at any corpus size and the only shuffle is
+    the hash partition on cell_id — the same scale shape as the
+    transitive rule. Output schema matches :func:`semantic_dedup`;
+    ``best_lower_cos`` is the best cosine to a KEPT lower-id mate.
+    """
+    import pandas as pd
+
+    if emb is None:
+        emb = track(_emb_normed(spark, sf_dir).cache())
+    cent = emb.filter(F.col("id") < n_cells).select(
+        F.col("id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assign = _nearest_cell(_scored_cells(emb, cent))
+    mem = assign.join(emb, "id").select(
+        F.col("centroid_id").alias("cell_id"), "id", "v", "nrm"
+    )
+
+    def select_reps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy().astype(np.float64)
+        kept = np.zeros(n, dtype=np.int64)
+        best = np.full(n, np.nan)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                cos = (V[kept_rows] @ V[i]) / (nrm[kept_rows] * nrm[i])
+                b = float(np.round(cos.max(), SCORE_DP))
+                best[i] = b
+                if b >= tau:
+                    continue
+            kept[i] = 1
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["id"],
+                "cell_id": pdf["cell_id"],
+                "best_lower_cos": best,
+                "kept": kept,
+                "cell_size": np.int64(n),
+            }
+        )
+
+    out_schema = (
+        "vec_id long, cell_id long, best_lower_cos double, "
+        "kept long, cell_size long"
+    )
+    return mem.groupBy("cell_id").applyInPandas(select_reps, schema=out_schema)
+
+
 _SEMDEDUP_SQL_CTES = f"""
         sd_cent AS (
           SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {SEMDEDUP_CELLS}
