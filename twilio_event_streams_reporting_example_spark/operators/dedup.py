@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register, track
+from ..session import scale_input_partitions
 from ..sources.tables import load_table
 
 MERSENNE_P = 2147483647  # 2^31 - 1
@@ -259,9 +260,72 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_rows.unionByName(d)
 
 
+# ---- sketch sections of dedup_exact_events (bounded-state cardinality /
+# frequency machinery a 100 TB audit actually runs) -----------------------
+HH_PHI_PCT = 10  # heavy hitter: key holding >= 10% of all deliveries
+HH_MG_CAPACITY = 64  # Misra-Gries counters/partition; merged undercount
+#                      <= n/(k+1) ~ 1.5% of n, far under the 10% threshold
+HH_SCALE_N = 1_000_000
+HH_SCALE_EVERY = 10  # ids % 10 == 0 collapse to key 0 -> 10% heavy head
+HH_SCALE_PHI_PCT = 1  # planted head 10% >> 1% threshold >> 1/(k+1)
+DISTINCT_CERT_REL_ERR = 0.15  # 3x the default 5% HLL rsd
+QUANTILE_ACCURACY = 100  # approx_percentile rank error <= n/accuracy
+QUANTILE_QS = (50, 90, 99)
+
+
+def _mg_candidates(df: DataFrame, key_col: str, key_type: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries (mergeable-summaries variant) candidate
+    keys via an Arrow ``mapInPandas`` kernel — at most ``k`` rows per
+    partition, each partition's summary undercounting any key by at most
+    n_p/(k+1). Summing over partitions: a key with global count
+    > n/(k+1) MUST survive in at least one partition's list, so taking
+    the union of all partition candidates (no global merge needed) has
+    no false negatives at thresholds above n/(k+1). False positives are
+    removed by the exact recount in :func:`_heavy_hitters`. The state
+    bound (k counters, not |distinct keys|) is the point at 100 TB: the
+    full groupBy alternative shuffles every distinct key."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > k:
+                vals = sorted(counts.values(), reverse=True)
+                thresh = vals[k]  # (k+1)-th largest
+                counts = {x: c - thresh for x, c in counts.items() if c > thresh}
+        if counts:
+            yield pd.DataFrame({key_col: list(counts.keys())})
+
+    return df.select(key_col).mapInPandas(mg, schema=f"{key_col} {key_type}")
+
+
+def _heavy_hitters(
+    df: DataFrame, key_col: str, key_type: str, phi_pct: int, k: int
+) -> DataFrame:
+    """(key, cnt, n): keys with EXACT count >= phi_pct% of rows, found by
+    MG candidate generation + an exact verification recount restricted
+    to candidates (broadcast semi-join, so the recount shuffles only
+    candidate rows, never the distinct-key universe). Deterministic:
+    the candidate SET may vary with partition order, but the exact-
+    verified output cannot (no false negatives above the threshold)."""
+    cand = _mg_candidates(df, key_col, key_type, k)
+    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("cnt") * 100 >= F.col("n") * phi_pct
+    )
+
+
 @register(
     "dedup_exact_events",
-    oracle="""
+    oracle=f"""
         SELECT 'delivery_audit' AS section,
                CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type,
                COUNT(*) AS m1,
@@ -277,6 +341,32 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY user_id, event_type
         HAVING COUNT(*) > 1
+        UNION ALL
+        SELECT 'heavy_hitter' AS section, CAST(NULL AS BIGINT) AS user_id,
+               event_type, COUNT(*) AS m1,
+               (SELECT COUNT(*) FROM events) AS m2,
+               CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
+        FROM events
+        GROUP BY event_type
+        HAVING COUNT(*) * 100 >= (SELECT COUNT(*) FROM events) * {HH_PHI_PCT}
+        UNION ALL
+        SELECT 'hh_scale' AS section, CAST(0 AS BIGINT) AS user_id,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST({HH_SCALE_N // HH_SCALE_EVERY} AS BIGINT) AS m1,
+               CAST({HH_SCALE_N} AS BIGINT) AS m2,
+               CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
+        UNION ALL
+        SELECT 'distinct_cert' AS section, CAST(NULL AS BIGINT) AS user_id,
+               CAST(NULL AS VARCHAR) AS event_type,
+               COUNT(DISTINCT user_id) AS m1, CAST(1 AS BIGINT) AS m2,
+               CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
+        FROM events
+        UNION ALL
+        SELECT 'quantile_cert' AS section, CAST(NULL AS BIGINT) AS user_id,
+               'q' || q AS event_type, CAST(1 AS BIGINT) AS m1,
+               (SELECT COUNT(value) FROM events) AS m2,
+               CAST(NULL AS BIGINT) AS m3, CAST(NULL AS BIGINT) AS m4
+        FROM (VALUES (50), (90), (99)) AS t(q)
     """,
     doc=(
         "Event-identity dedup audit, union-tagged by `section`. "
@@ -292,7 +382,21 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bytes, no Expand. `type_frequency`: per-user event-type "
         "multiplicity (NOT dedup — distinct events of the same type are "
         "legitimate; m1=first event id, m2=count, kept from round 1 under "
-        "an honest name)."
+        "an honest name). Sketch sections (bounded-state machinery): "
+        "`heavy_hitter` — keys with >= 10% of deliveries via Misra-Gries "
+        "per-partition candidates (mapInPandas, 64 counters of state) + "
+        "exact broadcast-semi-join recount, so only candidates shuffle; "
+        "`hh_scale` — the same operator over a generated 1M-row stream "
+        "with a planted 10% head and a 900k-unique-key tail (closed-form "
+        "oracle: exactly key 0 at count 100k), the in-gate proof the "
+        "state bound holds where a full groupBy would shuffle 900k keys; "
+        "`distinct_cert` — exact distinct users + a certification that "
+        "HLL approx_count_distinct lands within 3x its rsd (the oracle "
+        "checks the cert bit, which the sketch's order-insensitive merge "
+        "guarantees deterministically); `quantile_cert` — approx_"
+        "percentile(value, q, accuracy=100) re-ranked EXACTLY in-query, "
+        "certifying the sketch's <= n/accuracy rank-error contract at "
+        "q50/q90/q99 (2x slack; holds for any partition merge order)."
     ),
 )
 def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +450,114 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("m4"),
         )
     )
-    return audit.unionByName(freq)
+    nulll = F.lit(None).cast("long")
+    nulls = F.lit(None).cast("string")
+
+    hh = _heavy_hitters(ev, "event_type", "string", HH_PHI_PCT, HH_MG_CAPACITY).select(
+        F.lit("heavy_hitter").alias("section"),
+        nulll.alias("user_id"),
+        "event_type",
+        F.col("cnt").alias("m1"),
+        F.col("n").alias("m2"),
+        nulll.alias("m3"),
+        nulll.alias("m4"),
+    )
+
+    planted = spark.range(
+        0, HH_SCALE_N, 1, numPartitions=scale_input_partitions(spark)
+    ).select(
+        F.when(F.col("id") % HH_SCALE_EVERY == 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("user_id")
+    )
+    hh_scale = _heavy_hitters(
+        planted, "user_id", "long", HH_SCALE_PHI_PCT, HH_MG_CAPACITY
+    ).select(
+        F.lit("hh_scale").alias("section"),
+        "user_id",
+        nulls.alias("event_type"),
+        F.col("cnt").alias("m1"),
+        F.col("n").alias("m2"),
+        nulll.alias("m3"),
+        nulll.alias("m4"),
+    )
+
+    # exact distinct via its own partial-agg pipeline (no Expand), the
+    # HLL estimate alongside; cert = within 3x the default 5% rsd.
+    exact_d = (
+        ev.select("user_id").groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("exact_d"))
+    )
+    apx_d = ev.agg(F.approx_count_distinct("user_id").alias("apx"))
+    distinct_cert = exact_d.crossJoin(apx_d).select(
+        F.lit("distinct_cert").alias("section"),
+        nulll.alias("user_id"),
+        nulls.alias("event_type"),
+        F.col("exact_d").alias("m1"),
+        (
+            F.abs(F.col("apx") - F.col("exact_d"))
+            <= F.lit(DISTINCT_CERT_REL_ERR) * F.col("exact_d")
+        )
+        .cast("long")
+        .alias("m2"),
+        nulll.alias("m3"),
+        nulll.alias("m4"),
+    )
+
+    qarr = F.percentile_approx(
+        "value",
+        F.array(*[F.lit(q / 100.0) for q in QUANTILE_QS]),
+        F.lit(QUANTILE_ACCURACY),
+    )
+    sketch = ev.agg(qarr.alias("qv"), F.count("value").alias("n"))
+    # exact rank of each sketched quantile value in ONE pass over events
+    # (1-row broadcast cross join; conditional sums, no per-q rescan)
+    ranks = ev.crossJoin(F.broadcast(sketch)).agg(
+        *[
+            F.sum((F.col("value") <= F.col("qv")[i]).cast("long")).alias(f"r{q}")
+            for i, q in enumerate(QUANTILE_QS)
+        ],
+        F.first("n").alias("n"),
+    )
+    # cert_q: | exact_rank - q*n | <= 2 * n/accuracy + 1 (2x contract slack)
+    quantile_cert = ranks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"q{q}").alias("tag"),
+                        (
+                            F.abs(
+                                F.col(f"r{q}") - F.lit(q / 100.0) * F.col("n")
+                            )
+                            <= F.lit(2.0 / QUANTILE_ACCURACY) * F.col("n") + 1
+                        )
+                        .cast("long")
+                        .alias("cert"),
+                    )
+                    for q in QUANTILE_QS
+                ]
+            )
+        ).alias("r"),
+        F.col("n"),
+    ).select(
+        F.lit("quantile_cert").alias("section"),
+        nulll.alias("user_id"),
+        F.col("r.tag").alias("event_type"),
+        F.col("r.cert").alias("m1"),
+        F.col("n").alias("m2"),
+        nulll.alias("m3"),
+        nulll.alias("m4"),
+    )
+
+    return (
+        audit.unionByName(freq)
+        .unionByName(hh)
+        .unionByName(hh_scale)
+        .unionByName(distinct_cert)
+        .unionByName(quantile_cert)
+    )
 
 
 # ------------------------------------------------------- 2. n-gram Jaccard

@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register, track
+from ..session import scale_input_partitions
 from ..sources.tables import load_table
 from .vectorized import NORMS_ORACLE as _NORMS_ORACLE
 
@@ -427,25 +428,6 @@ def _rm2_quad_mask(x: int, m: int = _SCALE_RM_M) -> int:
     return mask
 
 
-def _scale_input_partitions(spark: SparkSession) -> int:
-    """Input-partition count for the synthetic corpus, sized so the
-    SECTION's map-side shuffle memory fits a default-1g vanilla session:
-    each map task writing an S-partition shuffle holds ~S open
-    compressed stream buffers (~128 KiB each with the default bypass
-    sort path), so concurrent_tasks x S x 128KiB must stay well under
-    the heap. With the session's own 32-partition shuffle config this
-    returns full parallelism; with a vanilla 200-partition session it
-    throttles the scale section's map concurrency instead of OOMing.
-    (Downstream exchanges are AQE-coalesced, so only these root scans
-    need explicit sizing.)"""
-    try:
-        shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        shuf = 200
-    budget_tasks = max(2, (256 << 20) // (shuf * (128 << 10)))
-    return max(2, min(spark.sparkContext.defaultParallelism, budget_tasks))
-
-
 def scale_corpus(spark: SparkSession) -> DataFrame:
     """(id, v): the planted-duplicate synthetic corpus, generated in
     parallel from range() — per-slot exprs are pure integer bit math
@@ -461,7 +443,7 @@ def scale_corpus(spark: SparkSession) -> DataFrame:
         ) % 2
         slots.append((F.lit(1.0) - F.lit(2.0) * parity.cast("double")))
     return spark.range(
-        0, SCALE_DUP_N, 1, numPartitions=_scale_input_partitions(spark)
+        0, SCALE_DUP_N, 1, numPartitions=scale_input_partitions(spark)
     ).select("id", F.array(*slots).alias("v"))
 
 

@@ -38,6 +38,24 @@ def _ensure_protobuf_path() -> None:
         os.environ["PYTHONPATH"] = (pp + os.pathsep + vendor) if pp else vendor
 
 
+def scale_input_partitions(spark: "SparkSession") -> int:
+    """Root-scan partition count for synthetic in-gate scale sections,
+    sized so map-side shuffle memory fits a default-1g vanilla session:
+    each map task writing an S-partition (bypass-sort) shuffle holds ~S
+    open compressed stream buffers (~128 KiB each), so
+    concurrent_tasks x S x 128KiB must stay well under the heap. With
+    the package session's cores-wide shuffle config this returns full
+    parallelism; with a vanilla 200-partition session it throttles the
+    section's map concurrency instead of OOMing. Downstream exchanges
+    are AQE-coalesced, so only root scans need explicit sizing."""
+    try:
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuf = 200
+    budget_tasks = max(2, (256 << 20) // (shuf * (128 << 10)))
+    return max(2, min(spark.sparkContext.defaultParallelism, budget_tasks))
+
+
 def get_spark(
     app_name: str = "twilio_event_streams_reporting_example_spark",
     shuffle_partitions: int | None = None,
