@@ -174,8 +174,12 @@ def _dedup_synthetic_summary(spark: SparkSession) -> DataFrame:
     """Run the exact-dedup plan over a generated 1M-row corpus (content
     key = id % _SCALE_GROUPS, so keeper of content c is c) and reduce to
     summary rows with a closed-form oracle. range() generates partitions
-    in parallel - nothing is collected or broadcast."""
-    syn = spark.range(_SCALE_ROWS).select(
+    in parallel - nothing is collected or broadcast; the root partition
+    count is budgeted against the session's shuffle width (session.py)
+    so the groupBy's map-side stream buffers fit a vanilla 1g heap."""
+    syn = spark.range(
+        0, _SCALE_ROWS, 1, numPartitions=scale_input_partitions(spark)
+    ).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("syn-"), (F.col("id") % _SCALE_GROUPS).cast("string")).alias(
             "text"
@@ -194,23 +198,32 @@ def _dedup_synthetic_summary(spark: SparkSession) -> DataFrame:
     )
     nulll = F.lit(None).cast("long")
 
-    def row(metric, v1, v2):
-        return s.select(
-            F.lit("scale_synthetic").alias("section"),
-            F.lit(metric).alias("text_hash"),
-            (v1 if v1 is not None else nulll).cast("long").alias("keeper_doc_id"),
-            (v2 if v2 is not None else nulll).cast("long").alias("n_copies"),
+    # ONE evaluation of the 1M-row aggregate, exploded into the metric
+    # rows — a per-metric union of selects over `s` would re-run the
+    # whole synthetic groupBy once per branch (5x the scan).
+    def entry(metric, v1, v2):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            (v1 if v1 is not None else nulll).cast("long").alias("v1"),
+            (v2 if v2 is not None else nulll).cast("long").alias("v2"),
         )
 
-    out = row("n_groups", None, F.col("n_groups"))
-    for m, v1, v2 in [
-        ("n_rows", None, F.col("n_rows")),
-        ("min_copies", None, F.col("min_copies")),
-        ("max_copies", None, F.col("max_copies")),
-        ("keeper_id_sum", F.col("keeper_id_sum"), None),
-    ]:
-        out = out.unionByName(row(m, v1, v2))
-    return out
+    return s.select(
+        F.explode(
+            F.array(
+                entry("n_groups", None, F.col("n_groups")),
+                entry("n_rows", None, F.col("n_rows")),
+                entry("min_copies", None, F.col("min_copies")),
+                entry("max_copies", None, F.col("max_copies")),
+                entry("keeper_id_sum", F.col("keeper_id_sum"), None),
+            )
+        ).alias("r")
+    ).select(
+        F.lit("scale_synthetic").alias("section"),
+        F.col("r.metric").alias("text_hash"),
+        F.col("r.v1").alias("keeper_doc_id"),
+        F.col("r.v2").alias("n_copies"),
+    )
 
 
 @register(

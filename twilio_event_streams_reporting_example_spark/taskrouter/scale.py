@@ -43,7 +43,11 @@ def synthetic_events(spark: SparkSession, n_tasks: int) -> DataFrame:
     per-task events come from one explode over the spec array (an
     earlier 5-way union of range scans scheduled 5× the tasks for the
     same rows)."""
-    base = spark.range(n_tasks).select(F.col("id").alias("i"))
+    from ..session import scale_input_partitions
+
+    base = spark.range(
+        0, n_tasks, 1, numPartitions=scale_input_partitions(spark)
+    ).select(F.col("id").alias("i"))
     specs = F.array(
         *[
             F.struct(
