@@ -280,7 +280,8 @@ HH_MG_CAPACITY = 64  # Misra-Gries counters/partition; merged undercount
 #                      <= n/(k+1) ~ 1.5% of n, far under the 10% threshold
 HH_SCALE_N = 1_000_000
 HH_SCALE_EVERY = 10  # ids % 10 == 0 collapse to key 0 -> 10% heavy head
-HH_SCALE_PHI_PCT = 1  # planted head 10% >> 1% threshold >> 1/(k+1)
+HH_SCALE_PHI_PCT = 1  # planted head 10% >> 1% threshold
+HH_SCALE_MG_CAPACITY = 256  # 1% threshold needs k+1 > 100; 257 -> 0.39%
 DISTINCT_CERT_REL_ERR = 0.15  # 3x the default 5% HLL rsd
 QUANTILE_ACCURACY = 100  # approx_percentile rank error <= n/accuracy
 QUANTILE_QS = (50, 90, 99)
@@ -485,7 +486,7 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("user_id")
     )
     hh_scale = _heavy_hitters(
-        planted, "user_id", "long", HH_SCALE_PHI_PCT, HH_MG_CAPACITY
+        planted, "user_id", "long", HH_SCALE_PHI_PCT, HH_SCALE_MG_CAPACITY
     ).select(
         F.lit("hh_scale").alias("section"),
         "user_id",
