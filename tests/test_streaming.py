@@ -289,6 +289,28 @@ def test_tws_lifecycle(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in base.collect()}
 
 
+def test_bucketed_lifecycle_matches_per_task(spark, tmp_path):
+    """State-sharded lifecycle (one state doc per hash bucket of tasks,
+    the throughput path) must emit EXACTLY the per-task variant's rows
+    on the full fixture — including the event-time-timeout CORRUPTED
+    conversations, whose bucketed reap predicate (own deadline vs
+    current watermark at each min-deadline firing) must match Spark's
+    per-key timeout semantics micro-batch for micro-batch. buckets=8
+    with the fixture's task count forces real multi-task shards."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    got = run_fixture_stream(spark, str(tmp_path), buckets=8).cache()
+    base = run_fixture_stream(spark, str(tmp_path / "base")).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert g == b, (g - b, b - g)
+    # CORRUPTED rows specifically must survive the sharded timeout path
+    corrupted = [r for r in b if "CORRUPTED" in str(r)]
+    assert corrupted, "fixture must exercise the timeout path"
+
+
 @pytest.mark.parametrize(
     "provider",
     [

@@ -78,6 +78,10 @@ def main() -> int:
             }
 
         run("lifecycle", conversation_segments_stream)
+        run(
+            "lifecycle_bucketed",
+            lambda ev: conversation_segments_stream(ev, buckets=1024),
+        )
         run("hourly_window", hourly_event_counts_stream)
     finally:
         shutil.rmtree(work, ignore_errors=True)
