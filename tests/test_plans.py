@@ -221,3 +221,24 @@ def test_corpus_prep_tokenizes_once(spark, sf_dir):
     # the near branch reads the same InMemoryRelation the exact branch
     # builds; a second Generate outside the cache means the share broke
     assert "InMemoryRelation" in plan
+
+
+def test_heavy_hitter_recount_is_broadcast_semi(spark, sf_dir):
+    """The MG heavy-hitter verification recount must probe candidates
+    through a BROADCAST semi-join (candidates are <= k x partitions
+    rows): a shuffled semi-join would move the full event table for a
+    handful of keys, and a non-semi join would duplicate rows."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        HH_MG_CAPACITY,
+        HH_PHI_PCT,
+        _heavy_hitters,
+    )
+    from twilio_event_streams_reporting_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    hh = _heavy_hitters(ev, "event_type", "string", HH_PHI_PCT, HH_MG_CAPACITY)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan.split(
+        "LeftSemi"
+    )[0]
