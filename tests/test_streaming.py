@@ -311,6 +311,32 @@ def test_bucketed_lifecycle_matches_per_task(spark, tmp_path):
     assert corrupted, "fixture must exercise the timeout path"
 
 
+def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
+    """Randomized scenario mix (the batch fuzz generator: jittered
+    timings, dropped events, dual accepts, cancels, transfers) through
+    BOTH stream keyings — per-task and 4-bucket sharded (tiny bucket
+    count maximizes tasks-per-shard interleaving). Set-equality of all
+    emitted rows; random timings make the timeout reap order genuinely
+    adversarial rather than fixture-shaped."""
+    from tests.test_fuzz_parity import _gen_events
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    events = _gen_events(seed=1106, n_tasks=40)
+    got = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), buckets=4, events_in=events
+    ).cache()
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), events_in=events
+    ).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert b, "fuzz scenarios must emit rows"
+    assert g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])
+
+
 @pytest.mark.parametrize(
     "provider",
     [

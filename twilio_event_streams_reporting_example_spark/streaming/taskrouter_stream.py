@@ -604,13 +604,15 @@ def run_fixture_stream(
     wide: bool = False,
     tws: bool = False,
     buckets: int | None = None,
+    events_in: list | None = None,
 ) -> DataFrame:
     """Batch-parity harness: spool the fixture to ``files`` chronological
     JSON-line files, stream them with availableNow (file-per-trigger →
     the watermark advances between micro-batches, exercising cross-batch
     state and event-time timeouts), and return the collected segments as
     a batch DataFrame. ``wide=True`` materializes the full ~65-column
-    fact stream instead of the core view."""
+    fact stream instead of the core view. ``events_in`` substitutes a
+    caller-provided CloudEvent list for the fixture (fuzz harnesses)."""
     import os
 
     from ..taskrouter.fixture import FIXTURE_EVENTS
@@ -620,7 +622,8 @@ def run_fixture_stream(
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(indir, exist_ok=True)
     ordered = sorted(
-        FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"]
+        events_in if events_in is not None else FIXTURE_EVENTS,
+        key=lambda e: e["data"]["payload"]["timestamp"],
     )
     chunk = max(1, (len(ordered) + files - 1) // files)
     for i in range(0, len(ordered), chunk):
