@@ -556,16 +556,34 @@ def _stream_golden_rows() -> list[dict]:
     return rows
 
 
+def _stream_golden_rows_keyed() -> list[dict]:
+    """Both stream keyings must produce the SAME golden rows: the
+    per-task keying and the state-sharded bucketed keying (one state
+    document per hash bucket of tasks — the throughput path, 8x the
+    events/s; streaming/taskrouter_stream.py::_bucket_lifecycle_fn)."""
+    rows = _stream_golden_rows()
+    return [{**r, "keying": "per_task"} for r in rows] + [
+        {**r, "keying": "bucketed"} for r in rows
+    ]
+
+
 @register(
     "streaming_taskrouter_segments",
     bench=False,
-    oracle=golden_values_sql(_stream_golden_rows(), _STREAM_COLS),
+    oracle=golden_values_sql(
+        _stream_golden_rows_keyed(), _STREAM_COLS + [("keying", "VARCHAR")]
+    ),
     doc=(
         "Structured Streaming lifecycle over the fixture (watermark + "
-        "dropDuplicatesWithinWatermark + applyInPandasWithState keyed by "
-        "task_sid, event-time timeout → CORRUPTED CONVERSATION). The "
-        "oracle is the batch simulator's terminal segments — streaming/"
-        "batch parity IS the correctness claim."
+        "dropDuplicatesWithinWatermark + applyInPandasWithState, "
+        "event-time timeout → CORRUPTED CONVERSATION), run under BOTH "
+        "state keyings and union-tagged by `keying`: 'per_task' (one "
+        "state doc per task — the canonical form) and 'bucketed' (state "
+        "sharded over hash buckets of tasks — the throughput form, 8x "
+        "events/s, exact timeout parity via per-task deadline vs current "
+        "watermark). The oracle is the batch simulator's terminal "
+        "segments duplicated per keying — streaming/batch parity AND "
+        "keying equivalence ARE the correctness claim."
     ),
 )
 def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,7 +592,14 @@ def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.taskrouter_stream import run_fixture_stream
 
     with tempfile.TemporaryDirectory() as d:
-        return run_fixture_stream(spark, d)
+        per_task = run_fixture_stream(spark, d).withColumn(
+            "keying", F.lit("per_task")
+        )
+    with tempfile.TemporaryDirectory() as d2:
+        bucketed = run_fixture_stream(spark, d2, buckets=8).withColumn(
+            "keying", F.lit("bucketed")
+        )
+    return per_task.unionByName(bucketed)
 
 
 def _stream_golden_rows_wide() -> list[dict]:
