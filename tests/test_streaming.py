@@ -338,14 +338,21 @@ def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "provider",
+    "provider,buckets",
     [
-        None,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        (None, None),
+        (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            None,
+        ),
+        (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            8,
+        ),
     ],
-    ids=["hdfs-default", "rocksdb"],
+    ids=["hdfs-default", "rocksdb", "rocksdb-bucketed"],
 )
-def test_streaming_restart_exactly_once(spark, provider):
+def test_streaming_restart_exactly_once(spark, provider, buckets):
     """Failure-recovery contract: stop the streaming pipeline mid-fixture,
     then restart from the SAME checkpoint with the remaining files PLUS a
     redelivered copy of already-processed events. The stateful lifecycle,
@@ -357,8 +364,10 @@ def test_streaming_restart_exactly_once(spark, provider):
     Runs under BOTH state-store providers: the default HDFS-backed store
     and RocksDB — the provider a large deployment uses once lifecycle +
     dedup state outgrow executor heap (state is spilled/compacted off-
-    heap and checkpointed incrementally). Certifies the
-    applyInPandasWithState path restarts exactly-once on each."""
+    heap and checkpointed incrementally). The rocksdb-bucketed case
+    restarts the STATE-SHARDED keying (multi-task state documents +
+    min-deadline timer must both come back from the checkpoint) —
+    certifying the throughput path recovers exactly-once too."""
     import json
     import os
     import shutil
@@ -382,7 +391,7 @@ def test_streaming_restart_exactly_once(spark, provider):
             .option("maxFilesPerTrigger", 1)
             .load(indir)
         )
-        wide = wide_conversation_segments_stream(parse_stream(raw))
+        wide = wide_conversation_segments_stream(parse_stream(raw), buckets=buckets)
         q = write_segments_stream(wide, fact, ck).trigger(availableNow=True).start()
         q.awaitTermination(300)
 
