@@ -48,3 +48,33 @@ def test_resize_shuffle_free(spark, sf_dir):
     df = multimodal_resize(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    """The dependency-free BMP codec: byte-exact container layout
+    (magic, offsets, padded bottom-up BGR rows) and lossless
+    roundtrip; a non-BMP payload raises, other containers stay gated."""
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        decode_bmp,
+        decode_real_media,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    # width 3 -> row stride 9 -> padded to 12: exercises padding
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    blob = encode_bmp(img)
+    assert blob[:2] == b"BM"
+    assert len(blob) == 14 + 40 + 12 * 5
+    # bottom-up BGR: first data row is the LAST image row, reversed chans
+    first_row = blob[54 : 54 + 9]
+    assert first_row == img[-1, :, ::-1].tobytes()
+    assert (decode_bmp(blob) == img).all()
+    assert (decode_real_media(blob, "image/bmp") == img).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOPE" + blob)
+    with pytest.raises(NotImplementedError):
+        decode_real_media(b"\x89PNG\r\n\x1a\n....", "image/png")
