@@ -311,7 +311,8 @@ def test_bucketed_lifecycle_matches_per_task(spark, tmp_path):
     assert corrupted, "fixture must exercise the timeout path"
 
 
-def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
+@pytest.mark.parametrize("seed", [1106, 2207])
+def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path, seed):
     """Randomized scenario mix (the batch fuzz generator: jittered
     timings, dropped events, dual accepts, cancels, transfers) through
     BOTH stream keyings — per-task and 4-bucket sharded (tiny bucket
@@ -324,7 +325,7 @@ def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
         run_fixture_stream,
     )
 
-    events = _gen_events(seed=1106, n_tasks=40)
+    events = _gen_events(seed=seed, n_tasks=40)
     got = run_fixture_stream(
         spark, str(tmp_path / "bkt"), buckets=4, events_in=events
     ).cache()
