@@ -65,3 +65,24 @@ def test_cc_round_blocks_bounded(spark, sf_dir):
     assert len(alive) <= 5, f"unexpected live checkpoint RDDs: {alive}"
     release_caches()
     assert not (set(persistent_rdd_entries(sc)) - baseline)
+
+
+def test_cc_no_cachemanager_entry_growth(spark):
+    """The per-round mid.cache() must be released through the DataFrame
+    API, not just its raw RDD blocks: otherwise the SQL CacheManager
+    keeps one InMemoryRelation entry (pinning an analyzed plan) per
+    round per connected_components call for the life of the session."""
+    from twilio_event_streams_reporting_example_spark.operators.graph import (
+        connected_components,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(pairs)
+    assert cc.filter(F.col("cluster_id") != 0).count() == 0
+    release_caches()
+    assert cm.isEmpty(), "CacheManager entries leaked by the CC loop"

@@ -83,3 +83,45 @@ def test_mg_guarantee_margin_documented():
 
     assert HH_PHI_PCT / 100 > 1 / (HH_MG_CAPACITY + 1)
     assert HH_SCALE_PHI_PCT / 100 > 1 / (HH_SCALE_MG_CAPACITY + 1)
+
+def test_heavy_hitters_null_key_counted(spark):
+    """NULL is a real group: a dataset whose modal key is NULL must
+    surface it (pandas value_counts drops NaN by default, which would
+    silently exclude NULL from MG candidacy; the recount join must be
+    null-safe or the candidate would vanish between the two stages).
+    Matches SQL GROUP BY semantics, which keep the NULL group."""
+    n = 10_000
+    rows = [None] * (n // 5) + [f"k{i}" for i in range(n - n // 5)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": rows}), schema="k string"
+    ).repartition(8)
+    out = _heavy_hitters(df, "k", "string", 10, HH_MG_CAPACITY).collect()
+    assert [(r["k"], r["cnt"], r["n"]) for r in out] == [(None, n // 5, n)]
+
+
+def test_quantile_cert_survives_heavy_ties(spark):
+    """Tie-correct cert: with 96% of values identical, count(<=qv) at the
+    median is ~0.96n — the old one-sided |count(<=qv) - 0.5n| test reads
+    that as a contract violation even though percentile_approx is
+    perfectly in-contract (SOME rank in the tied value's rank interval
+    is within eps*n of q*n). The interval form must certify 1 for every
+    q, and on untied uniform data it must also still certify."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        _quantile_cert_df,
+    )
+
+    n = 10_000
+    tied = spark.createDataFrame(
+        pd.DataFrame({"value": [7.0] * (n * 96 // 100)
+                      + [float(i) for i in range(n * 4 // 100)]}),
+        schema="value double",
+    ).repartition(8)
+    out = {r["event_type"]: r["m1"] for r in _quantile_cert_df(tied).collect()}
+    assert out == {"q50": 1, "q90": 1, "q99": 1}, out
+
+    uniform = spark.createDataFrame(
+        pd.DataFrame({"value": [float(i) for i in range(n)]}),
+        schema="value double",
+    ).repartition(8)
+    out_u = {r["event_type"]: r["m1"] for r in _quantile_cert_df(uniform).collect()}
+    assert out_u == {"q50": 1, "q90": 1, "q99": 1}, out_u

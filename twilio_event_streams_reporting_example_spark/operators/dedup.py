@@ -300,18 +300,35 @@ def _mg_candidates(df: DataFrame, key_col: str, key_type: str, k: int) -> DataFr
     full groupBy alternative shuffles every distinct key."""
 
     def mg(batches):
+        import math
+
         import pandas as pd
+
+        _NULL = object()  # sentinel: NULL is a real key, countable like any
+
+        def norm(x):
+            # pandas surfaces missing values as None/NaN/NaT depending on
+            # dtype; fold them all to one sentinel so NULL keys are
+            # counted (dropna=True would silently exclude them from
+            # candidacy — a >=phi% null-key dataset must still surface)
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                return _NULL
+            return x
 
         counts: dict = {}
         for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
+            for key, c in pdf[key_col].value_counts(dropna=False).items():
+                key = norm(key)
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > k:
                 vals = sorted(counts.values(), reverse=True)
                 thresh = vals[k]  # (k+1)-th largest
                 counts = {x: c - thresh for x, c in counts.items() if c > thresh}
         if counts:
-            yield pd.DataFrame({key_col: list(counts.keys())})
+            yield pd.DataFrame(
+                {key_col: [None if x is _NULL else x for x in counts.keys()]},
+                dtype=object,
+            )
 
     return df.select(key_col).mapInPandas(mg, schema=f"{key_col} {key_type}")
 
@@ -328,13 +345,90 @@ def _heavy_hitters(
     cand = _mg_candidates(df, key_col, key_type, k)
     tot = df.agg(F.count(F.lit(1)).alias("n"))
     counts = (
-        df.join(F.broadcast(cand), key_col, "left_semi")
+        # null-safe join key: a NULL candidate must recount the NULL
+        # group (plain equality would drop it between MG and the recount;
+        # groupBy itself keeps the NULL group, matching SQL GROUP BY)
+        df.join(
+            F.broadcast(cand), df[key_col].eqNullSafe(cand[key_col]), "left_semi"
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counts.crossJoin(F.broadcast(tot)).filter(
         F.col("cnt") * 100 >= F.col("n") * phi_pct
     )
+
+
+def _quantile_cert_df(ev: DataFrame) -> DataFrame:
+    """`quantile_cert` section: approx_percentile's <= n/accuracy rank
+    contract re-verified EXACTLY in-query (tie-correct interval form;
+    see inline comment). Factored out so tied-value distributions can be
+    unit-tested directly (tests/test_sketches.py)."""
+    nulll = F.lit(None).cast("long")
+    qarr = F.percentile_approx(
+        "value",
+        F.array(*[F.lit(q / 100.0) for q in QUANTILE_QS]),
+        F.lit(QUANTILE_ACCURACY),
+    )
+    sketch = ev.agg(qarr.alias("qv"), F.count("value").alias("n"))
+    # exact rank of each sketched quantile value in ONE pass over events
+    # (1-row broadcast cross join; conditional sums, no per-q rescan)
+    ranks = ev.crossJoin(F.broadcast(sketch)).agg(
+        *[
+            F.sum((F.col("value") <= F.col("qv")[i]).cast("long")).alias(f"le{q}")
+            for i, q in enumerate(QUANTILE_QS)
+        ],
+        *[
+            F.sum((F.col("value") < F.col("qv")[i]).cast("long")).alias(f"lt{q}")
+            for i, q in enumerate(QUANTILE_QS)
+        ],
+        F.first("n").alias("n"),
+    )
+    # cert_q, tie-correct: a duplicated value occupies the whole rank
+    # interval (count(<qv), count(<=qv)]; percentile_approx's contract is
+    # that SOME rank in that interval is within eps*n of q*n, so the
+    # one-sided |count(<=qv) - q*n| test can fail on heavily tied data
+    # even when the sketch is in-contract. Certify the interval instead:
+    #   count(<qv)  <= q*n + eps*n   AND   count(<=qv) >= q*n - eps*n
+    # with eps = 2/accuracy (2x contract slack) + 1 row of rounding.
+    return ranks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"q{q}").alias("tag"),
+                        (
+                            (
+                                F.col(f"lt{q}")
+                                <= F.lit(q / 100.0) * F.col("n")
+                                + F.lit(2.0 / QUANTILE_ACCURACY) * F.col("n")
+                                + 1
+                            )
+                            & (
+                                F.col(f"le{q}")
+                                >= F.lit(q / 100.0) * F.col("n")
+                                - F.lit(2.0 / QUANTILE_ACCURACY) * F.col("n")
+                                - 1
+                            )
+                        )
+                        .cast("long")
+                        .alias("cert"),
+                    )
+                    for q in QUANTILE_QS
+                ]
+            )
+        ).alias("r"),
+        F.col("n"),
+    ).select(
+        F.lit("quantile_cert").alias("section"),
+        nulll.alias("user_id"),
+        F.col("r.tag").alias("event_type"),
+        F.col("r.cert").alias("m1"),
+        F.col("n").alias("m2"),
+        nulll.alias("m3"),
+        nulll.alias("m4"),
+    )
+
 
 
 @register(
@@ -519,51 +613,7 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulll.alias("m4"),
     )
 
-    qarr = F.percentile_approx(
-        "value",
-        F.array(*[F.lit(q / 100.0) for q in QUANTILE_QS]),
-        F.lit(QUANTILE_ACCURACY),
-    )
-    sketch = ev.agg(qarr.alias("qv"), F.count("value").alias("n"))
-    # exact rank of each sketched quantile value in ONE pass over events
-    # (1-row broadcast cross join; conditional sums, no per-q rescan)
-    ranks = ev.crossJoin(F.broadcast(sketch)).agg(
-        *[
-            F.sum((F.col("value") <= F.col("qv")[i]).cast("long")).alias(f"r{q}")
-            for i, q in enumerate(QUANTILE_QS)
-        ],
-        F.first("n").alias("n"),
-    )
-    # cert_q: | exact_rank - q*n | <= 2 * n/accuracy + 1 (2x contract slack)
-    quantile_cert = ranks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(f"q{q}").alias("tag"),
-                        (
-                            F.abs(
-                                F.col(f"r{q}") - F.lit(q / 100.0) * F.col("n")
-                            )
-                            <= F.lit(2.0 / QUANTILE_ACCURACY) * F.col("n") + 1
-                        )
-                        .cast("long")
-                        .alias("cert"),
-                    )
-                    for q in QUANTILE_QS
-                ]
-            )
-        ).alias("r"),
-        F.col("n"),
-    ).select(
-        F.lit("quantile_cert").alias("section"),
-        nulll.alias("user_id"),
-        F.col("r.tag").alias("event_type"),
-        F.col("r.cert").alias("m1"),
-        F.col("n").alias("m2"),
-        nulll.alias("m3"),
-        nulll.alias("m4"),
-    )
+    quantile_cert = _quantile_cert_df(ev)
 
     return (
         audit.unionByName(freq)

@@ -164,6 +164,11 @@ def connected_components(
         # the ONE action of the round: computes mid (filling its cache),
         # the jump join, the checkpoint, and the fixpoint test together
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        # mid is dead once the count has materialized stepped's
+        # checkpoint: release it through the DataFrame API (not just the
+        # raw RDD blocks) so the SQL CacheManager entry — which pins the
+        # analyzed plan for the life of the session — is dropped with it
+        mid.unpersist()
         # this round is materialized and nothing reads round N-1 again —
         # drop its checkpoint blocks (bounded footprint per round)
         rc.rotate()
