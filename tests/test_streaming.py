@@ -338,6 +338,156 @@ def test_bucketed_lifecycle_fuzz_parity(spark, tmp_path, seed):
     assert g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])
 
 
+def _ce(seed: str, n: int, et: str, ts, **payload) -> dict:
+    """Minimal CloudEvent constructor (same shape as the fuzz generator)."""
+    p = {"eventtype": et,
+         "timestamp": ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"}
+    p.update({k: v for k, v in payload.items() if v is not None})
+    return {"id": f"{seed}-{n}", "type": f"com.twilio.taskrouter.{et}",
+            "data": {"payload": p}}
+
+
+def test_bucketed_coresident_expired_task_reaped(spark, tmp_path):
+    """Regression for the data-branch reap: a task whose deadline passed
+    the watermark while its SHARD keeps receiving data for OTHER tasks
+    must still time out that micro-batch (per-task keying would have
+    fired hasTimedOut for it — the shard, having data, never does). If
+    it isn't reaped, a later event for the task continues the stale
+    conversation instead of the per-task behavior (CORRUPTED emission,
+    then fresh state), and the two keyings diverge. buckets=1 forces
+    co-residency; one event per file makes every event its own
+    micro-batch, so the boundaries are deterministic:
+      A opens (accepted 08:00:10, deadline 08:10:10); B's 08:25 event
+      advances the watermark to 08:15; B's NEXT event (08:26) is the
+      batch where per-task fires A's timeout — the shard has B data, so
+      only the data-branch reap can match it; then A's late completed
+      (08:30) must land on fresh state.
+    """
+    import datetime as dt
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 8, 0, 0)
+    common = dict(task_queue_name="Q", task_queue_sid="WQ", workflow_name="WF",
+                  task_channel_unique_name="voice")
+    evs = [
+        # batch 1: A opens an IN PROGRESS conversation; B enters the queue
+        _ce("RP", 1, "task-queue.entered", t0, task_sid="TA", **common),
+        _ce("RP", 2, "reservation.created", t0 + dt.timedelta(seconds=2),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        _ce("RP", 3, "reservation.accepted", t0 + dt.timedelta(seconds=10),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        _ce("RP", 4, "task-queue.entered", t0 + dt.timedelta(seconds=5),
+            task_sid="TB", **common),
+        # batch 2: B activity far enough ahead that the watermark
+        # (ts - 10min) passes A's deadline (last_ts + 10min = 08:10:10)
+        _ce("RP", 5, "reservation.created", t0 + dt.timedelta(minutes=25),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+        # batch 3: B data only — the shard has data, A has none
+        _ce("RP", 6, "reservation.accepted", t0 + dt.timedelta(minutes=26),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+        # batch 4: late event for A — per-task semantics: fresh state
+        _ce("RP", 7, "reservation.completed", t0 + dt.timedelta(minutes=30),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        # and close B so both runs terminalize it identically
+        _ce("RP", 8, "reservation.completed", t0 + dt.timedelta(minutes=31),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+    ]
+    got = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), files=len(evs), buckets=1, events_in=evs
+    ).cache()
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), files=len(evs), events_in=evs
+    ).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert any("CORRUPTED" in str(r) for r in b), "scenario must force A's timeout"
+    assert g == b, (list(g - b)[:4], list(b - g)[:4])
+
+
+def test_bucketed_lifecycle_hot_shard_fuzz(spark, tmp_path):
+    """Skewed-shard fuzz: remap the fuzz generator's task sids so a
+    large majority hash into ONE of 4 buckets (hot shard holds most open
+    tasks), then assert exact row parity with the per-task keying AND
+    that both keyings retain the SAME set of open tasks in their state
+    stores afterwards (the sharded state is watermark-bounded exactly
+    when the per-task state is)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tests.test_fuzz_parity import _gen_events
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    events = _gen_events(seed=3141, n_tasks=40)
+    # choose replacement sids whose xxhash64 lands ~90% in bucket 0 of 4
+    cand = spark.createDataFrame(
+        [(f"HOT{i}",) for i in range(400)], ["sid"]
+    ).withColumn("b", F.pmod(F.xxhash64("sid"), F.lit(4)))
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(int(r["b"]), []).append(r["sid"])
+    hot = by_bucket[0][:36]
+    cold = [by_bucket[b][i] for i, b in enumerate([1, 2, 3, 1])]
+    orig = sorted({e["data"]["payload"]["task_sid"] for e in events
+                   if "task_sid" in e["data"]["payload"]})
+    assert len(orig) == 40
+    mapping = dict(zip(orig, hot + cold))
+    for e in events:
+        p = e["data"]["payload"]
+        if "task_sid" in p:
+            p["task_sid"] = mapping[p["task_sid"]]
+    got = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), buckets=4, events_in=events
+    ).cache()
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), events_in=events
+    ).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert b and g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])
+
+    # state-store parity: the open-task sets must be identical, so the
+    # hot shard's document holds exactly the per-task survivors (state
+    # growth bounded by the same watermark reaping in both keyings)
+    def _open_tasks(ckpt: str, bucketed: bool) -> set:
+        # two stateful operators exist (watermark dedup + lifecycle);
+        # probe operator ids for the one whose value carries state_json
+        rows = None
+        for op_id in range(4):
+            try:
+                df = (
+                    spark.read.format("statestore")
+                    .option("operatorId", op_id)
+                    .load(f"{ckpt}/ckpt")
+                )
+                if "groupState" in df.schema["value"].dataType.fieldNames():
+                    rows = df.select("key", "value").collect()
+                    break
+            except Exception:
+                continue
+        assert rows is not None, "lifecycle state store not found"
+        out: set = set()
+        for r in rows:
+            gs = r["value"]["groupState"]
+            if gs is None or gs["state_json"] is None:
+                continue
+            doc = _json.loads(gs["state_json"])
+            if bucketed:
+                out.update(doc.get("t", {}).keys())
+            else:
+                out.add(r["key"][0])
+        return out
+
+    assert _open_tasks(str(tmp_path / "bkt"), True) == _open_tasks(
+        str(tmp_path / "per"), False
+    )
+
+
 @pytest.mark.parametrize(
     "provider,buckets",
     [
@@ -552,3 +702,180 @@ def test_kafka_wire_schema_end_to_end(spark, tmp_path):
     want = want.select(*got.columns)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert got.count() > 0
+
+
+def test_streaming_agent_status_matches_batch(spark, tmp_path):
+    """The worker-keyed agent-status lifecycle (the one §2.5 transition
+    the task-keyed stream could not carry) must emit exactly the batch
+    recompute's terminal AGENT STATUS rows — all wide columns, carrier =
+    the opener event, activity_time = the closing event's
+    worker_time_in_previous_activity (reference events.js:639-664). The
+    combined stream must also still carry every conversation row."""
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import fixture_df
+
+    combined = run_fixture_stream(
+        spark, str(tmp_path), wide=True, agent=True
+    ).cache()
+    batch = taskrouter_segments_df(spark, fixture_df(spark)).cache()
+
+    s_agent = combined.filter(F.col("segment_kind") == "AGENT STATUS")
+    b_agent = batch.filter(F.col("segment_kind") == "AGENT STATUS")
+    assert b_agent.count() > 0, "fixture must close at least one interval"
+    assert s_agent.columns == b_agent.columns
+    assert b_agent.exceptAll(s_agent).count() == 0
+    assert s_agent.exceptAll(b_agent).count() == 0
+
+    # conversation rows are unaffected by the union
+    s_conv = combined.filter(F.col("segment_kind").isin(TERMINAL_KINDS))
+    b_conv = batch.filter(F.col("segment_kind").isin(TERMINAL_KINDS))
+    assert b_conv.count() == s_conv.count()
+    assert b_conv.exceptAll(s_conv).count() == 0
+
+
+def test_streaming_agent_status_fuzz_parity(spark, tmp_path):
+    """Randomized worker scenario mix through the streaming agent-status
+    lifecycle vs the batch sessionization — terminal AGENT STATUS rows
+    must agree on every wide column under jittered timings and shuffled
+    arrival."""
+    from tests.test_fuzz_parity import _gen_events
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    import json
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    events = _gen_events(seed=2718, n_tasks=30)
+    streamed = run_fixture_stream(
+        spark, str(tmp_path), wide=True, agent=True, events_in=events
+    ).cache()
+    raw = spark.createDataFrame(
+        [(i, json.dumps(e)) for i, e in enumerate(events)],
+        "arrival_idx bigint, raw string",
+    )
+    batch = taskrouter_segments_df(spark, raw)
+    s = streamed.filter(F.col("segment_kind") == "AGENT STATUS")
+    b = batch.filter(F.col("segment_kind") == "AGENT STATUS").cache()
+    assert b.count() > 0, "fuzz mix must close agent intervals"
+    assert b.exceptAll(s).count() == 0
+    assert s.exceptAll(b).count() == 0
+
+
+def test_lifecycle_buckets_derivation():
+    """The shard-count rule is API, not prose: state-bound dominates at
+    high open-task counts, parallelism-bound at high core counts, always
+    a power of two, and the default constant satisfies the rule for the
+    documented design point (64k open tasks on a 32-core executor)."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        LIFECYCLE_BUCKETS,
+        LIFECYCLE_TARGET_TASKS_PER_SHARD,
+        lifecycle_buckets,
+    )
+
+    # state-bound: 1M open tasks / 64 per shard -> 16384 shards
+    assert lifecycle_buckets(1_000_000, cores=32) == 16384
+    # parallelism-bound: few open tasks, many cores -> 4/core, pow2
+    assert lifecycle_buckets(10, cores=100) == 512
+    assert lifecycle_buckets(1, cores=1) == 4
+    # powers of two throughout
+    for n in (3, 100, 5000, 777_777):
+        b = lifecycle_buckets(n, cores=8)
+        assert b & (b - 1) == 0
+    # the shipped default is the rule's output at the design point
+    assert lifecycle_buckets(
+        LIFECYCLE_TARGET_TASKS_PER_SHARD * 1024, cores=32
+    ) == LIFECYCLE_BUCKETS
+
+
+def test_tws_bucketed_lifecycle_matches_per_task(spark, tmp_path):
+    """The MapState-backed TWS bucketed lifecycle (per-task RocksDB
+    entries + a small deadline index, instead of one JSON blob per
+    shard) must emit EXACTLY the per-task variant's rows on the full
+    fixture — including the timeout-driven CORRUPTED conversations
+    (timer fire at min deadline + data-path reap of co-resident expired
+    tasks)."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    got = run_fixture_stream(spark, str(tmp_path), buckets=8, tws=True).cache()
+    base = run_fixture_stream(spark, str(tmp_path / "base")).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert any("CORRUPTED" in str(r) for r in b)
+    assert g == b, (list(g - b)[:3], list(b - g)[:3])
+
+
+def test_tws_bucketed_coresident_expired_task_reaped(spark, tmp_path):
+    """The deterministic co-resident-expiry scenario (see the
+    applyInPandasWithState variant above) through the TWS MapState
+    keying: the expired task must be reaped from the data path while
+    its bucket keeps receiving other tasks' events, and the late event
+    must land on fresh state."""
+    import datetime as dt
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 8, 0, 0)
+    common = dict(task_queue_name="Q", task_queue_sid="WQ", workflow_name="WF",
+                  task_channel_unique_name="voice")
+    evs = [
+        _ce("RT", 1, "task-queue.entered", t0, task_sid="TA", **common),
+        _ce("RT", 2, "reservation.created", t0 + dt.timedelta(seconds=2),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        _ce("RT", 3, "reservation.accepted", t0 + dt.timedelta(seconds=10),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        _ce("RT", 4, "task-queue.entered", t0 + dt.timedelta(seconds=5),
+            task_sid="TB", **common),
+        _ce("RT", 5, "reservation.created", t0 + dt.timedelta(minutes=25),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+        _ce("RT", 6, "reservation.accepted", t0 + dt.timedelta(minutes=26),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+        _ce("RT", 7, "reservation.completed", t0 + dt.timedelta(minutes=30),
+            task_sid="TA", reservation_sid="RA", worker_sid="W1", **common),
+        _ce("RT", 8, "reservation.completed", t0 + dt.timedelta(minutes=31),
+            task_sid="TB", reservation_sid="RB", worker_sid="W2", **common),
+    ]
+    got = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), files=len(evs), buckets=1, tws=True,
+        events_in=evs,
+    ).cache()
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), files=len(evs), events_in=evs
+    ).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert any("CORRUPTED" in str(r) for r in b)
+    assert g == b, (list(g - b)[:4], list(b - g)[:4])
+
+
+def test_tws_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
+    """Randomized scenario mix through the TWS MapState bucketed keying
+    vs per-task — set-equality of all emitted rows."""
+    from tests.test_fuzz_parity import _gen_events
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    events = _gen_events(seed=4412, n_tasks=40)
+    got = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), buckets=4, tws=True, events_in=events
+    ).cache()
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), events_in=events
+    ).cache()
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in base.collect()}
+    assert b and g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])

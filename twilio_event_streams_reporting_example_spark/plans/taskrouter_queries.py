@@ -605,11 +605,15 @@ def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame
 def _stream_golden_rows_wide() -> list[dict]:
     """Wide-stream expectation: the simulator's full terminal segment rows
     plus the CONVERSATION IN PROGRESS rows relabeled CORRUPTED (all other
-    64 columns unchanged — the timeout only renames the kind)."""
+    64 columns unchanged — the timeout only renames the kind), plus the
+    closed AGENT STATUS rows (the worker-keyed lifecycle emits an
+    interval when the next activity change closes it; the still-open
+    AGENT STATUS IN PROGRESS tail is state, surfaced only by the batch
+    recompute)."""
     rows = []
     for r in _sim().segment_rows():
         kind = r["segment_kind"]
-        if kind in _STREAM_TERMINAL:
+        if kind in _STREAM_TERMINAL or kind == "AGENT STATUS":
             rows.append(dict(r))
         elif kind == "CONVERSATION IN PROGRESS":
             rows.append({**r, "segment_kind": "CORRUPTED CONVERSATION"})
@@ -626,7 +630,13 @@ def _stream_golden_rows_wide() -> list[dict]:
         "override measures) and the stateless shared wide projection "
         "(plans.taskrouter.wide_project_stream) expands them — streaming "
         "and batch run the same JVM projection expressions, so wide parity "
-        "is structural. Oracle = the independent simulator's wide rows."
+        "is structural. Also runs the worker-keyed AGENT-STATUS lifecycle "
+        "(reference events.js:639-664) as its own streaming query over "
+        "the same source — Spark permits one applyInPandasWithState per "
+        "query, so the deployment topology is two jobs with independent "
+        "state stores landing in one fact table — and unions its closed "
+        "AGENT STATUS emissions. Oracle = the independent simulator's "
+        "wide rows (terminal + CORRUPTED + closed AGENT STATUS)."
     ),
 )
 def streaming_taskrouter_segments_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +645,7 @@ def streaming_taskrouter_segments_wide(spark: SparkSession, sf_dir: str) -> Data
     from ..streaming.taskrouter_stream import run_fixture_stream
 
     with tempfile.TemporaryDirectory() as d:
-        return run_fixture_stream(spark, d, wide=True)
+        return run_fixture_stream(spark, d, wide=True, agent=True)
 
 
 _HOURLY_COLS = [

@@ -288,6 +288,7 @@ def _events_from_pdfs(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:
         res_c = cols["reservation_sid"]
         wrk_c = cols["worker_sid"]
         link_c = cols.get("custom_segment_link")
+        wtip_c = cols.get("wtip")
         val_c = cols.get("value")
         arr_c = cols.get("arrival_idx") if has_arrival else None
         eid_c = cols.get("event_id")
@@ -302,6 +303,12 @@ def _events_from_pdfs(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:
                     "worker_sid": wrk_c[i],
                     "custom_segment_link": (
                         link_c[i] if link_c is not None else None
+                    ),
+                    # nullable long arrives as float64 NaN through Arrow
+                    "wtip": (
+                        None
+                        if wtip_c is None or pd.isna(wtip_c[i])
+                        else int(wtip_c[i])
                     ),
                     "raw": (val_c[i] if val_c is not None else "") or "",
                     "arrival_idx": arr_c[i] if arr_c is not None else None,
@@ -347,7 +354,106 @@ def _lifecycle_fn(
         yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
 
+def _agent_status_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming agent-status lifecycle, keyed by worker_sid — the §2.5
+    transition the conversation lifecycle cannot carry (it filters
+    task_sid.isNotNull(), and worker.* events have no task).
+
+    Mirrors the batch sessionization (plans/taskrouter.py agent branch;
+    reference events.js:639-664): every opener (worker.created or
+    worker.activity.update) CLOSES the previously-open interval —
+    emitting a terminal AGENT STATUS row whose carrier is the OPENER
+    event and whose activity_time is the CLOSING event's
+    worker_time_in_previous_activity — then becomes the new open
+    interval. The open tail is state, not an emission (append mode; the
+    batch recompute surfaces it as AGENT STATUS IN PROGRESS).
+
+    No timeout: an agent interval stays open until the next activity
+    change — state is one tiny document per ACTIVE WORKER (dimension-
+    sized, not event-sized), so it is bounded without watermark reaping.
+    """
+    st = json.loads(state.get[0]) if state.exists else {}
+    open_raw = st.get("raw")
+    open_ts = st.get("ts")
+    rows: list[dict] = []
+    for ev in _events_from_pdfs(pdf_iter):
+        if open_raw is not None:
+            rows.append(
+                {
+                    "branch": "agent",
+                    "segment_kind": S.AGENT_STATUS,
+                    "carrier_raw": open_raw,
+                    "ov_queue_time": None,
+                    "ov_ring_time": None,
+                    "ov_talk_time": None,
+                    "ov_wrapup_time": None,
+                    "ov_abandon_time": None,
+                    "ov_activity_time": ev["wtip"],
+                    "ov_date": None,
+                    "ov_segment_link": None,
+                    "ov_segment_link_set": False,
+                }
+            )
+        open_raw, open_ts = ev["raw"], ev["ts"]
+    if open_raw is not None:
+        state.update((json.dumps({"raw": open_raw, "ts": open_ts}),))
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+
+def agent_status_emissions_stream(events: DataFrame) -> DataFrame:
+    """Stateful agent-status lifecycle over a parsed event stream —
+    (branch='agent', AGENT STATUS, opener carrier, closing
+    activity_time) emissions; share the wide projection downstream."""
+    openers = events.filter(
+        F.col("worker_sid").isNotNull()
+        & F.col("eventtype").isin(S.ET_WORKER_CREATED, S.ET_WORKER_ACTIVITY_UPDATE)
+    )
+    return openers.groupBy("worker_sid").applyInPandasWithState(
+        _agent_status_fn,
+        EMIT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 LIFECYCLE_BUCKETS = 1024  # default shard count for the bucketed variant
+# Target open tasks per shard document: the shard JSON value is
+# rewritten per touched micro-batch, so its size — open tasks/shard —
+# is the knob that trades per-group protocol overhead (fewer, fatter
+# shards) against per-batch serialization cost (smaller shards).
+LIFECYCLE_TARGET_TASKS_PER_SHARD = 64
+
+
+def lifecycle_buckets(
+    expected_open_tasks: int,
+    cores: int | None = None,
+    target_per_shard: int = LIFECYCLE_TARGET_TASKS_PER_SHARD,
+) -> int:
+    """Derive the shard count for the bucketed lifecycle — the API form
+    of the scale rule (like ``semdedup_n_cells``), so sizing a real
+    deployment is a function call, not prose.
+
+    Two constraints, take the max:
+      - state size: ~``target_per_shard`` open tasks per shard document
+        keeps the per-batch rewrite cost O(target) as open-task count
+        grows (open tasks are watermark-bounded, so ``expected_open_
+        tasks`` is conversation-timeout-bounded concurrency, not total
+        volume);
+      - parallelism: at least 4 shards per executor core so the
+        stateful stage saturates the cluster even when only a fraction
+        of shards receive events in a micro-batch.
+    Rounded up to a power of two so rescaling doubles/halves shard
+    membership predictably (state is NOT portable across bucket counts
+    — changing N needs a state rebuild, same as repartitioning any
+    keyed state store)."""
+    need_state = -(-max(1, expected_open_tasks) // max(1, target_per_shard))
+    need_par = 4 * (cores or 1)
+    n = max(need_state, need_par, 1)
+    return 1 << (n - 1).bit_length()
 
 
 def _bucket_lifecycle_fn(
@@ -387,6 +493,21 @@ def _bucket_lifecycle_fn(
         by_task: dict[str, list] = {}
         for ev in events:  # stable partition of the globally-sorted list
             by_task.setdefault(ev["task_sid"], []).append(ev)
+        # Reap co-resident expired tasks FIRST: under per-task keying,
+        # a key with no data this batch whose timeout passed the
+        # watermark fires hasTimedOut this same micro-batch — but a
+        # shard receiving data for OTHER tasks arrives here with
+        # hasTimedOut=False, so the expired-but-dataless tasks must be
+        # reaped explicitly (same predicate: own deadline vs current
+        # watermark). Without this, a later event for the expired task
+        # would continue stale state instead of per-task behavior
+        # (timeout emission, then fresh state).
+        wm = state.getCurrentWatermarkMs()
+        for sid in list(tasks):
+            if sid not in by_task and _deadline_ms(tasks[sid]) <= wm:
+                out, _, _ = _segment_rows_for_task([], tasks[sid], timed_out=True)
+                rows.extend(out)
+                del tasks[sid]
         for sid, evs in by_task.items():
             out, tst, has_open = _segment_rows_for_task(
                 evs, tasks.get(sid, {}), timed_out=False
@@ -468,6 +589,116 @@ class ConversationLifecycle(StatefulProcessor):
         pass
 
 
+class BucketedConversationLifecycle(StatefulProcessor):
+    """The state-sharded lifecycle on transformWithStateInPandas with
+    PER-TASK MapState — the structural fix for the applyInPandasWithState
+    shard's one-JSON-blob-per-bucket design (there, every touched shard
+    re-serializes ALL its open tasks each micro-batch; here RocksDB
+    rewrites only the touched tasks' map entries).
+
+    State per bucket key:
+      - ``tasks``: MapState task_sid → state JSON (one RocksDB entry per
+        open task; update cost O(touched tasks), not O(open tasks));
+      - ``deadline_index``: ValueState holding {task_sid → deadline_ms}
+        plus the currently-registered timer — a deliberately small
+        rewritten-per-batch summary (8-byte deadline per open task vs
+        the full anchors document) that makes the expiry scan O(open
+        tasks in-memory dict) instead of an O(open tasks) RocksDB
+        iterate-and-parse per batch.
+
+    Timeout parity is the same predicate as every other keying: a task
+    expires when ITS deadline is at/behind the current watermark,
+    checked both on timer fire and — for co-resident tasks with no data
+    this batch — in the data path (the reap the per-task keying gets
+    from Spark firing each key separately). Timers are multi-shot: the
+    stale timer is deleted before re-registering at the new min
+    deadline, and a fired timer for a cleared bucket is a no-op."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._tasks = handle.getMapState("tasks", "task_sid string", STATE_SCHEMA)
+        self._index = handle.getValueState("deadline_index", STATE_SCHEMA)
+
+    def _load_index(self) -> dict:
+        if self._index.exists():
+            return json.loads(self._index.get()[0])
+        return {"d": {}, "t": None}
+
+    def _reap(self, idx: dict, wm: int, skip: set) -> list[dict]:
+        rows: list[dict] = []
+        for sid in [s for s, dl in idx["d"].items() if s not in skip and dl <= wm]:
+            st = json.loads(self._tasks.getValue((sid,))[0])
+            out, _, _ = _segment_rows_for_task([], st, timed_out=True)
+            rows.extend(out)
+            self._tasks.removeKey((sid,))
+            del idx["d"][sid]
+        return rows
+
+    def _sync(self, idx: dict, wm: int) -> None:
+        prev = idx.get("t")
+        if idx["d"]:
+            nxt = min(idx["d"].values())
+            if nxt <= wm:
+                # min deadline already at/behind the watermark: re-arm
+                # just past it and reap next micro-batch (the per-task
+                # scheme's own earliest-firing semantics)
+                nxt = wm + 1
+            if prev != nxt:
+                if prev is not None:
+                    self._handle.deleteTimer(prev)
+                self._handle.registerTimer(nxt)
+            idx["t"] = nxt
+            self._index.update((json.dumps(idx),))
+        else:
+            if prev is not None:
+                self._handle.deleteTimer(prev)
+            self._index.clear()
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        idx = self._load_index()
+        wm = timerValues.getCurrentWatermarkInMs()
+        by_task: dict[str, list] = {}
+        for ev in _events_from_pdfs(rows):
+            by_task.setdefault(ev["task_sid"], []).append(ev)
+        out = self._reap(idx, wm, set(by_task))
+        for sid, evs in by_task.items():
+            cur = (
+                json.loads(self._tasks.getValue((sid,))[0])
+                if self._tasks.containsKey((sid,))
+                else {}
+            )
+            r, st, has_open = _segment_rows_for_task(evs, cur, timed_out=False)
+            out.extend(r)
+            if has_open:
+                self._tasks.updateValue((sid,), (json.dumps(st),))
+                idx["d"][sid] = _deadline_ms(st)
+            else:
+                if self._tasks.containsKey((sid,)):
+                    self._tasks.removeKey((sid,))
+                idx["d"].pop(sid, None)
+        self._sync(idx, wm)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        idx = self._load_index()
+        if not idx["d"]:  # bucket already resolved; stale timer
+            return
+        idx["t"] = None  # the fired timer is consumed
+        wm = timerValues.getCurrentWatermarkInMs()
+        out = self._reap(idx, wm, set())
+        self._sync(idx, wm)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
 def parse_stream(raw: DataFrame) -> DataFrame:
     """CloudEvent JSON lines → watermarked, deduplicated event stream.
 
@@ -492,6 +723,8 @@ def parse_stream(raw: DataFrame) -> DataFrame:
             F.col("p.task_sid").alias("task_sid"),
             F.col("p.reservation_sid").alias("reservation_sid"),
             F.col("p.worker_sid").alias("worker_sid"),
+            # closing value for the agent-status lifecycle (events.js:647)
+            F.col("p.worker_time_in_previous_activity").alias("wtip"),
             F.get_json_object("p.task_attributes", "$.conversations.segment_link").alias(
                 "custom_segment_link"
             ),
@@ -519,6 +752,15 @@ def segment_emissions_stream(
         keyed = filtered.withColumn(
             "bucket", F.pmod(F.xxhash64("task_sid"), F.lit(buckets))
         ).groupBy("bucket")
+        if tws:
+            # per-task MapState: RocksDB rewrites only touched tasks,
+            # not the whole shard document (BucketedConversationLifecycle)
+            return keyed.transformWithStateInPandas(
+                BucketedConversationLifecycle(),
+                EMIT_SCHEMA,
+                "Append",
+                "EventTime",
+            )
         return keyed.applyInPandasWithState(
             _bucket_lifecycle_fn,
             EMIT_SCHEMA,
@@ -554,6 +796,25 @@ def wide_conversation_segments_stream(
     return wide_project_stream(
         segment_emissions_stream(events, tws=tws, buckets=buckets)
     )
+
+
+def wide_agent_status_stream(events: DataFrame) -> DataFrame:
+    """AGENT STATUS segments as a wide append stream — the worker-keyed
+    lifecycle's emissions through the SAME shared wide projection the
+    conversation stream uses (wide parity with the batch agent branch is
+    structural: identical JVM expressions over the same carrier)."""
+    from ..plans.taskrouter import wide_project_stream
+
+    return wide_project_stream(agent_status_emissions_stream(events))
+
+
+# NOTE: the conversation and agent-status lifecycles CANNOT be unioned
+# into one streaming query — Spark allows a single applyInPandasWithState
+# per query ("Multiple applyInPandasWithStates are not supported"). A
+# deployment runs them as two independent streaming jobs over the same
+# source (own checkpoints, own state stores), landing in the same
+# date-partitioned fact table; run_fixture_stream(agent=True) mirrors
+# that topology and unions the completed results.
 
 
 def conversation_segments_stream(
@@ -605,6 +866,7 @@ def run_fixture_stream(
     tws: bool = False,
     buckets: int | None = None,
     events_in: list | None = None,
+    agent: bool = False,
 ) -> DataFrame:
     """Batch-parity harness: spool the fixture to ``files`` chronological
     JSON-line files, stream them with availableNow (file-per-trigger →
@@ -649,6 +911,8 @@ def run_fixture_stream(
         else conversation_segments_stream(events, tws=tws, buckets=buckets)
     )
     name = "tr_stream_segments_wide" if wide else "tr_stream_segments"
+    if agent:
+        name += "_agent"
     if buckets:
         name += "_bucketed"
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -671,6 +935,25 @@ def run_fixture_stream(
             .start()
         )
         q.awaitTermination(300)
+        if agent:
+            # the agent-status lifecycle is its OWN streaming query over
+            # the same source (Spark allows one applyInPandasWithState
+            # per query; a deployment runs the two lifecycles as
+            # independent jobs with independent checkpoints/state stores
+            # — the standard multi-consumer topology). Results union
+            # AFTER completion, both sides batch DataFrames by then.
+            aseg = wide_agent_status_stream(parse_stream(raw))
+            if not wide:
+                aseg = aseg.select(*CORE_COLUMNS)
+            aq = (
+                aseg.writeStream.format("memory")
+                .queryName(name + "_astatus")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt_agent"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            aq.awaitTermination(300)
     finally:
         # restore the shared session's provider: later stateful queries in
         # the same session must run on the provider they were certified on
@@ -679,7 +962,10 @@ def run_fixture_stream(
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, prev_provider)
-    return spark.sql(f"SELECT * FROM {name}")
+    out = spark.sql(f"SELECT * FROM {name}")
+    if agent:
+        out = out.unionByName(spark.sql(f"SELECT * FROM {name}_astatus"))
+    return out
 
 
 def hourly_event_counts_stream(events: DataFrame) -> DataFrame:
