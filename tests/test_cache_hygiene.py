@@ -57,7 +57,7 @@ def test_cc_round_blocks_bounded(spark, sf_dir):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
     )
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, local_threshold=0)
     assert cc.filter(F.col("cluster_id") != 0).count() == 0
     alive = set(persistent_rdd_entries(sc)) - baseline
     # pinned edges (≤2 rdds) + final round (mid + stepped) + slack — far
@@ -82,7 +82,7 @@ def test_cc_no_cachemanager_entry_growth(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
     )
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, local_threshold=0)
     assert cc.filter(F.col("cluster_id") != 0).count() == 0
     release_caches()
     assert cm.isEmpty(), "CacheManager entries leaked by the CC loop"

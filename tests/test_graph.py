@@ -73,7 +73,7 @@ def test_star_cc_matches_hashmin_on_adversarial_graphs(spark):
     }
     star_cc = {
         r["node"]: r["cluster_id"]
-        for r in connected_components_star(pairs, max_iter=12).collect()
+        for r in connected_components_star(pairs, max_iter=12, local_threshold=0).collect()
     }
     assert star_cc == hashmin
     # the chain's far end must have converged all the way down to 1
@@ -128,11 +128,23 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         canon = {n: min(m) for r, m in roots.items() for n in m}
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got_hm = {
-            r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, local_threshold=0).collect()
         }
         got_st = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_star(pairs, local_threshold=0).collect()
+        }
+        # the default path routes these tiny graphs through the bounded
+        # union-find fast path — it must agree with both distributed loops
+        got_local_hm = {
+            r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        }
+        got_local_st = {
             r["node"]: r["cluster_id"]
             for r in connected_components_star(pairs).collect()
         }
         assert got_hm == canon, f"hash-min mismatch seed={seed}"
         assert got_st == canon, f"star mismatch seed={seed}"
+        assert got_local_hm == canon, f"local fast path mismatch seed={seed}"
+        assert got_local_st == canon, f"local star fast path mismatch seed={seed}"

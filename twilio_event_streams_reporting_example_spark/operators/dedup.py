@@ -972,10 +972,13 @@ def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("matching_hashes") >= CLUSTER_MIN_MATCHES)
         .persist()
     )
-    a = _cluster_rows(connected_components(pairs)).select(
+    # local_threshold=0: this query CERTIFIES the two distributed loops
+    # against the recursive-CTE oracle — the small-graph union-find fast
+    # path must not swallow the thing under test
+    a = _cluster_rows(connected_components(pairs, local_threshold=0)).select(
         F.lit("hash_min").alias("variant"), "*"
     )
-    b = _cluster_rows(connected_components_star(pairs)).select(
+    b = _cluster_rows(connected_components_star(pairs, local_threshold=0)).select(
         F.lit("star").alias("variant"), "*"
     )
     return a.unionByName(b)

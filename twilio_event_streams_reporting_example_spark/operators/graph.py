@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import (
     persistent_rdd_entries,
@@ -80,9 +81,53 @@ class _RoundCaches:
 
 _pin_new_checkpoint = pin_new_checkpoints  # long-lived edge checkpoints
 
+# Edge count at/below which the component computation runs as a bounded
+# driver-side union-find instead of the iterative distributed loop. A
+# graph this small (<= ~320 KB of edge tuples) pays 0.3-0.8s of PURE
+# per-round scheduling overhead per distributed round — a 2k-node chain
+# graph took 9 rounds / ~8s where union-find is < 10 ms — while any
+# corpus-scale dedup graph blows past the threshold and takes the
+# distributed path. The collect is BOUNDED by the threshold (this is
+# not a driver-side loop over unbounded data); certification queries
+# pass local_threshold=0 to force the distributed loops they certify.
+EDGES_LOCAL_CC_MAX = 20_000
+
+
+def _local_cc(session, edge_rows, node_type) -> DataFrame:
+    """Union-find (path compression + union-by-min-root) over a bounded
+    collected edge list; cluster_id = component minimum, matching the
+    distributed contract exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # attach under the smaller root -> root == min
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return session.createDataFrame(rows, schema)
+
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    local_threshold: int = EDGES_LOCAL_CC_MAX,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = the minimum node id reachable through the pair graph.
@@ -103,6 +148,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     _pin_new_checkpoint(sc, pre_edges)
+    # counting the eagerly-checkpointed edges is a cached-block scan;
+    # tiny graphs route to the bounded union-find (see EDGES_LOCAL_CC_MAX)
+    if local_threshold and edges.count() <= local_threshold:
+        return _local_cc(
+            pairs.sparkSession,
+            [(r[0], r[1]) for r in edges.collect()],
+            edges.schema["src"].dataType,
+        )
     rc = _RoundCaches(sc)
     # init fuses the first propagation round: with identity labels, the
     # min neighbor LABEL is the min neighbor ID, so one aggregation both
@@ -221,7 +274,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+    local_threshold: int = EDGES_LOCAL_CC_MAX,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — same output
@@ -245,6 +302,15 @@ def connected_components_star(
     # self_only below reads this initial edge checkpoint LAZILY (at result
     # evaluation) — pin it for deferred release, never per-round rotation.
     _pin_new_checkpoint(sc, pre_edges)
+    if local_threshold and edges.count() <= local_threshold:
+        rows = [(r[0], r[1]) for r in edges.collect()]
+        # self-pairs were filtered from the edge checkpoint but are part
+        # of the output contract (singleton clusters)
+        rows += [
+            (r[0], r[0])
+            for r in pairs.filter(F.col(src) == F.col(dst)).select(src).distinct().collect()
+        ]
+        return _local_cc(pairs.sparkSession, rows, edges.schema["src"].dataType)
     rc = _RoundCaches(sc)
     # Nodes appearing ONLY in self-pairs (src == dst) were dropped by the
     # filter above but are part of the output contract: the hash-min

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -329,20 +331,55 @@ def _plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _plane_bucket_arrow(planes: list[list[float]]):
+    """Arrow-vectorized sign-signature bucket: one numpy matmul per
+    batch ((rows x dim) @ (dim x n_planes) -> sign bits -> packed int)
+    instead of n_planes interpreted higher-order-function folds per row.
+    ~2x the 16-plane expression path at 65k rows, and the gap widens
+    with plane count. Float caveat: numpy's SIMD/pairwise dot can differ
+    from the sequential fold in the last ulp, so a dot EXACTLY at 0.0
+    could bucket differently — use only where the downstream contract is
+    sign-jitter-immune (the planted scale corpus: identical vectors move
+    buckets together, cross-group candidates are rescored away)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fn(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vecs.to_numpy())  # rows x dim
+        p = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+        bits = (m @ p) >= 0.0
+        weights = np.array([1 << j for j in range(p.shape[1])], dtype=np.int64)
+        return pd.Series(bits @ weights)
+
+    return fn
+
+
 def banded_lsh_pairs(
-    emb: DataFrame, plane_sets: list[list[list[float]]], threshold: float
+    emb: DataFrame,
+    plane_sets: list[list[list[float]]],
+    threshold: float,
+    arrow_buckets: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, score): the banded-LSH near-dup pair plan over
     ``emb`` (id, v, nrm — caller caches): per-band sign buckets →
     bucket equi-join candidates (dedup'd across bands) → exact cosine
     rescore, keep score > threshold. The SAME physical shape at every
     parameterization — the registered corpus query pins (5 bands x 3
-    planes, tau=0.35); the scale section runs (2 x 16, tau=0.8)."""
+    planes, tau=0.35); the scale section runs (2 x 16, tau=0.8) with
+    ``arrow_buckets=True`` (numpy-matmul signatures; see
+    :func:`_plane_bucket_arrow` for when that is admissible)."""
     bands = None
     for b, planes in enumerate(plane_sets):
-        part = emb.select(
-            "id", F.lit(b).alias("band"), _plane_bucket(F.col("v"), planes).alias("bkt")
+        bkt = (
+            _plane_bucket_arrow(planes)(F.col("v"))
+            if arrow_buckets
+            else _plane_bucket(F.col("v"), planes)
         )
+        part = emb.select("id", F.lit(b).alias("band"), bkt.alias("bkt"))
         bands = part if bands is None else bands.unionByName(part)
     # cached: BOTH self-join sides read it, and the bucket signature
     # (bands x planes dot products per row) is the expensive projection —
@@ -468,7 +505,9 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
         for b in range(SCALE_ND_BANDS)
     ]
     pairs = track(
-        banded_lsh_pairs(emb, plane_sets, SCALE_ND_THRESHOLD).cache()
+        banded_lsh_pairs(
+            emb, plane_sets, SCALE_ND_THRESHOLD, arrow_buckets=True
+        ).cache()
     )
     # Eager fill (one cheap action): the summary's pair/cluster/vector
     # aggregate subtrees are INDEPENDENT, so a single fused final action
