@@ -125,3 +125,21 @@ def test_quantile_cert_survives_heavy_ties(spark):
     ).repartition(8)
     out_u = {r["event_type"]: r["m1"] for r in _quantile_cert_df(uniform).collect()}
     assert out_u == {"q50": 1, "q90": 1, "q99": 1}, out_u
+
+
+def test_dedup_exact_documents_scale_knob(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_SKIP_SCALE_SECTIONS=1 drops the synthetic 1M-row
+    certification sections (consumers wanting just the corpus dedup);
+    unset, both sections are present — the driver/oracle default."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        dedup_exact_documents,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_SCALE_SECTIONS", "1")
+    slim = dedup_exact_documents(spark, sf_dir)
+    sections = {r["section"] for r in slim.select("section").distinct().collect()}
+    assert sections == {"corpus"}
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_SCALE_SECTIONS")
+    full = dedup_exact_documents(spark, sf_dir)
+    sections = {r["section"] for r in full.select("section").distinct().collect()}
+    assert "corpus" in sections and len(sections) > 1

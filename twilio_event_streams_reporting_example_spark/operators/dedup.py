@@ -261,6 +261,8 @@ def _dedup_synthetic_summary(spark: SparkSession) -> DataFrame:
     ),
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
@@ -269,8 +271,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_rows = corpus.select(
         F.lit("corpus").alias("section"), "text_hash", "keeper_doc_id", "n_copies"
     )
-    d = _dedup_synthetic_summary(spark)
-    return corpus_rows.unionByName(d)
+    # Default-ON (the driver and its oracle always see both sections);
+    # downstream consumers that want just the corpus dedup without the
+    # 1M-row in-gate scale certification opt out via the env knob.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE_SECTIONS") == "1":
+        return corpus_rows
+    return corpus_rows.unionByName(_dedup_synthetic_summary(spark))
 
 
 # ---- sketch sections of dedup_exact_events (bounded-state cardinality /
