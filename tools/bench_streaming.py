@@ -82,6 +82,26 @@ def main() -> int:
             "lifecycle_bucketed",
             lambda ev: conversation_segments_stream(ev, buckets=1024),
         )
+        # same bucket keying on transformWithStateInPandas with per-task
+        # MapState (RocksDB rewrites only touched tasks, not the shard
+        # blob) — TWS requires the RocksDB state store provider
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(provider_key, None)
+        try:
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            run(
+                "lifecycle_bucketed_tws",
+                lambda ev: conversation_segments_stream(ev, buckets=1024, tws=True),
+            )
+        finally:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
         run("hourly_window", hourly_event_counts_stream)
     finally:
         shutil.rmtree(work, ignore_errors=True)
