@@ -489,21 +489,28 @@ def test_bucketed_lifecycle_hot_shard_fuzz(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "provider,buckets",
+    "provider,buckets,tws",
     [
-        (None, None),
+        (None, None, False),
         (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             None,
+            False,
         ),
         (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             8,
+            False,
+        ),
+        (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            8,
+            True,
         ),
     ],
-    ids=["hdfs-default", "rocksdb", "rocksdb-bucketed"],
+    ids=["hdfs-default", "rocksdb", "rocksdb-bucketed", "rocksdb-bucketed-tws"],
 )
-def test_streaming_restart_exactly_once(spark, provider, buckets):
+def test_streaming_restart_exactly_once(spark, provider, buckets, tws):
     """Failure-recovery contract: stop the streaming pipeline mid-fixture,
     then restart from the SAME checkpoint with the remaining files PLUS a
     redelivered copy of already-processed events. The stateful lifecycle,
@@ -518,7 +525,11 @@ def test_streaming_restart_exactly_once(spark, provider, buckets):
     heap and checkpointed incrementally). The rocksdb-bucketed case
     restarts the STATE-SHARDED keying (multi-task state documents +
     min-deadline timer must both come back from the checkpoint) —
-    certifying the throughput path recovers exactly-once too."""
+    certifying the throughput path recovers exactly-once too. The
+    rocksdb-bucketed-tws case restarts the transformWithStateInPandas
+    MapState form of the same sharding (per-task map entries + the
+    deadline-index value state + the registered timer must all recover
+    from the RocksDB checkpoint)."""
     import json
     import os
     import shutil
@@ -542,7 +553,9 @@ def test_streaming_restart_exactly_once(spark, provider, buckets):
             .option("maxFilesPerTrigger", 1)
             .load(indir)
         )
-        wide = wide_conversation_segments_stream(parse_stream(raw), buckets=buckets)
+        wide = wide_conversation_segments_stream(
+            parse_stream(raw), buckets=buckets, tws=tws
+        )
         q = write_segments_stream(wide, fact, ck).trigger(availableNow=True).start()
         q.awaitTermination(300)
 
@@ -606,6 +619,74 @@ def _restart_body(spark, run_once):
         batch = taskrouter_segments_df(spark, fixture_df(spark)).filter(
             F.col("segment_kind").isin(TERMINAL_KINDS)
         )
+        assert stream.count() == batch.count()
+        assert batch.exceptAll(stream.select(batch.columns)).count() == 0
+        assert stream.select(batch.columns).exceptAll(batch).count() == 0
+        shutil.rmtree(fact, ignore_errors=True)
+
+
+def test_agent_status_restart_exactly_once(spark):
+    """Checkpoint-restart for the worker-keyed agent-status lifecycle:
+    crash mid-fixture, redeliver already-processed events, restart from
+    the same checkpoint — the durable AGENT STATUS rows must equal the
+    batch recompute exactly (open-interval state and dedup progress both
+    recover; redelivered events are discarded)."""
+    import json
+    import os
+    import shutil
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        taskrouter_segments_df,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        parse_stream,
+        wide_agent_status_stream,
+        write_segments_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.fixture import (
+        FIXTURE_EVENTS,
+        fixture_df,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        indir, fact, ck = (os.path.join(d, p) for p in ("in", "fact", "ck"))
+        os.makedirs(indir)
+        ordered = sorted(
+            FIXTURE_EVENTS, key=lambda e: e["data"]["payload"]["timestamp"]
+        )
+        half = len(ordered) // 2
+        chunk = max(1, (len(ordered) + 5) // 6)
+
+        def spool(events, tag, mt):
+            for i in range(0, len(events), chunk):
+                p = os.path.join(indir, f"part-{tag}-{i:04d}.json")
+                with open(p, "w") as f:
+                    for e in events[i : i + chunk]:
+                        f.write(json.dumps(e) + "\n")
+                os.utime(p, (mt + i, mt + i))
+
+        def run_once():
+            raw = (
+                spark.readStream.format("text")
+                .option("maxFilesPerTrigger", 1)
+                .load(indir)
+            )
+            wide = wide_agent_status_stream(parse_stream(raw))
+            q = write_segments_stream(wide, fact, ck).trigger(availableNow=True).start()
+            q.awaitTermination(300)
+
+        spool(ordered[:half], "a", 1_700_000_000)
+        run_once()
+        spool(ordered[:half], "redeliver", 1_700_100_000)
+        spool(ordered[half:], "b", 1_700_200_000)
+        run_once()
+
+        back = spark.read.parquet(fact).drop("segment_date")
+        stream = back.filter(F.col("segment_kind") == "AGENT STATUS")
+        batch = taskrouter_segments_df(spark, fixture_df(spark)).filter(
+            F.col("segment_kind") == "AGENT STATUS"
+        )
+        assert batch.count() > 0
         assert stream.count() == batch.count()
         assert batch.exceptAll(stream.select(batch.columns)).count() == 0
         assert stream.select(batch.columns).exceptAll(batch).count() == 0
