@@ -960,3 +960,94 @@ def test_tws_bucketed_lifecycle_fuzz_parity(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in base.collect()}
     assert b and g == b, (len(g), len(b), list(g - b)[:3], list(b - g)[:3])
+
+
+def test_agent_status_idle_ttl_bounds_state(spark, tmp_path):
+    """State-boundedness under worker churn: with idle_ttl armed, a
+    worker whose open interval sits idle past the horizon has its state
+    silently CLEARED (no emission — emissions stay batch-identical), so
+    a post-horizon activity change opens fresh instead of closing the
+    ancient interval. Default (no ttl) keeps the interval open
+    indefinitely and the late change still closes it — exact batch
+    semantics. Both behaviors asserted on the same event sequence."""
+    import datetime as dt
+    import json
+    import os
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter import (
+        wide_project_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        agent_status_emissions_stream,
+        parse_stream,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 8, 0, 0)
+    evs = [
+        _ce("TT", 1, "worker.created", t0, worker_sid="W1",
+            worker_activity_name="Offline"),
+        _ce("TT", 2, "worker.activity.update", t0 + dt.timedelta(minutes=1),
+            worker_sid="W1", worker_activity_name="Available",
+            worker_time_in_previous_activity=60),
+        # other-worker traffic 3 days later advances the watermark far
+        # past W1's 1-day idle horizon while W1's group has no data
+        _ce("TT", 3, "worker.created", t0 + dt.timedelta(days=3),
+            worker_sid="W2", worker_activity_name="Offline"),
+        _ce("TT", 4, "worker.activity.update",
+            t0 + dt.timedelta(days=3, minutes=5), worker_sid="W2",
+            worker_activity_name="Available",
+            worker_time_in_previous_activity=300),
+        # post-horizon activity change for W1
+        _ce("TT", 5, "worker.activity.update",
+            t0 + dt.timedelta(days=3, hours=1), worker_sid="W1",
+            worker_activity_name="Break",
+            worker_time_in_previous_activity=262740),
+    ]
+
+    def run(name: str, idle_ttl):
+        indir = str(tmp_path / f"in_{name}")
+        os.makedirs(indir)
+        for i, e in enumerate(evs):
+            p = os.path.join(indir, f"part-{i:04d}.json")
+            with open(p, "w") as f:
+                f.write(json.dumps(e) + "\n")
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(indir)
+        )
+        seg = wide_project_stream(
+            agent_status_emissions_stream(parse_stream(raw), idle_ttl=idle_ttl)
+        )
+        q = (
+            seg.writeStream.format("memory")
+            .queryName(f"agent_ttl_{name}")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.sql(
+            f"SELECT agent_uuid, date, activity_time FROM agent_ttl_{name}"
+        ).collect()
+
+    with_ttl = run("ttl", dt.timedelta(days=1))
+    default = run("default", None)
+
+    w1_ttl = sorted((str(r["date"]), r["activity_time"])
+                    for r in with_ttl if r["agent_uuid"] == "W1")
+    w1_def = sorted((str(r["date"]), r["activity_time"])
+                    for r in default if r["agent_uuid"] == "W1")
+    # both close interval 1 (created -> first update)
+    assert ("2024-07-01 08:00:00", 60) in w1_ttl
+    assert ("2024-07-01 08:00:00", 60) in w1_def
+    # only the default run closes the 3-day interval (carrier = the
+    # t0+1min opener, activity_time from the post-horizon event)
+    assert ("2024-07-01 08:01:00", 262740) in w1_def
+    assert len(w1_def) == 2
+    assert len(w1_ttl) == 1, w1_ttl  # ttl cleared the ancient interval
+    # W2 unaffected in both
+    assert sum(1 for r in with_ttl if r["agent_uuid"] == "W2") == 1
+    assert sum(1 for r in default if r["agent_uuid"] == "W2") == 1

@@ -354,9 +354,10 @@ def _lifecycle_fn(
         yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
 
-def _agent_status_fn(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
+AGENT_IDLE_TTL: dt.timedelta | None = None  # default: state never expires
+
+
+def _agent_status_fn_factory(idle_ttl: dt.timedelta | None):
     """Streaming agent-status lifecycle, keyed by worker_sid — the §2.5
     transition the conversation lifecycle cannot carry (it filters
     task_sid.isNotNull(), and worker.* events have no task).
@@ -370,53 +371,78 @@ def _agent_status_fn(
     interval. The open tail is state, not an emission (append mode; the
     batch recompute surfaces it as AGENT STATUS IN PROGRESS).
 
-    No timeout: an agent interval stays open until the next activity
-    change — state is one tiny document per ACTIVE WORKER (dimension-
-    sized, not event-sized), so it is bounded without watermark reaping.
-    """
-    st = json.loads(state.get[0]) if state.exists else {}
-    open_raw = st.get("raw")
-    open_ts = st.get("ts")
-    rows: list[dict] = []
-    for ev in _events_from_pdfs(pdf_iter):
+    State bound: one tiny document per worker with an open interval —
+    dimension-sized, not event-sized. Default (``idle_ttl=None``) it
+    never expires, matching batch semantics exactly for arbitrarily
+    long intervals; over 100-TB-years of worker churn that is a
+    permanently-growing dead-worker set, so ``idle_ttl`` arms an
+    event-time timeout that silently CLEARS (never emits — emissions
+    must stay batch-identical) state idle past the horizon. Documented
+    trade: an activity change arriving after an interval longer than
+    ``idle_ttl`` opens fresh instead of closing the pre-horizon
+    interval, so set it >> the longest believable agent session (days),
+    not near the watermark delay (minutes)."""
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle past the horizon: clear, emit nothing
+            return
+        st = json.loads(state.get[0]) if state.exists else {}
+        open_raw = st.get("raw")
+        open_ts = st.get("ts")
+        rows: list[dict] = []
+        for ev in _events_from_pdfs(pdf_iter):
+            if open_raw is not None:
+                rows.append(
+                    {
+                        "branch": "agent",
+                        "segment_kind": S.AGENT_STATUS,
+                        "carrier_raw": open_raw,
+                        "ov_queue_time": None,
+                        "ov_ring_time": None,
+                        "ov_talk_time": None,
+                        "ov_wrapup_time": None,
+                        "ov_abandon_time": None,
+                        "ov_activity_time": ev["wtip"],
+                        "ov_date": None,
+                        "ov_segment_link": None,
+                        "ov_segment_link_set": False,
+                    }
+                )
+            open_raw, open_ts = ev["raw"], ev["ts"]
         if open_raw is not None:
-            rows.append(
-                {
-                    "branch": "agent",
-                    "segment_kind": S.AGENT_STATUS,
-                    "carrier_raw": open_raw,
-                    "ov_queue_time": None,
-                    "ov_ring_time": None,
-                    "ov_talk_time": None,
-                    "ov_wrapup_time": None,
-                    "ov_abandon_time": None,
-                    "ov_activity_time": ev["wtip"],
-                    "ov_date": None,
-                    "ov_segment_link": None,
-                    "ov_segment_link_set": False,
-                }
-            )
-        open_raw, open_ts = ev["raw"], ev["ts"]
-    if open_raw is not None:
-        state.update((json.dumps({"raw": open_raw, "ts": open_ts}),))
-    if rows:
-        yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
+            state.update((json.dumps({"raw": open_raw, "ts": open_ts}),))
+            if idle_ttl is not None:
+                expiry = (_dt(open_ts) + idle_ttl).replace(tzinfo=dt.timezone.utc)
+                state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
+
+    return fn
 
 
-def agent_status_emissions_stream(events: DataFrame) -> DataFrame:
+def agent_status_emissions_stream(
+    events: DataFrame, idle_ttl: dt.timedelta | None = AGENT_IDLE_TTL
+) -> DataFrame:
     """Stateful agent-status lifecycle over a parsed event stream —
     (branch='agent', AGENT STATUS, opener carrier, closing
-    activity_time) emissions; share the wide projection downstream."""
+    activity_time) emissions; share the wide projection downstream.
+    ``idle_ttl`` bounds state under worker churn (see
+    :func:`_agent_status_fn_factory`)."""
     openers = events.filter(
         F.col("worker_sid").isNotNull()
         & F.col("eventtype").isin(S.ET_WORKER_CREATED, S.ET_WORKER_ACTIVITY_UPDATE)
     )
     return openers.groupBy("worker_sid").applyInPandasWithState(
-        _agent_status_fn,
+        _agent_status_fn_factory(idle_ttl),
         EMIT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if idle_ttl is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
 
 
