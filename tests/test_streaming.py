@@ -1051,3 +1051,33 @@ def test_agent_status_idle_ttl_bounds_state(spark, tmp_path):
     # W2 unaffected in both
     assert sum(1 for r in with_ttl if r["agent_uuid"] == "W2") == 1
     assert sum(1 for r in default if r["agent_uuid"] == "W2") == 1
+
+
+def test_agent_status_machine_pure_fn_replay():
+    """The per-worker agent-status machine is a pure function — replay
+    one worker's openers split at every batch boundary and expect
+    identical emissions and final open state (cross-batch state
+    correctness without a streaming query)."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        _agent_rows_for_worker,
+    )
+
+    events = [
+        {"eventtype": "worker.created", "ts": "2024-05-01T09:00:00.500000",
+         "raw": "raw-created", "wtip": None},
+        {"eventtype": "worker.activity.update", "ts": "2024-05-01T09:05:00.250000",
+         "raw": "raw-upd-1", "wtip": 300},
+        {"eventtype": "worker.activity.update", "ts": "2024-05-01T10:30:00.750000",
+         "raw": "raw-upd-2", "wtip": 5100},
+        {"eventtype": "worker.activity.update", "ts": "2024-05-01T11:45:00.300000",
+         "raw": "raw-upd-3", "wtip": 4500},
+    ]
+    one_shot, open1 = _agent_rows_for_worker(list(events), {})
+    assert [r["carrier_raw"] for r in one_shot] == ["raw-created", "raw-upd-1", "raw-upd-2"]
+    assert [r["ov_activity_time"] for r in one_shot] == [300, 5100, 4500]
+    assert open1["raw"] == "raw-upd-3"
+    for cut in range(1, len(events)):
+        r1, st = _agent_rows_for_worker(events[:cut], {})
+        r2, open2 = _agent_rows_for_worker(events[cut:], st)
+        assert r1 + r2 == one_shot, f"split at {cut} diverged"
+        assert open2 == open1

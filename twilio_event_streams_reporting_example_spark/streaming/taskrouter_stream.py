@@ -390,37 +390,46 @@ def _agent_status_fn_factory(idle_ttl: dt.timedelta | None):
             state.remove()  # idle past the horizon: clear, emit nothing
             return
         st = json.loads(state.get[0]) if state.exists else {}
-        open_raw = st.get("raw")
-        open_ts = st.get("ts")
-        rows: list[dict] = []
-        for ev in _events_from_pdfs(pdf_iter):
-            if open_raw is not None:
-                rows.append(
-                    {
-                        "branch": "agent",
-                        "segment_kind": S.AGENT_STATUS,
-                        "carrier_raw": open_raw,
-                        "ov_queue_time": None,
-                        "ov_ring_time": None,
-                        "ov_talk_time": None,
-                        "ov_wrapup_time": None,
-                        "ov_abandon_time": None,
-                        "ov_activity_time": ev["wtip"],
-                        "ov_date": None,
-                        "ov_segment_link": None,
-                        "ov_segment_link_set": False,
-                    }
-                )
-            open_raw, open_ts = ev["raw"], ev["ts"]
-        if open_raw is not None:
-            state.update((json.dumps({"raw": open_raw, "ts": open_ts}),))
+        rows, st = _agent_rows_for_worker(_events_from_pdfs(pdf_iter), st)
+        if st:
+            state.update((json.dumps(st),))
             if idle_ttl is not None:
-                expiry = (_dt(open_ts) + idle_ttl).replace(tzinfo=dt.timezone.utc)
+                expiry = (_dt(st["ts"]) + idle_ttl).replace(tzinfo=dt.timezone.utc)
                 state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
     return fn
+
+
+def _agent_rows_for_worker(events: list[dict], st: dict) -> tuple[list[dict], dict]:
+    """Advance one worker's agent-status machine over new (ts-ordered)
+    events. Returns (emitted rows, new state — empty dict if no open
+    interval). Pure function — replay-split-testable without a
+    streaming query, exactly like ``_segment_rows_for_task``."""
+    open_raw = st.get("raw")
+    open_ts = st.get("ts")
+    rows: list[dict] = []
+    for ev in events:
+        if open_raw is not None:
+            rows.append(
+                {
+                    "branch": "agent",
+                    "segment_kind": S.AGENT_STATUS,
+                    "carrier_raw": open_raw,
+                    "ov_queue_time": None,
+                    "ov_ring_time": None,
+                    "ov_talk_time": None,
+                    "ov_wrapup_time": None,
+                    "ov_abandon_time": None,
+                    "ov_activity_time": ev["wtip"],
+                    "ov_date": None,
+                    "ov_segment_link": None,
+                    "ov_segment_link_set": False,
+                }
+            )
+        open_raw, open_ts = ev["raw"], ev["ts"]
+    return rows, ({"raw": open_raw, "ts": open_ts} if open_raw is not None else {})
 
 
 def agent_status_emissions_stream(
