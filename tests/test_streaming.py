@@ -1081,3 +1081,41 @@ def test_agent_status_machine_pure_fn_replay():
         r2, open2 = _agent_rows_for_worker(events[cut:], st)
         assert r1 + r2 == one_shot, f"split at {cut} diverged"
         assert open2 == open1
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_keying_parity_under_cross_batch_disorder(spark, tmp_path, seed):
+    """Delivery order shuffled ACROSS micro-batches (not just within):
+    some events arrive late relative to the watermark and are dropped,
+    others land in earlier/later batches than event-time order would
+    place them. Whatever the resulting emission set is, all three state
+    keyings — per-task, bucketed blob, bucketed TWS MapState — must
+    produce it identically (same files -> same batches -> same watermark
+    trajectory -> same drops), so the keying remains a pure plan knob
+    even under disordered transport."""
+    import random
+
+    from tests.test_fuzz_parity import _gen_events
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_fixture_stream,
+    )
+
+    events = _gen_events(seed=seed, n_tasks=30)
+    random.Random(seed).shuffle(events)  # disorder across the whole spool
+    base = run_fixture_stream(
+        spark, str(tmp_path / "per"), events_in=events, keep_order=True
+    ).cache()
+    bkt = run_fixture_stream(
+        spark, str(tmp_path / "bkt"), buckets=4, events_in=events, keep_order=True
+    ).cache()
+    tws = run_fixture_stream(
+        spark, str(tmp_path / "tws"), buckets=4, tws=True, events_in=events,
+        keep_order=True,
+    ).cache()
+    b = {tuple(r) for r in base.collect()}
+    g1 = {tuple(r) for r in bkt.collect()}
+    g2 = {tuple(r) for r in tws.collect()}
+    assert b, "disordered spool must still emit rows"
+    assert g1 == b, (len(g1), len(b), list(g1 - b)[:3], list(b - g1)[:3])
+    assert g2 == b, (len(g2), len(b), list(g2 - b)[:3], list(b - g2)[:3])

@@ -347,7 +347,16 @@ def _lifecycle_fn(
         rows, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
         if has_open:
             state.update((json.dumps(st),))
-            state.setTimeoutTimestamp(_deadline_ms(st))
+            # a LATE event (admitted within the watermark policy but
+            # with ts far behind the current watermark) can yield a
+            # deadline already at/behind the watermark — Spark rejects
+            # past timeout timestamps, so clamp to watermark+1 and let
+            # the timeout fire next micro-batch (the same re-arm rule
+            # the bucketed keyings use; found by the cross-batch
+            # disorder fuzz)
+            deadline = _deadline_ms(st)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline, wm + 1))
         elif state.exists:
             state.remove()
     if rows:
@@ -902,6 +911,7 @@ def run_fixture_stream(
     buckets: int | None = None,
     events_in: list | None = None,
     agent: bool = False,
+    keep_order: bool = False,
 ) -> DataFrame:
     """Batch-parity harness: spool the fixture to ``files`` chronological
     JSON-line files, stream them with availableNow (file-per-trigger →
@@ -918,9 +928,16 @@ def run_fixture_stream(
     indir = os.path.join(workdir, "in")
     ckpt = os.path.join(workdir, "ckpt")
     os.makedirs(indir, exist_ok=True)
-    ordered = sorted(
-        events_in if events_in is not None else FIXTURE_EVENTS,
-        key=lambda e: e["data"]["payload"]["timestamp"],
+    ordered = (
+        list(events_in)
+        if keep_order and events_in is not None
+        # chronological spool is the default; keep_order=True preserves
+        # the caller's (possibly shuffled) delivery order so cross-batch
+        # event-time disorder reaches the watermark/state machinery
+        else sorted(
+            events_in if events_in is not None else FIXTURE_EVENTS,
+            key=lambda e: e["data"]["payload"]["timestamp"],
+        )
     )
     chunk = max(1, (len(ordered) + files - 1) // files)
     for i in range(0, len(ordered), chunk):
