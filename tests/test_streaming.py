@@ -1109,13 +1109,15 @@ def test_keying_parity_under_cross_batch_disorder(spark, tmp_path, seed):
     bkt = run_fixture_stream(
         spark, str(tmp_path / "bkt"), buckets=4, events_in=events, keep_order=True
     ).cache()
-    tws = run_fixture_stream(
-        spark, str(tmp_path / "tws"), buckets=4, tws=True, events_in=events,
+    tws_b = run_fixture_stream(
+        spark, str(tmp_path / "twsb"), buckets=4, tws=True, events_in=events,
         keep_order=True,
     ).cache()
+    tws_p = run_fixture_stream(
+        spark, str(tmp_path / "twsp"), tws=True, events_in=events, keep_order=True
+    ).cache()
     b = {tuple(r) for r in base.collect()}
-    g1 = {tuple(r) for r in bkt.collect()}
-    g2 = {tuple(r) for r in tws.collect()}
     assert b, "disordered spool must still emit rows"
-    assert g1 == b, (len(g1), len(b), list(g1 - b)[:3], list(b - g1)[:3])
-    assert g2 == b, (len(g2), len(b), list(g2 - b)[:3], list(b - g2)[:3])
+    for name, df in (("bucketed", bkt), ("tws-bucketed", tws_b), ("tws-per-task", tws_p)):
+        g = {tuple(r) for r in df.collect()}
+        assert g == b, (name, len(g), len(b), list(g - b)[:3], list(b - g)[:3])
