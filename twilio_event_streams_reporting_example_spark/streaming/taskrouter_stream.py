@@ -586,7 +586,19 @@ class ConversationLifecycle(StatefulProcessor):
     ADDS one), unlike GroupState's single overwritten timeout — so the
     current deadline is kept in the state document and the stale timer
     is deleted before registering the new one; a fired timer for a
-    since-cleared key is a no-op."""
+    since-cleared key is a no-op. Two further rules align TWS firing
+    with GroupState's semantics (both found by the cross-batch disorder
+    fuzz): (1) the registered timestamp is clamped to watermark+1 when a
+    LATE event's deadline is already at/behind the watermark, and (2) a
+    fired timer is ignored when the key ALSO received data in the same
+    micro-batch — under applyInPandasWithState data arrival cancels the
+    pending timeout for that batch, whereas TWS runs both callbacks, so
+    without the guard the TWS keying emits spurious CORRUPTED rows. The
+    data batch is detected by the watermark recorded at the last
+    handleInputRows: equal watermark => same micro-batch (and if the
+    watermark did not advance between batches, the re-registered timer
+    sits at watermark+1 and cannot have fired — so the check is exact,
+    not heuristic)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
@@ -600,15 +612,18 @@ class ConversationLifecycle(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         st = self._load()
         prev_deadline = st.pop("_deadline_ms", None)
+        st.pop("_wm_seen", None)
         events = _events_from_pdfs(rows)
         out, st, has_open = _segment_rows_for_task(events, st, timed_out=False)
+        wm = timerValues.getCurrentWatermarkInMs()
         if has_open:
-            deadline = _deadline_ms(st)
+            deadline = max(_deadline_ms(st), wm + 1)
             if prev_deadline is not None and prev_deadline != deadline:
                 self._handle.deleteTimer(prev_deadline)
             if prev_deadline != deadline:
                 self._handle.registerTimer(deadline)
             st["_deadline_ms"] = deadline
+            st["_wm_seen"] = wm
             self._state.update((json.dumps(st),))
         else:
             if prev_deadline is not None:
@@ -623,7 +638,13 @@ class ConversationLifecycle(StatefulProcessor):
         st = self._load()
         if not st:  # key already resolved; stale timer
             return
+        if st.get("_wm_seen") == timerValues.getCurrentWatermarkInMs():
+            # data arrived for this key in the SAME micro-batch: under
+            # GroupState semantics that cancels the timeout — the data
+            # path already re-armed the (clamped) timer
+            return
         st.pop("_deadline_ms", None)
+        st.pop("_wm_seen", None)
         out, st, _ = _segment_rows_for_task([], st, timed_out=True)
         self._state.clear()
         if out:
