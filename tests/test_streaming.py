@@ -1083,7 +1083,7 @@ def test_agent_status_machine_pure_fn_replay():
         assert open2 == open1
 
 
-@pytest.mark.parametrize("seed", [91, 92])
+@pytest.mark.parametrize("seed", [91, 92, 93])
 def test_keying_parity_under_cross_batch_disorder(spark, tmp_path, seed):
     """Delivery order shuffled ACROSS micro-batches (not just within):
     some events arrive late relative to the watermark and are dropped,

@@ -724,6 +724,7 @@ class BucketedConversationLifecycle(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         idx = self._load_index()
         wm = timerValues.getCurrentWatermarkInMs()
+        idx["w"] = wm  # same-batch marker for handleExpiredTimer
         by_task: dict[str, list] = {}
         for ev in _events_from_pdfs(rows):
             by_task.setdefault(ev["task_sid"], []).append(ev)
@@ -753,8 +754,16 @@ class BucketedConversationLifecycle(StatefulProcessor):
         idx = self._load_index()
         if not idx["d"]:  # bucket already resolved; stale timer
             return
-        idx["t"] = None  # the fired timer is consumed
         wm = timerValues.getCurrentWatermarkInMs()
+        if idx.get("w") == wm:
+            # the bucket also received data this micro-batch: the data
+            # path already reaped every dataless-expired task and
+            # re-armed the (clamped) timer — a same-batch firing must
+            # not reap tasks the data path just touched (GroupState
+            # cancels the timeout on data arrival; TWS runs both
+            # callbacks — same guard as the per-task TWS class)
+            return
+        idx["t"] = None  # the fired timer is consumed
         out = self._reap(idx, wm, set())
         self._sync(idx, wm)
         if out:
