@@ -93,10 +93,12 @@ _pin_new_checkpoint = pin_new_checkpoints  # long-lived edge checkpoints
 EDGES_LOCAL_CC_MAX = 20_000
 
 
-def _local_cc(session, edge_rows, node_type) -> DataFrame:
-    """Union-find (path compression + union-by-min-root) over a bounded
-    collected edge list; cluster_id = component minimum, matching the
-    distributed contract exactly."""
+def _union_find(edge_rows) -> dict:
+    """node -> component-minimum over a bounded edge list: union-find
+    with path compression and union-by-min-root (attaching the larger
+    root under the smaller keeps every root the minimum of its set).
+    Pure function — property-tested against an independent reachability
+    oracle in tests/test_properties.py."""
     parent: dict = {}
 
     def find(x):
@@ -115,11 +117,17 @@ def _local_cc(session, edge_rows, node_type) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra  # attach under the smaller root -> root == min
+    return {n: find(n) for n in parent}
+
+
+def _local_cc(session, edge_rows, node_type) -> DataFrame:
+    """Bounded driver-side components via :func:`_union_find`;
+    cluster_id = component minimum, matching the distributed contract
+    exactly."""
     schema = T.StructType(
         [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
     )
-    rows = [(n, find(n)) for n in parent]
-    return session.createDataFrame(rows, schema)
+    return session.createDataFrame(list(_union_find(edge_rows).items()), schema)
 
 
 def connected_components(
