@@ -242,3 +242,38 @@ def test_heavy_hitter_recount_is_broadcast_semi(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan.split(
         "LeftSemi"
     )[0]
+
+
+def test_agent_status_stream_plan_shape(spark):
+    """The agent-status streaming plan: exactly ONE stateful lifecycle
+    operator, keyed by worker_sid, downstream of the watermarked
+    CloudEvent-id dedup — and the opener filter (worker events only)
+    sits BELOW the stateful operator so non-worker events never reach
+    its state machinery."""
+    import contextlib
+    import io
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        agent_status_emissions_stream,
+        parse_stream,
+    )
+
+    raw = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) as value"
+    )
+    df = agent_status_emissions_stream(parse_stream(raw))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    plan = buf.getvalue()
+    physical = plan[plan.index("== Physical Plan =="):]
+    assert physical.count("FlatMapGroupsInPandasWithState") == 1
+    assert "[worker_sid" in physical
+    assert "DeduplicateWithinWatermark" in plan
+    # eventtype filter below the stateful op (in the analyzed plan the
+    # Filter must appear under the FlatMapGroups node, i.e. later in the
+    # printed tree)
+    analyzed = plan[plan.index("== Analyzed Logical Plan =="):
+                    plan.index("== Optimized Logical Plan ==")]
+    fm = analyzed.index("FlatMapGroupsInPandasWithState")
+    assert "worker.activity.update" in analyzed[fm:]
