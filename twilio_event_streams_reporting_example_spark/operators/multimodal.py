@@ -6,13 +6,20 @@ metadata struct, and runs decode / feature-extract / resize /
 frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``) — never
 row-at-a-time Python.
 
-The container ships no image/audio libraries, so the DECODE step is a
-deterministic fake (payload bytes are synthesized from the documents
-table, so every derived feature is recomputable in SQL — full hash
-oracles). The real-decoder entry point is stubbed behind an import
-gate with ``NotImplementedError`` (clearly marked); the Spark-side
-plumbing — binary column, metadata struct, UDF signature, Arrow batch
-shape, partitioning — is real and oracle-tested.
+The container ships no image/audio libraries. Formats that can be
+coded dependency-free decode FOR REAL here: 24-bit BMP (pure numpy),
+8-bit RGB PNG (stdlib zlib + numpy unfiltering, all five scanline
+filters), baseline JPEG (operators/jpeg.py — full entropy decode +
+IDCT), and PCM 16-bit WAV audio (RIFF chunk walk + numpy) — each
+certified end-to-end by an encode→decode→closed-form-oracle section
+of ``multimodal_media_ops``. For the rest (compressed audio/
+video) the DECODE step is a deterministic fake (payload bytes are
+synthesized from the documents table, so every derived feature is
+recomputable in SQL — full hash oracles) and the real-decoder entry
+point is gated behind ``NotImplementedError`` (clearly marked); the
+Spark-side plumbing — binary column, metadata struct, UDF signature,
+Arrow batch shape, partitioning — is real and oracle-tested either
+way.
 
 Scale notes:
   - payload stays a single binary cell per row; Arrow moves it
@@ -62,6 +69,85 @@ _BMP_ORACLE_ROWS = ",\n          ".join(
         b=_bmp_pixel_formula(i)[4],
     )
     for i in range(BMP_N_ITEMS)
+)
+
+# ---------------- real WAV decode certification (closed-form oracle) ----
+WAV_N_ITEMS = 64
+
+
+def _wav_signal_formula(i: int):
+    """(n_samples, sample_rate, sum_left, sum_right) for synthetic clip
+    i — pure integer math, computable independently of the codec (the
+    oracle side). Samples are int16-range signed values."""
+    n = 256 + (i * 31) % 256
+    rate = 8000 + 125 * (i % 8)
+    s_l = sum(((i * 7 + t * t) % 4001) - 2000 for t in range(n))
+    s_r = sum(((i * 11 + 3 * t) % 4001) - 2000 for t in range(n))
+    return n, rate, s_l, s_r
+
+
+_WAV_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {l}, {r}, {m})".format(
+        i=i,
+        l=_wav_signal_formula(i)[2],
+        r=_wav_signal_formula(i)[3],
+        m=_wav_signal_formula(i)[0] * 100000 + _wav_signal_formula(i)[1],
+    )
+    for i in range(WAV_N_ITEMS)
+)
+
+# ---------------- real JPEG decode certification (closed-form oracle) ---
+JPEG_N_ITEMS = 64
+
+
+def _jpeg_block_color(i: int, bx: int, by: int):
+    return (
+        (i * 5 + bx * 17 + by * 29) % 256,
+        (i * 3 + bx * 11 + by * 7) % 256,
+        (i * 13 + bx * 23 + by * 31) % 256,
+    )
+
+
+def _jpeg_flat_formula(i: int):
+    """(w, h, channel sums) the decoder must produce for flat-block
+    image i. The codec's DC quant step of 8 makes flat 8x8 blocks
+    bit-exact through the whole DCT/Huffman pipeline (operators/
+    jpeg.py module docstring), so the closed form is the JFIF color
+    transform round-trip alone — deliberately re-derived here with
+    inline integer math (NOT imported from jpeg.py) so the oracle stays
+    independent of the codec implementation."""
+    w = 8 * (1 + i % 4)
+    h = 8 * (1 + (i // 4) % 4)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            r, g, b = _jpeg_block_color(i, bx, by)
+            y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+            cb = clip(irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128)
+            cr = clip(irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128)
+            rs += 64 * clip(y + irnd(1402 * (cr - 128), 1000))
+            gs += 64 * clip(
+                y + irnd(-344136 * (cb - 128) - 714136 * (cr - 128), 1000000)
+            )
+            bs += 64 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return w, h, rs, gs, bs
+
+
+_JPEG_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {r}, {g}, {b})".format(
+        i=i,
+        r=_jpeg_flat_formula(i)[2],
+        g=_jpeg_flat_formula(i)[3],
+        b=_jpeg_flat_formula(i)[4],
+    )
+    for i in range(JPEG_N_ITEMS)
 )
 
 
@@ -270,29 +356,98 @@ def decode_png(payload: bytes):
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """REAL media encode, dependency-free: canonical RIFF/WAVE container
+    (PCM format 1, 16-bit little-endian, interleaved channels) from an
+    (N, channels) int16 array — stdlib struct headers + numpy tobytes.
+    WAV needs no codec library, so the binary→samples→binary audio path
+    can be exercised for real in any environment."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    block_align = ch * 2
+    data = samples.tobytes()  # C-order == interleaved frames
+    fmt_chunk = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """REAL media decode, dependency-free: parse a PCM 16-bit RIFF/WAVE
+    payload into ((N, channels) int16 array, sample_rate) — generic
+    chunk walk (word-aligned, so extra chunks like LIST/fact are
+    skipped correctly), numpy frombuffer on the data chunk — no
+    per-sample Python."""
+    import struct
+
+    import numpy as np
+
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = bytes(payload[pos : pos + 4])
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM 16-bit WAV is implemented")
+    if block_align != ch * 2 or len(data) % block_align:
+        raise ValueError("WAV data chunk size inconsistent with fmt")
+    arr = np.frombuffer(bytes(data), dtype="<i2").reshape(-1, ch)
+    return arr, rate
+
+
 def decode_real_media(payload: bytes, fmt: str):
     """Real decoder entry point.
 
-    BMP and PNG images decode HERE, for real, with zero dependencies
-    (:func:`decode_bmp`, :func:`decode_png` — the latter is stdlib zlib
-    inflate + numpy unfiltering) — certified end-to-end by the
-    `bmp_roundtrip` and `png_roundtrip` sections of
-    `multimodal_media_ops` (encode → decode → pixel sums vs a
-    closed-form oracle). The remaining containers (JPEG/audio/video)
-    need PIL/libav, which this environment does not ship; the import
-    gate keeps the pipeline importable and a cluster image with codecs
-    swaps the real implementation in."""
+    BMP, PNG, and baseline JPEG images and PCM WAV audio decode HERE,
+    for real, with zero dependencies (:func:`decode_bmp`;
+    :func:`decode_png` — stdlib zlib inflate + numpy unfiltering;
+    :func:`.jpeg.decode_jpeg` — full baseline-sequential entropy
+    decode, Huffman tables read from the stream, dequant + IDCT +
+    JFIF color transform; and :func:`decode_wav` — RIFF chunk walk +
+    numpy frombuffer) — certified end-to-end by the `bmp_roundtrip` /
+    `png_roundtrip` / `jpeg_roundtrip` / `wav_roundtrip` sections of
+    `multimodal_media_ops` (encode → decode → pixel/sample sums vs a
+    closed-form oracle). The remaining containers (compressed
+    audio/video) need libav, which this environment does not ship;
+    the import gate keeps the pipeline importable and a cluster image
+    with codecs swaps the real implementation in."""
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(payload)
     if bytes(payload[:8]) == _PNG_SIG:
         return decode_png(payload)
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+        return decode_wav(payload)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
-        import PIL.Image  # noqa: F401
+        import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/audio/video decode needs an image/audio runtime "
-            "(PIL/libav); this environment ships none — the fake "
-            "decoder below exercises the identical Spark plumbing"
+            "compressed-audio/video decode needs a media runtime "
+            "(libav/ffmpeg); this environment ships none — the "
+            "fake decoder below exercises the identical Spark plumbing"
         ) from e
     raise NotImplementedError("wire the real decoder here")  # pragma: no cover
 
@@ -387,6 +542,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_BMP_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'wav_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(l AS BIGINT) AS m1, CAST(r AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_WAV_ORACLE_ROWS}
+        ) AS t(i, l, r, m)
+        UNION ALL
+        SELECT 'jpeg_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_JPEG_ORACLE_ROWS}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'format_rollup' AS section,
                ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
                CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -429,7 +602,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "certification through REAL PNG containers (stdlib zlib "
         "deflate/inflate + CRC-verified chunks; scanline filters cycle "
         "all five types so the decoder's full unfiltering path — "
-        "Sub/Up/Average/Paeth — is exercised, not just filter 0)."
+        "Sub/Up/Average/Paeth — is exercised, not just filter 0). "
+        "`wav_roundtrip`: REAL dependency-free AUDIO decode — 64 "
+        "stereo int16 PCM clips generated from a closed-form integer "
+        "signal, encoded to actual RIFF/WAVE containers (fmt + data "
+        "chunks, interleaved frames), decoded back by "
+        "decode_real_media's RIFF branch, and reduced to per-channel "
+        "sample sums (m1/m2) plus n_samples*100000+rate (m3), so a "
+        "wrong header field, byte order, or interleave breaks the "
+        "hash. `jpeg_roundtrip`: REAL dependency-free baseline JPEG "
+        "(operators/jpeg.py: markers, canonical Huffman entropy "
+        "coding with byte stuffing, DC prediction, zigzag dequant, "
+        "orthonormal IDCT, JFIF color transforms) — flat-8x8-block "
+        "images are bit-exact through the lossy pipeline because the "
+        "DC quant step is 8, so the oracle is the closed-form integer "
+        "color transform; any wrong bit in the entropy stream or a "
+        "wrong IDCT/table breaks the hash."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +654,8 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.unionByName(frames)
         .unionByName(codec_rows("bmp_roundtrip"))
         .unionByName(codec_rows("png_roundtrip"))
+        .unionByName(codec_rows("wav_roundtrip"))
+        .unionByName(codec_rows("jpeg_roundtrip"))
     )
 
 
@@ -478,8 +668,12 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     reduced. The oracle recomputes the sums from the closed-form pixel
     formula, so a single wrong byte anywhere in the container layout
     (BMP padding/bottom-up/BGR, PNG chunk CRCs/deflate/scanline
-    filters) breaks the hash match. Scan → mapInPandas, shuffle-free."""
+    filters, WAV header fields/interleave/endianness, JPEG entropy
+    stream/tables/IDCT) breaks the hash match. Scan → mapInPandas,
+    shuffle-free."""
     use_png = section == "png_roundtrip"
+    use_wav = section == "wav_roundtrip"
+    use_jpeg = section == "jpeg_roundtrip"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -488,31 +682,68 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
             ids, m1, m2, m3 = [], [], [], []
             for i in pdf["id"]:
                 i = int(i)
-                w = 16 + (i * 7) % 32
-                h = 16 + (i * 13) % 32
-                x = np.arange(w)
-                y = np.arange(h)
-                img = np.stack(
-                    [
-                        np.broadcast_to(((i + x) % 256)[None, :], (h, w)),
-                        np.broadcast_to(((i * 3 + y) % 256)[:, None], (h, w)),
-                        (x[None, :] + y[:, None]) % 251,
-                    ],
-                    axis=2,
-                ).astype(np.uint8)
-                payload = encode_png(img) if use_png else encode_bmp(img)
-                decoded = decode_real_media(
-                    payload, "image/png" if use_png else "image/bmp"
-                )
-                assert decoded.shape == (h, w, 3)
-                sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                if use_jpeg:
+                    from .jpeg import encode_jpeg
+
+                    w = 8 * (1 + i % 4)
+                    h = 8 * (1 + (i // 4) % 4)
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    for by in range(h // 8):
+                        for bx in range(w // 8):
+                            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                _jpeg_block_color(i, bx, by)
+                            )
+                    decoded = decode_real_media(encode_jpeg(img), "image/jpeg")
+                    assert decoded.shape == (h, w, 3)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_wav:
+                    n = 256 + (i * 31) % 256
+                    rate = 8000 + 125 * (i % 8)
+                    t = np.arange(n, dtype=np.int64)
+                    sig = np.stack(
+                        [
+                            (i * 7 + t * t) % 4001 - 2000,
+                            (i * 11 + 3 * t) % 4001 - 2000,
+                        ],
+                        axis=1,
+                    ).astype(np.int16)
+                    decoded, got_rate = decode_real_media(
+                        encode_wav(sig, rate), "audio/wav"
+                    )
+                    assert decoded.shape == (n, 2)
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (int(sums[0]), int(sums[1]), n * 100000 + got_rate)
+                else:
+                    w = 16 + (i * 7) % 32
+                    h = 16 + (i * 13) % 32
+                    x = np.arange(w)
+                    y = np.arange(h)
+                    img = np.stack(
+                        [
+                            np.broadcast_to(((i + x) % 256)[None, :], (h, w)),
+                            np.broadcast_to(((i * 3 + y) % 256)[:, None], (h, w)),
+                            (x[None, :] + y[:, None]) % 251,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payload = encode_png(img) if use_png else encode_bmp(img)
+                    decoded = decode_real_media(
+                        payload, "image/png" if use_png else "image/bmp"
+                    )
+                    assert decoded.shape == (h, w, 3)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 ids.append(i)
-                m1.append(int(sums[0]))
-                m2.append(int(sums[1]))
-                m3.append(int(sums[2]))
+                m1.append(vals[0])
+                m2.append(vals[1])
+                m3.append(vals[2])
             yield pd.DataFrame({"k_id": ids, "m1": m1, "m2": m2, "m3": m3})
 
-    return spark.range(BMP_N_ITEMS).mapInPandas(
+    n_items = (
+        WAV_N_ITEMS if use_wav else JPEG_N_ITEMS if use_jpeg else BMP_N_ITEMS
+    )
+    return spark.range(n_items).mapInPandas(
         kernel, "k_id long, m1 long, m2 long, m3 long"
     )
 
