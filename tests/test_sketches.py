@@ -127,19 +127,21 @@ def test_quantile_cert_survives_heavy_ties(spark):
     assert out_u == {"q50": 1, "q90": 1, "q99": 1}, out_u
 
 
-def test_dedup_exact_documents_scale_knob(spark, sf_dir, monkeypatch):
-    """SPARK_GRAFT_SKIP_SCALE_SECTIONS=1 drops the synthetic 1M-row
+def test_dedup_exact_documents_scale_param(spark, sf_dir):
+    """include_scale_section=False drops the synthetic 1M-row
     certification sections (consumers wanting just the corpus dedup);
-    unset, both sections are present — the driver/oracle default."""
+    the default includes both — and is environment-independent, so the
+    driver's certified row set cannot silently change (r7 ADVICE)."""
+    import os
+
     from twilio_event_streams_reporting_example_spark.operators.dedup import (
         dedup_exact_documents,
     )
 
-    monkeypatch.setenv("SPARK_GRAFT_SKIP_SCALE_SECTIONS", "1")
-    slim = dedup_exact_documents(spark, sf_dir)
+    slim = dedup_exact_documents(spark, sf_dir, include_scale_section=False)
     sections = {r["section"] for r in slim.select("section").distinct().collect()}
     assert sections == {"corpus"}
-    monkeypatch.delenv("SPARK_GRAFT_SKIP_SCALE_SECTIONS")
+    assert "SPARK_GRAFT_SKIP_SCALE_SECTIONS" not in os.environ
     full = dedup_exact_documents(spark, sf_dir)
     sections = {r["section"] for r in full.select("section").distinct().collect()}
     assert "corpus" in sections and len(sections) > 1

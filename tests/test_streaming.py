@@ -1053,6 +1053,77 @@ def test_agent_status_idle_ttl_bounds_state(spark, tmp_path):
     assert sum(1 for r in default if r["agent_uuid"] == "W2") == 1
 
 
+def test_agent_status_idle_ttl_timeout_clamped_to_watermark():
+    """A late worker event whose ts + idle_ttl is already at/behind the
+    current watermark must re-arm at watermark+1 (Spark rejects past
+    event-time timeout timestamps, failing the whole query) — unit-level
+    on the factory fn with a fake GroupState, no streaming query."""
+    import datetime as dt
+    import json
+
+    import pandas as pd
+
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        _agent_status_fn_factory,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self, watermark_ms):
+            self._wm = watermark_ms
+            self.armed = None
+            self.stored = None
+
+        def update(self, tup):
+            self.stored = tup
+
+        def remove(self):
+            self.stored = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts_ms):
+            assert ts_ms > self._wm, "past timeout timestamp would throw in Spark"
+            self.armed = ts_ms
+
+    # watermark is 3 days past the late event; idle_ttl=1h puts the
+    # natural expiry far behind it
+    ev_ts = dt.datetime(2024, 7, 1, 8, 0, 0)
+    wm_ms = int(
+        (ev_ts + dt.timedelta(days=3)).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1000
+    )
+    pdf = pd.DataFrame(
+        {
+            "eventtype": ["worker.activity.update"],
+            "ts": [pd.Timestamp(ev_ts)],
+            "task_sid": [None],
+            "reservation_sid": [None],
+            "worker_sid": ["W1"],
+            "wtip": [60],
+            "value": ["raw"],
+            "event_id": ["E1"],
+        }
+    )
+    fn = _agent_status_fn_factory(dt.timedelta(hours=1))
+    state = FakeState(wm_ms)
+    list(fn(("W1",), iter([pdf]), state))
+    assert state.armed == wm_ms + 1
+    assert state.stored is not None and json.loads(state.stored[0])["ts"]
+
+    # and a fresh event ahead of the watermark arms the natural expiry
+    state2 = FakeState(watermark_ms=0)
+    list(fn(("W1",), iter([pdf]), state2))
+    expected = int(
+        (ev_ts + dt.timedelta(hours=1)).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1000
+    )
+    assert state2.armed == expected
+
+
 def test_agent_status_machine_pure_fn_replay():
     """The per-worker agent-status machine is a pure function — replay
     one worker's openers split at every batch boundary and expect

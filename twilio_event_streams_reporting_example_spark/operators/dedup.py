@@ -260,9 +260,9 @@ def _dedup_synthetic_summary(spark: SparkSession) -> DataFrame:
         "taskrouter_segments_scale."
     ),
 )
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+def dedup_exact_documents(
+    spark: SparkSession, sf_dir: str, include_scale_section: bool = True
+) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
@@ -271,10 +271,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_rows = corpus.select(
         F.lit("corpus").alias("section"), "text_hash", "keeper_doc_id", "n_copies"
     )
-    # Default-ON (the driver and its oracle always see both sections);
-    # downstream consumers that want just the corpus dedup without the
-    # 1M-row in-gate scale certification opt out via the env knob.
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALE_SECTIONS") == "1":
+    # Default-ON so the registered query's result set is a pure function
+    # of (sf_dir) — the driver and its oracle always see both sections.
+    # Downstream consumers wanting just the corpus dedup pass the
+    # explicit parameter (an env knob here risked a certification/
+    # production row-set mismatch if set when the driver hashed).
+    if not include_scale_section:
         return corpus_rows
     return corpus_rows.unionByName(_dedup_synthetic_summary(spark))
 

@@ -363,7 +363,14 @@ def _lifecycle_fn(
         yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
 
-AGENT_IDLE_TTL: dt.timedelta | None = None  # default: state never expires
+# Default idle horizon for agent-status state. 7 days is >> any
+# believable agent session (the reference's intervals are minutes to
+# hours; even a multi-shift "Offline" weekend is < 3 days), so the
+# emission stream is divergence-free from batch for real workloads,
+# while dead-worker state — the only unbounded term over 100-TB-years
+# of worker churn — is reaped. ``None`` restores exact batch semantics
+# (state never expires) for replays of arbitrarily old history.
+AGENT_IDLE_TTL: dt.timedelta | None = dt.timedelta(days=7)
 
 
 def _agent_status_fn_factory(idle_ttl: dt.timedelta | None):
@@ -404,7 +411,18 @@ def _agent_status_fn_factory(idle_ttl: dt.timedelta | None):
             state.update((json.dumps(st),))
             if idle_ttl is not None:
                 expiry = (_dt(st["ts"]) + idle_ttl).replace(tzinfo=dt.timezone.utc)
-                state.setTimeoutTimestamp(int(expiry.timestamp() * 1000))
+                # a late worker event (admitted by the watermark policy
+                # but with ts far behind the watermark) can leave the
+                # expiry at/behind the current watermark — Spark rejects
+                # past timeout timestamps, so clamp to watermark+1 and
+                # let the reap fire next micro-batch (same re-arm rule
+                # as _lifecycle_fn)
+                state.setTimeoutTimestamp(
+                    max(
+                        int(expiry.timestamp() * 1000),
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in EMIT_SCHEMA.fields])
 
