@@ -33,9 +33,15 @@ def test_real_decoder_is_gated():
         decode_real_media,
     )
 
-    # JPEG (and audio/video) remain gated; BMP+PNG now decode for real
-    with pytest.raises(NotImplementedError):
+    # BMP/PNG/JPEG/WAV decode for real now; a malformed JPEG payload
+    # reaches the real decoder and fails validation, while genuinely
+    # compressed formats (MP3/video) remain behind the documented gate.
+    with pytest.raises(ValueError):
         decode_real_media(b"\xff\xd8\xff\xe0jpeg-ish", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_real_media(b"ID3\x04mp3-ish", "audio/mpeg")
+    with pytest.raises(NotImplementedError):
+        decode_real_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_resize_shuffle_free(spark, sf_dir):
@@ -77,8 +83,12 @@ def test_bmp_codec_roundtrip_and_layout():
     assert (decode_real_media(blob, "image/bmp") == img).all()
     with pytest.raises(ValueError):
         decode_bmp(b"NOPE" + blob)
-    with pytest.raises(NotImplementedError):
+    # a malformed JPEG now reaches the real decoder (ValueError),
+    # while compressed audio stays behind the documented gate
+    with pytest.raises(ValueError):
         decode_real_media(b"\xff\xd8\xff\xe0jpeg-ish", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_real_media(b"ID3\x04mp3-ish", "audio/mpeg")
 
 
 def test_png_codec_roundtrip_filters_and_integrity():
@@ -182,11 +192,13 @@ def test_wav_codec_roundtrip_layout_and_gates():
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     arr, rate = decode_wav(spliced)
     assert rate == 44100 and (arr == sig).all()
-    # gates: float PCM (format 3) and 8-bit are not silently wrong
-    float_fmt = struct.pack("<HHIIHH", 3, 2, 44100, 44100 * 8, 8, 32)
+    # gate: compressed-in-RIFF codecs (mu-law, format tag 7) are not
+    # silently wrong (float/8/24/32-bit PCM now decode for real —
+    # test_wav_variant_roundtrips covers them)
+    mulaw_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
     bad = (
         b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"fmt " + struct.pack("<I", 16) + mulaw_fmt
         + b"data" + struct.pack("<I", 0)
     )
     with pytest.raises(NotImplementedError):
@@ -287,10 +299,11 @@ def test_jpeg_codec_flat_exact_bounded_ac_and_gates():
     blob5[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob5))
-    # 2x2-subsampled SOF is refused
+    # 12-bit precision is refused (2x2 sampling now decodes for real —
+    # test_jpeg_subsampling_and_restart covers it)
     blob6 = bytearray(encode_jpeg(img2))
     sof = blob6.find(b"\xff\xc0")
-    blob6[sof + 11] = 0x22  # component 1 sampling factors
+    blob6[sof + 4] = 12  # precision byte
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob6))
     with pytest.raises(ValueError):
@@ -298,6 +311,254 @@ def test_jpeg_codec_flat_exact_bounded_ac_and_gates():
     # truncated entropy stream is a hard error
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(img2)[:-40] + b"\xff\xd9")
+
+
+def test_png_color_types():
+    """Beyond RGB: hand-built 8-bit grayscale, palette, gray+alpha, and
+    RGBA PNGs decode to their natural channel shapes (palette expands
+    through PLTE to RGB); 16-bit depth stays gated; a bad palette index
+    is a hard error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(29)
+
+    def build(w, h, ctype, pixel_bytes, plte=None, depth=8):
+        ihdr = _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        )
+        scan = b"".join(
+            b"\x00" + pixel_bytes[y * w * _ch(ctype) : (y + 1) * w * _ch(ctype)]
+            for y in range(h)
+        )
+        chunks = ihdr
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte)
+        chunks += _png_chunk(b"IDAT", zlib.compress(scan))
+        chunks += _png_chunk(b"IEND", b"")
+        return _PNG_SIG + chunks
+
+    def _ch(ctype):
+        return {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+    # grayscale
+    g = rng.integers(0, 256, (5, 7, 1), dtype=np.uint8)
+    assert (decode_png(build(7, 5, 0, g.tobytes())) == g).all()
+    # gray+alpha
+    ga = rng.integers(0, 256, (4, 6, 2), dtype=np.uint8)
+    assert (decode_png(build(6, 4, 4, ga.tobytes())) == ga).all()
+    # RGBA
+    rgba = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    assert (decode_png(build(5, 3, 6, rgba.tobytes())) == rgba).all()
+    # palette: indices expand through PLTE
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 6, 1), dtype=np.uint8)
+    out = decode_png(build(6, 6, 3, idx.tobytes(), plte=pal.tobytes()))
+    assert (out == pal[idx[:, :, 0]]).all()
+    # palette index out of range is a hard error
+    bad_idx = np.full((2, 2, 1), 200, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_png(build(2, 2, 3, bad_idx.tobytes(), plte=pal.tobytes()))
+    # 16-bit depth stays gated
+    g16 = rng.integers(0, 256, (2, 2, 2), dtype=np.uint8)  # 2 bytes/px
+    with pytest.raises(NotImplementedError):
+        decode_png(build(2, 2, 0, g16.tobytes(), depth=16))
+
+
+def test_wav_variant_roundtrips():
+    """Beyond PCM-16: every uncompressed RIFF variant roundtrips
+    losslessly through the dtype-driven encoder/decoder (PCM-8/24/32,
+    IEEE float32/64), and compressed-in-RIFF codecs stay gated."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, (100, 2), dtype=np.uint8), 8000, None, np.uint8),
+        (rng.integers(-30000, 30000, (101, 1), dtype=np.int16), 44100, None,
+         np.int16),
+        (rng.integers(-(1 << 23), 1 << 23, (77, 2)).astype(np.int32), 48000, 24,
+         np.int32),
+        (rng.integers(-(1 << 30), 1 << 30, (50, 3)).astype(np.int32), 16000,
+         None, np.int32),
+        (rng.normal(size=(64, 2)).astype(np.float32), 22050, None, np.float32),
+        (rng.normal(size=(33, 1)), 96000, None, np.float64),
+    ]
+    for sig, rate, bits, want_dtype in cases:
+        blob = encode_wav(sig, rate, bits=bits) if bits else encode_wav(sig, rate)
+        arr, got_rate = decode_wav(blob)
+        assert arr.dtype == want_dtype and got_rate == rate
+        assert (arr == sig).all(), (want_dtype, bits)
+    # mu-law (format tag 7) is compressed: stays behind the gate
+    fmt_chunk = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # 24-bit emit demands int32 input; dtype/bits mismatch is an error
+    with pytest.raises(ValueError):
+        encode_wav(np.zeros((4, 1), np.int16), 8000, bits=24)
+
+
+def test_mp4_metadata_probe():
+    """The ISO-BMFF probe extracts brand/duration/track dims/handler/
+    codec from a hand-built minimal MP4 without any codec runtime;
+    non-BMFF payloads raise."""
+    import struct
+
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        probe_video_metadata,
+    )
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    # mvhd v0: ver+flags, creation, modification, timescale=1000,
+    # duration=5000, then rate/volume/matrix/next-track filler
+    mvhd = box(
+        b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 5000) + bytes(80)
+    )
+    # tkhd v0: 76 bytes of header/matrix then width/height 16.16 fixed
+    tkhd = box(
+        b"tkhd", bytes(76) + struct.pack(">II", 640 << 16, 360 << 16)
+    )
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsd = box(
+        b"stsd", bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 86)
+        + b"avc1" + bytes(78)
+    )
+    mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+    payload = ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+    meta = probe_video_metadata(payload)
+    assert meta["container"] == "mp4" and meta["brand"] == "isom"
+    assert meta["timescale"] == 1000 and meta["duration_s"] == 5.0
+    assert meta["tracks"] == [
+        {"width": 640, "height": 360, "handler": "vide", "codec": "avc1"}
+    ]
+    with pytest.raises(ValueError):
+        probe_video_metadata(b"RIFF this is not bmff")
+
+
+def test_jpeg_subsampling_and_restart():
+    """Chroma-subsampled decode (the real-camera shapes): images flat
+    per 16x16 MCU roundtrip BIT-EXACTLY through 4:2:0 / 4:2:2 / 4:4:0
+    (flat-region box-average = identity, box-replication upsample
+    restores it — the jpeg420_roundtrip oracle contract), with and
+    without restart markers; general chroma-smooth images roundtrip
+    within quantization error; odd dims work via edge replication;
+    grayscale (1-component) decodes to replicated RGB."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators import jpeg as J
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(47)
+    # flat per 16x16 MCU: exact through every subsampling shape
+    img = np.zeros((32, 48, 3), np.uint8)
+    expected = np.zeros_like(img)
+    for my in range(2):
+        for mx in range(3):
+            c = rng.integers(0, 256, 3)
+            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = c
+            expected[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                ycbcr_to_rgb(*rgb_to_ycbcr(*map(int, c)))
+            )
+    for ss in ("420", "422", "440"):
+        assert (decode_jpeg(encode_jpeg(img, subsampling=ss)) == expected).all(), ss
+        # restart markers: DRI emitted, RSTn resynchronization must not
+        # change a single pixel
+        blob = encode_jpeg(img, subsampling=ss, restart_interval=2)
+        assert b"\xff\xdd" in blob
+        assert (decode_jpeg(blob) == expected).all(), f"{ss}+restart"
+    # general image with chroma constant per 2x2 (so 4:2:0's chroma
+    # loss is zero and the only error is DCT quantization)
+    base = rng.integers(0, 256, (12, 16, 3))
+    smooth = np.repeat(np.repeat(base, 2, 0), 2, 1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 64
+    # odd dims through the 16x16 MCU grid
+    odd = rng.integers(0, 256, (19, 21, 3), np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, subsampling="420")).shape == (19, 21, 3)
+    # grayscale: hand-built single-component baseline stream (our
+    # encoder is color-only) — flat Y=200 block must decode to
+    # (200, 200, 200) everywhere
+    writer = J._BitWriter()
+    dc = J._canonical_codes(J._DC_BITS, J._DC_SYMBOLS)
+    ac = J._canonical_codes(J._AC_BITS, J._AC_SYMBOLS)
+    J._encode_block(writer, np.full((8, 8), 200.0), 0, dc, ac)
+    scan = writer.flush()
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(J._QTAB[k]) for k in range(64)
+    )
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht = J._dht_segment(0x00, J._DC_BITS, J._DC_SYMBOLS) + J._dht_segment(
+        0x10, J._AC_BITS, J._AC_SYMBOLS
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    gray = b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    out = decode_jpeg(gray)
+    assert out.shape == (8, 8, 3) and (out == 200).all()
+    # unsupported subsampling name is an explicit error
+    with pytest.raises(ValueError):
+        encode_jpeg(img, subsampling="411")
+
+
+def test_jpeg420_flat_formula_matches_codec():
+    """The oracle-side closed form (_jpeg420_flat_formula) and the real
+    4:2:0 codec path (with per-item restart intervals, exactly as the
+    certified section encodes) must agree exactly on every item."""
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _jpeg420_flat_formula,
+        _jpeg_block_color,
+    )
+
+    for i in [0, 1, 4, 8, 17, 35, 63]:
+        w, h, rs, gs, bs = _jpeg420_flat_formula(i)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    _jpeg_block_color(i, mx, my)
+                )
+        blob = encode_jpeg(img, subsampling="420", restart_interval=1 + i % 3)
+        sums = decode_jpeg(blob).astype(np.int64).sum(axis=(0, 1))
+        assert (int(sums[0]), int(sums[1]), int(sums[2])) == (rs, gs, bs), i
 
 
 def test_jpeg_flat_formula_matches_codec():

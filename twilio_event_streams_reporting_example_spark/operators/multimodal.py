@@ -9,17 +9,21 @@ row-at-a-time Python.
 The container ships no image/audio libraries. Formats that can be
 coded dependency-free decode FOR REAL here: 24-bit BMP (pure numpy),
 8-bit RGB PNG (stdlib zlib + numpy unfiltering, all five scanline
-filters), baseline JPEG (operators/jpeg.py — full entropy decode +
-IDCT), and PCM 16-bit WAV audio (RIFF chunk walk + numpy) — each
-certified end-to-end by an encode→decode→closed-form-oracle section
-of ``multimodal_media_ops``. For the rest (compressed audio/
-video) the DECODE step is a deterministic fake (payload bytes are
-synthesized from the documents table, so every derived feature is
-recomputable in SQL — full hash oracles) and the real-decoder entry
-point is gated behind ``NotImplementedError`` (clearly marked); the
-Spark-side plumbing — binary column, metadata struct, UDF signature,
-Arrow batch shape, partitioning — is real and oracle-tested either
-way.
+filters), baseline JPEG including 4:2:0/4:2:2/4:4:0 chroma
+subsampling, grayscale, and restart markers (operators/jpeg.py —
+full entropy decode + IDCT), and every uncompressed RIFF/WAVE
+variant (PCM-8/16/24/32 and IEEE float32/64 — chunk walk + numpy) —
+certified end-to-end by encode→decode→closed-form-oracle sections of
+``multimodal_media_ops``. Video containers get a REAL metadata probe
+(:func:`probe_video_metadata` — ISO-BMFF box walk: brand, duration,
+track dims, handler, codec fourcc) without frame decode. For the
+rest (compressed audio bitstreams, video FRAME decode) the DECODE
+step is a deterministic fake (payload bytes are synthesized from the
+documents table, so every derived feature is recomputable in SQL —
+full hash oracles) and the real-decoder entry point is gated behind
+``NotImplementedError`` (clearly marked); the Spark-side plumbing —
+binary column, metadata struct, UDF signature, Arrow batch shape,
+partitioning — is real and oracle-tested either way.
 
 Scale notes:
   - payload stays a single binary cell per row; Arrow moves it
@@ -146,6 +150,48 @@ _JPEG_ORACLE_ROWS = ",\n          ".join(
         r=_jpeg_flat_formula(i)[2],
         g=_jpeg_flat_formula(i)[3],
         b=_jpeg_flat_formula(i)[4],
+    )
+    for i in range(JPEG_N_ITEMS)
+)
+
+
+def _jpeg420_flat_formula(i: int):
+    """(w, h, channel sums) for 4:2:0-subsampled flat-MCU image i. A
+    2x2 box average over a flat chroma region is the value itself, so
+    images flat per 16x16 MCU are bit-exact through the SUBSAMPLED
+    pipeline (encoder downsample → DC-only blocks → box-replication
+    upsample), and the closed form is again the JFIF color-transform
+    roundtrip — re-derived inline, independent of jpeg.py."""
+    w = 16 * (1 + i % 3)
+    h = 16 * (1 + (i // 3) % 3)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            r, g, b = _jpeg_block_color(i, mx, my)
+            y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+            cb = clip(irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128)
+            cr = clip(irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128)
+            rs += 256 * clip(y + irnd(1402 * (cr - 128), 1000))
+            gs += 256 * clip(
+                y + irnd(-344136 * (cb - 128) - 714136 * (cr - 128), 1000000)
+            )
+            bs += 256 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return w, h, rs, gs, bs
+
+
+_JPEG420_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {r}, {g}, {b})".format(
+        i=i,
+        r=_jpeg420_flat_formula(i)[2],
+        g=_jpeg420_flat_formula(i)[3],
+        b=_jpeg420_flat_formula(i)[4],
     )
     for i in range(JPEG_N_ITEMS)
 )
@@ -285,12 +331,15 @@ def encode_png(rgb) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """REAL media decode, dependency-free: parse an 8-bit RGB
-    non-interlaced PNG into an (H, W, 3) uint8 array — chunk walk with
-    CRC verification, stdlib zlib inflate, numpy unfiltering of all
-    five scanline filter types (the sequential left-dependency of
+    """REAL media decode, dependency-free: parse an 8-bit
+    non-interlaced PNG of ANY color type — grayscale (0 → (H, W, 1)),
+    RGB (2 → (H, W, 3)), palette (3 → PLTE-expanded (H, W, 3)),
+    gray+alpha (4 → (H, W, 2)), RGBA (6 → (H, W, 4)) — chunk walk
+    with CRC verification, stdlib zlib inflate, numpy unfiltering of
+    all five scanline filter types (the sequential left-dependency of
     Sub/Average/Paeth is resolved per-row; rows are short relative to
-    the zlib cost, so this is not the bottleneck)."""
+    the zlib cost, so this is not the bottleneck). 16-bit depth and
+    Adam7 interlace stay behind NotImplementedError."""
     import struct
     import zlib
 
@@ -298,7 +347,7 @@ def decode_png(payload: bytes):
 
     if bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = bytes(payload[pos + 4 : pos + 8])
@@ -308,6 +357,8 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -316,12 +367,17 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    ch_by_ctype = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if depth != 8 or ctype not in ch_by_ctype or interlace != 0:
         raise NotImplementedError(
-            "only 8-bit RGB non-interlaced PNG is implemented"
+            "only 8-bit non-interlaced PNG (gray/RGB/palette/"
+            "gray+alpha/RGBA) is implemented"
         )
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG reserved compression/filter method")
+    ch = ch_by_ctype[ctype]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * 3
+    stride = w * ch
     if raw.size != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     raw = raw.reshape(h, stride + 1)
@@ -337,14 +393,14 @@ def decode_png(payload: bytes):
         elif f in (1, 3, 4):
             rec = np.zeros(stride, dtype=np.int16)
             for x in range(stride):
-                left = rec[x - 3] if x >= 3 else 0
+                left = rec[x - ch] if x >= ch else 0
                 if f == 1:
                     rec[x] = (cur[x] + left) % 256
                 elif f == 3:
                     rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
                 else:
                     up = prev[x]
-                    ul = prev[x - 3] if x >= 3 else 0
+                    ul = prev[x - ch] if x >= ch else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
@@ -353,27 +409,57 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = rec
         prev = rec
-    return out.astype(np.uint8).reshape(h, w, 3)
+    arr = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        arr = pal[arr[:, :, 0]]
+    return arr
 
 
-def encode_wav(samples, sample_rate: int) -> bytes:
+def encode_wav(samples, sample_rate: int, bits: int | None = None) -> bytes:
     """REAL media encode, dependency-free: canonical RIFF/WAVE container
-    (PCM format 1, 16-bit little-endian, interleaved channels) from an
-    (N, channels) int16 array — stdlib struct headers + numpy tobytes.
-    WAV needs no codec library, so the binary→samples→binary audio path
-    can be exercised for real in any environment."""
+    (little-endian, interleaved channels) — stdlib struct headers +
+    numpy tobytes. The sample format follows the array dtype: uint8 →
+    PCM-8, int16 → PCM-16 (the default for other dtypes, matching the
+    original 16-bit-only contract), int32 → PCM-32 (or PCM-24 with
+    ``bits=24``: 3-byte little-endian truncation), float32/float64 →
+    IEEE-float format tag 3. WAV needs no codec library, so the
+    binary→samples→binary audio path can be exercised for real in any
+    environment."""
     import struct
 
     import numpy as np
 
-    samples = np.asarray(samples, dtype=np.int16)
+    samples = np.asarray(samples)
+    by_dtype = {"uint8": (1, 8), "int16": (1, 16), "int32": (1, 32),
+                "float32": (3, 32), "float64": (3, 64)}
+    if samples.dtype.name not in by_dtype:
+        samples = samples.astype(np.int16)
+    audio_fmt, nbits = by_dtype[samples.dtype.name]
+    if bits == 24:
+        if samples.dtype.name != "int32":
+            raise ValueError("bits=24 requires int32 samples")
+        nbits = 24
+    elif bits is not None and bits != nbits:
+        raise ValueError(f"bits={bits} inconsistent with dtype {samples.dtype}")
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    block_align = ch * 2
-    data = samples.tobytes()  # C-order == interleaved frames
+    block_align = ch * (nbits // 8)
+    if nbits == 24:  # 3-byte LE: drop the high byte of each int32
+        flat = samples.astype("<i4").reshape(-1)
+        data = np.frombuffer(flat.tobytes(), dtype=np.uint8).reshape(-1, 4)[
+            :, :3
+        ].tobytes()
+    else:
+        data = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
     fmt_chunk = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+        "<HHIIHH", audio_fmt, ch, sample_rate, sample_rate * block_align,
+        block_align, nbits,
     )
     body = (
         b"WAVE"
@@ -384,11 +470,15 @@ def encode_wav(samples, sample_rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """REAL media decode, dependency-free: parse a PCM 16-bit RIFF/WAVE
-    payload into ((N, channels) int16 array, sample_rate) — generic
-    chunk walk (word-aligned, so extra chunks like LIST/fact are
-    skipped correctly), numpy frombuffer on the data chunk — no
-    per-sample Python."""
+    """REAL media decode, dependency-free: parse a RIFF/WAVE payload
+    into ((N, channels) sample array, sample_rate) — generic chunk
+    walk (word-aligned, so extra chunks like LIST/fact are skipped
+    correctly), numpy frombuffer/bit-math on the data chunk — no
+    per-sample Python. Every uncompressed RIFF variant decodes:
+    PCM-8 (unsigned → uint8), PCM-16 (→ int16), PCM-24 (3-byte LE
+    sign-extended → int32), PCM-32 (→ int32), and IEEE float32/64
+    (format tag 3 → float32/float64); compressed codecs (mu-law,
+    ADPCM, MP3-in-RIFF) stay behind the documented gate."""
     import struct
 
     import numpy as np
@@ -407,12 +497,111 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only PCM 16-bit WAV is implemented")
-    if block_align != ch * 2 or len(data) % block_align:
+    dtypes = {
+        (1, 8): "u1",
+        (1, 16): "<i2",
+        (1, 24): None,  # no native 3-byte dtype: sign-extend below
+        (1, 32): "<i4",
+        (3, 32): "<f4",
+        (3, 64): "<f8",
+    }
+    if (audio_fmt, bits) not in dtypes:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} at {bits}-bit is not an "
+            "uncompressed PCM/float variant"
+        )
+    if block_align != ch * (bits // 8) or len(data) % block_align:
         raise ValueError("WAV data chunk size inconsistent with fmt")
-    arr = np.frombuffer(bytes(data), dtype="<i2").reshape(-1, ch)
+    if bits == 24:
+        b = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 3)
+        arr = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).reshape(-1, ch)
+    else:
+        arr = np.frombuffer(bytes(data), dtype=dtypes[(audio_fmt, bits)]).reshape(
+            -1, ch
+        )
     return arr, rate
+
+
+def probe_video_metadata(payload: bytes) -> dict:
+    """REAL video-container METADATA probe, dependency-free: walk the
+    ISO BMFF (MP4/MOV) box tree — ftyp brand, moov/mvhd timescale +
+    duration, per-trak tkhd pixel dimensions, mdia/hdlr handler kinds,
+    stsd sample-entry codec fourccs — without decoding a single frame.
+    This is the half of "video support" a 100 TB corpus audit actually
+    needs first (what is this file, how long, what resolution, which
+    codec), and it shrinks the decode gate to genuinely-compressed
+    bitstreams only. Frame DECODE still requires a codec runtime and
+    stays behind decode_real_media's documented gate. Raises
+    ValueError for non-ISO-BMFF payloads."""
+    import struct
+
+    buf = bytes(payload)
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            typ = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed ISO-BMFF box")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    top = list(boxes(0, len(buf)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4/MOV) payload")
+    meta: dict = {
+        "container": "mp4",
+        "brand": buf[top[0][1] : top[0][1] + 4].decode("ascii", "replace"),
+        "tracks": [],
+    }
+    for typ, s, e in top:
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(s, e):
+            if t2 == b"mvhd":
+                ver = buf[s2]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, s2 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, s2 + 12)
+                meta["timescale"] = ts
+                meta["duration_s"] = round(dur / ts, 3) if ts else None
+            elif t2 == b"trak":
+                trk: dict = {}
+                for t3, s3, e3 in boxes(s2, e2):
+                    if t3 == b"tkhd":
+                        # width/height: trailing 16.16 fixed-point pair
+                        w_fx, h_fx = struct.unpack_from(">II", buf, e3 - 8)
+                        trk["width"] = w_fx >> 16
+                        trk["height"] = h_fx >> 16
+                    elif t3 == b"mdia":
+                        for t4, s4, e4 in boxes(s3, e3):
+                            if t4 == b"hdlr":
+                                trk["handler"] = buf[s4 + 8 : s4 + 12].decode(
+                                    "ascii", "replace"
+                                )
+                            elif t4 == b"minf":
+                                for t5, s5, e5 in boxes(s4, e4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, s6, e6 in boxes(s5, e5):
+                                        if t6 == b"stsd" and e6 >= s6 + 16:
+                                            trk["codec"] = buf[
+                                                s6 + 12 : s6 + 16
+                                            ].decode("ascii", "replace")
+                meta["tracks"].append(trk)
+    return meta
 
 
 def decode_real_media(payload: bytes, fmt: str):
@@ -560,6 +749,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_JPEG_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'jpeg420_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_JPEG420_ORACLE_ROWS}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'format_rollup' AS section,
                ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
                CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -617,7 +815,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "images are bit-exact through the lossy pipeline because the "
         "DC quant step is 8, so the oracle is the closed-form integer "
         "color transform; any wrong bit in the entropy stream or a "
-        "wrong IDCT/table breaks the hash."
+        "wrong IDCT/table breaks the hash. `jpeg420_roundtrip`: the "
+        "same certification through 4:2:0 CHROMA-SUBSAMPLED JPEGs — "
+        "the shape virtually every camera emits — with restart "
+        "markers (DRI/RSTn every 1-3 MCUs, varying per item): images "
+        "flat per 16x16 MCU are bit-exact through the subsampled "
+        "pipeline (flat-region box-average = identity; box-replication "
+        "upsample restores it), so the closed-form color-transform "
+        "oracle certifies the MCU interleave, the chroma down/up "
+        "sample, and the restart resynchronization together."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +862,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("png_roundtrip"))
         .unionByName(codec_rows("wav_roundtrip"))
         .unionByName(codec_rows("jpeg_roundtrip"))
+        .unionByName(codec_rows("jpeg420_roundtrip"))
     )
 
 
@@ -674,6 +881,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_png = section == "png_roundtrip"
     use_wav = section == "wav_roundtrip"
     use_jpeg = section == "jpeg_roundtrip"
+    use_jpeg420 = section == "jpeg420_roundtrip"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -694,6 +902,28 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                                 _jpeg_block_color(i, bx, by)
                             )
                     decoded = decode_real_media(encode_jpeg(img), "image/jpeg")
+                    assert decoded.shape == (h, w, 3)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_jpeg420:
+                    from .jpeg import encode_jpeg
+
+                    w = 16 * (1 + i % 3)
+                    h = 16 * (1 + (i // 3) % 3)
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    for my in range(h // 16):
+                        for mx in range(w // 16):
+                            img[
+                                my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                            ] = _jpeg_block_color(i, mx, my)
+                    # restart interval varies per item so DRI/RSTn
+                    # resynchronization is inside the certified section
+                    decoded = decode_real_media(
+                        encode_jpeg(
+                            img, subsampling="420", restart_interval=1 + i % 3
+                        ),
+                        "image/jpeg",
+                    )
                     assert decoded.shape == (h, w, 3)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
@@ -741,7 +971,11 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
             yield pd.DataFrame({"k_id": ids, "m1": m1, "m2": m2, "m3": m3})
 
     n_items = (
-        WAV_N_ITEMS if use_wav else JPEG_N_ITEMS if use_jpeg else BMP_N_ITEMS
+        WAV_N_ITEMS
+        if use_wav
+        else JPEG_N_ITEMS
+        if (use_jpeg or use_jpeg420)
+        else BMP_N_ITEMS
     )
     return spark.range(n_items).mapInPandas(
         kernel, "k_id long, m1 long, m2 long, m3 long"
