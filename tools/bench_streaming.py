@@ -52,6 +52,53 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="bench_streaming_")
     pipelines: dict[str, dict] = {}
+
+    def _progress_stats(q) -> dict:
+        """p50/p95 micro-batch duration + event-time watermark lag from
+        the query's progress history (r7 VERDICT ask: throughput alone
+        hides emission latency at 100x). Watermark lag = eventTime.max
+        - eventTime.watermark per batch: how far emission trails the
+        newest data in EVENT time — watermark delay + batch
+        granularity — the right latency notion for a replay bench
+        (wall-clock lag is meaningless against synthetic timestamps)."""
+        import datetime as dt
+
+        durs: list[float] = []
+        lags: list[float] = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):  # StreamingQueryProgress object
+                p = json.loads(p.json)
+            d = (p.get("durationMs") or {}).get("triggerExecution")
+            if d is not None:
+                durs.append(float(d))
+            et = p.get("eventTime") or {}
+            if "watermark" in et and "max" in et:
+                try:
+                    mx = dt.datetime.fromisoformat(et["max"].replace("Z", "+00:00"))
+                    wm = dt.datetime.fromisoformat(
+                        et["watermark"].replace("Z", "+00:00")
+                    )
+                    # the first batch reports the UNINITIALIZED epoch-0
+                    # watermark — a meaningless ~56-year lag; skip it
+                    if wm.timestamp() > 0:
+                        lags.append((mx - wm).total_seconds() * 1000.0)
+                except ValueError:
+                    pass
+
+        def pct(xs: list[float], f: float):
+            if not xs:
+                return None
+            xs = sorted(xs)
+            return round(xs[min(len(xs) - 1, int(f * len(xs)))], 1)
+
+        return {
+            "n_batches": len(durs),
+            "batch_ms_p50": pct(durs, 0.5),
+            "batch_ms_p95": pct(durs, 0.95),
+            "watermark_lag_ms_p50": pct(lags, 0.5),
+            "watermark_lag_ms_p95": pct(lags, 0.95),
+        }
+
     try:
         indir = os.path.join(work, "in")
         # executor-side spool: the generator never touches the driver
@@ -75,6 +122,7 @@ def main() -> int:
                 "n_events": n_events,
                 "sec": sec,
                 "events_per_sec": round(n_events / sec, 1),
+                **_progress_stats(q),
             }
 
         def spool_sparse_touch(outdir: str, n_dormant: int, n_active: int,
@@ -212,6 +260,7 @@ def main() -> int:
                 "n_events": n_events,
                 "sec": sec,
                 "events_per_sec": round(n_events / sec, 1),
+                **_progress_stats(q),
             }
 
         run("lifecycle", conversation_segments_stream)

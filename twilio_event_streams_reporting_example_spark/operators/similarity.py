@@ -358,6 +358,39 @@ def _plane_bucket_arrow(planes: list[list[float]]):
     return fn
 
 
+def _plane_multibucket_arrow(plane_sets: list[list[list[float]]]):
+    """ALL bands' sign-signature buckets in one Arrow pass: a single
+    (rows x dim) @ (dim x total_planes) matmul, then per-band bit
+    packing, returning array<long> of per-band buckets. vs one
+    _plane_bucket_arrow per band this ships the vector column over
+    Arrow ONCE instead of n_bands times and fuses the matmuls — the
+    bucket-signature projection is the scale section's hottest
+    pre-join stage. Same sign-jitter caveat as _plane_bucket_arrow."""
+    from pyspark.sql.functions import pandas_udf
+
+    sizes = [len(planes) for planes in plane_sets]
+    flat = [p for planes in plane_sets for p in planes]
+
+    @pandas_udf("array<long>")
+    def fn(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vecs.to_numpy())  # rows x dim
+        p = np.asarray(flat, dtype=np.float64).T  # dim x total_planes
+        bits = (m @ p) >= 0.0
+        out = np.empty((len(vecs), len(sizes)), dtype=np.int64)
+        off = 0
+        for b, n in enumerate(sizes):
+            weights = np.array([1 << j for j in range(n)], dtype=np.int64)
+            out[:, b] = bits[:, off : off + n] @ weights
+            off += n
+        return pd.Series(list(out))
+
+    return fn
+
+
 def banded_lsh_pairs(
     emb: DataFrame,
     plane_sets: list[list[list[float]]],
@@ -372,19 +405,24 @@ def banded_lsh_pairs(
     planes, tau=0.35); the scale section runs (2 x 16, tau=0.8) with
     ``arrow_buckets=True`` (numpy-matmul signatures; see
     :func:`_plane_bucket_arrow` for when that is admissible)."""
-    bands = None
-    for b, planes in enumerate(plane_sets):
-        bkt = (
-            _plane_bucket_arrow(planes)(F.col("v"))
-            if arrow_buckets
-            else _plane_bucket(F.col("v"), planes)
+    # ONE projection computes every band's bucket (array<long>), then
+    # posexplode fans out to (band, bkt) rows — vs a per-band union of
+    # selects this scans emb once and (on the Arrow path) ships the
+    # vector column across Arrow once for all bands' matmuls fused.
+    if arrow_buckets:
+        sig = _plane_multibucket_arrow(plane_sets)(F.col("v"))
+    else:
+        sig = F.array(
+            *[_plane_bucket(F.col("v"), planes) for planes in plane_sets]
         )
-        part = emb.select("id", F.lit(b).alias("band"), bkt.alias("bkt"))
-        bands = part if bands is None else bands.unionByName(part)
     # cached: BOTH self-join sides read it, and the bucket signature
     # (bands x planes dot products per row) is the expensive projection —
     # without the cache each side re-derives it from emb.
-    bands = track(bands.cache())
+    bands = track(
+        emb.select(
+            "id", F.posexplode(sig).alias("band", "bkt")
+        ).cache()
+    )
     a = bands.select(F.col("id").alias("id_a"), "band", "bkt")
     b_ = bands.select(F.col("id").alias("id_b"), "band", "bkt")
     cand = (
