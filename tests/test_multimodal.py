@@ -293,12 +293,19 @@ def test_jpeg_codec_flat_exact_bounded_ac_and_gates():
     dec4 = decode_jpeg(encode_jpeg(img4))
     assert dec4.shape == (13, 21, 3)
     assert np.abs(dec4.astype(int) - img4.astype(int)).max() <= 64
-    # gates: progressive (SOF2) is refused, not wrongly decoded
+    # gates: arithmetic-coded (SOF9) is refused, not wrongly decoded
+    # (progressive SOF2 now decodes for real — test_jpeg_progressive)
     blob5 = bytearray(encode_jpeg(img2))
     sof = blob5.find(b"\xff\xc0")
-    blob5[sof + 1] = 0xC2
+    blob5[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob5))
+    # a sequential stream whose marker is flipped to SOF2 is MALFORMED
+    # progressive (full-band scan): hard error, not a wrong decode
+    blob5b = bytearray(encode_jpeg(img2))
+    blob5b[blob5b.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob5b))
     # 12-bit precision is refused (2x2 sampling now decodes for real —
     # test_jpeg_subsampling_and_restart covers it)
     blob6 = bytearray(encode_jpeg(img2))
@@ -531,6 +538,79 @@ def test_jpeg_subsampling_and_restart():
     # unsupported subsampling name is an explicit error
     with pytest.raises(ValueError):
         encode_jpeg(img, subsampling="411")
+
+
+def test_jpeg_progressive():
+    """The progressive (SOF2) codec: spectral selection + successive
+    approximation must reproduce the sequential decode BIT-EXACTLY on
+    every image (both paths quantize identically, so any divergence is
+    an entropy-coding bug — this catches EOB-run, correction-bit,
+    ZRL-fold, restart, and point-transform mistakes in either
+    direction), across subsampling shapes, odd dims, and restart
+    intervals; coefficient statistics are varied (noise = dense AC,
+    smooth = long zero runs, flat = pure EOB runs)."""
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(61)
+    cases = [
+        ((16, 16, 3), "444", 0),
+        ((24, 40, 3), "444", 1),
+        ((32, 48, 3), "420", 2),
+        ((19, 21, 3), "420", 0),
+        ((48, 32, 3), "422", 3),
+        ((40, 24, 3), "440", 0),
+    ]
+    for shape, ss, ri in cases:
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss, restart_interval=ri))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, subsampling=ss, restart_interval=ri)
+        )
+        assert (base == prog).all(), (shape, ss, ri)
+        if ri:
+            assert b"\xff\xdd" in encode_jpeg_progressive(
+                img, subsampling=ss, restart_interval=ri
+            )
+    # smooth gradient (long zero runs -> EOB-run coding) and flat
+    # (EVERY block an EOB run) statistics
+    x = np.linspace(0, 255, 48)
+    smooth = np.stack(
+        [np.tile(x, (48, 1)), np.tile(x[:, None], (1, 48)), np.full((48, 48), 128)],
+        axis=2,
+    ).astype(np.uint8)
+    flat = np.full((32, 32, 3), 77, np.uint8)
+    for img in (smooth, flat):
+        assert (
+            decode_jpeg(encode_jpeg(img))
+            == decode_jpeg(encode_jpeg_progressive(img))
+        ).all()
+    # stream really is SOF2 with multiple scans: 2 DC (first+refine)
+    # + 3 comps x 2 bands x (first+refine) = 14 SOS markers
+    blob = encode_jpeg_progressive(flat)
+    assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") == 14
+    # malformed progressive shapes are hard errors: a multi-component
+    # AC scan and a DC scan with a nonzero band end
+    import struct as _s
+
+    def sos(cids, ss, se, ahal):
+        body = bytes([len(cids)])
+        for cid in cids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, ahal])
+        return b"\xff\xda" + _s.pack(">H", len(body) + 2) + body
+
+    head = blob[: blob.find(b"\xff\xda")]
+    with pytest.raises(ValueError):
+        decode_jpeg(head + sos([1, 2, 3], 1, 63, 0x01) + b"\x00" + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(head + sos([1, 2, 3], 0, 5, 0x01) + b"\x00" + b"\xff\xd9")
 
 
 def test_jpeg420_flat_formula_matches_codec():

@@ -208,3 +208,34 @@ def test_png_codec_lossless_any_shape(h, w, seed):
         0, 256, size=(h, w, 3), dtype=np.uint8
     )
     assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ss=st.sampled_from(["444", "420", "422", "440"]),
+    ri=st.integers(min_value=0, max_value=3),
+)
+def test_jpeg_progressive_equals_sequential_any_shape(h, w, seed, ss, ri):
+    """PROPERTY: for every image/subsampling/restart-interval, decoding
+    the progressive stream reproduces the sequential decode bit-exactly
+    (identical quantized coefficients => any divergence is an entropy-
+    coding bug in one of the four scan coders)."""
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(img, subsampling=ss, restart_interval=ri))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, subsampling=ss, restart_interval=ri)
+    )
+    assert (base == prog).all()

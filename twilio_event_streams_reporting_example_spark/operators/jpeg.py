@@ -10,14 +10,21 @@ restart-marker resynchronization (DRI/RSTn — byte-align, reset DC
 predictors), orthonormal 8x8 DCT via a precomputed matrix, and JFIF
 integer-math color transforms.
 
-The DECODER handles generic per-component sampling factors (h, v in
-1..4 with integer plane upsampling — 4:4:4, 4:2:0, 4:2:2, 4:4:0) and
-grayscale, so real-world camera JPEGs (overwhelmingly baseline 4:2:0)
-decode; chroma upsampling is box replication (each chroma sample
-covers its hmax/h x vmax/v pixel footprint), the exactness-friendly
-choice. The ENCODER emits 4:4:4 (default) or 4:2:0 (2x2 round-half-up
-box-averaged chroma). Progressive (SOF2) and arithmetic-coded streams
-stay behind NotImplementedError rather than decode wrongly.
+The DECODER is one multi-scan coefficient-accumulating core covering
+baseline sequential AND progressive (SOF2: spectral selection +
+successive approximation — DC bit-shift scans, AC sign-magnitude with
+EOB-run and correction-bit coding per T.81 G.1.2), with generic
+per-component sampling factors (h, v in 1..4 with integer plane
+upsampling — 4:4:4, 4:2:0, 4:2:2, 4:4:0) and grayscale, so real-world
+camera and web JPEGs (baseline 4:2:0 and progressive alike) decode;
+chroma upsampling is box replication (each chroma sample covers its
+hmax/h x vmax/v pixel footprint), the exactness-friendly choice. The
+ENCODERS emit sequential (4:4:4 default, 420/422/440 with
+round-half-up box-averaged chroma) and full progressive streams
+(:func:`encode_jpeg_progressive` — identical quantized coefficients,
+so progressive decode is certified BIT-EXACT against sequential).
+Arithmetic-coded, hierarchical, and 12-bit streams stay behind
+NotImplementedError rather than decode wrongly.
 
 Why integer color math: the RGB<->YCbCr transforms round at exactly
 representable decimal coefficients (x.5 cases are real — e.g. the
@@ -290,6 +297,43 @@ def _pad_replicate(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
+
+
+def _prepare_planes(rgb: np.ndarray, subsampling: str):
+    """Shared encoder front half: RGB → padded YCbCr planes in the
+    target sampling shape. Returns (planes, samp, ph, pw) where samp
+    is the per-component (h, v) list and chroma (for subsampled modes)
+    is round-half-up box-averaged on the PADDED planes, so a region
+    flat per MCU downsamples to its exact value."""
+    # Y sampling factors (chroma is always 1x1): fx/fy are the chroma
+    # box-average downsample ratios.
+    _SAMP = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in _SAMP:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    fx, fy = _SAMP[subsampling]
+    h, w, _ = rgb.shape
+    ycc = _ycc_planes(rgb)
+    samp = [(fx, fy), (1, 1), (1, 1)]
+    ph, pw = -(-h // (8 * fy)) * 8 * fy, -(-w // (8 * fx)) * 8 * fx
+    y = _pad_replicate(ycc[0].astype(np.int64), ph, pw).astype(np.float64)
+    if fx == fy == 1:
+        planes = [y, *(
+            _pad_replicate(ycc[c].astype(np.float64), ph, pw) for c in (1, 2)
+        )]
+    else:
+        chroma = []
+        for c in (1, 2):
+            p = _pad_replicate(ycc[c].astype(np.int64), ph, pw)
+            s = sum(
+                p[dy::fy, dx::fx] for dy in range(fy) for dx in range(fx)
+            )
+            d = fx * fy
+            chroma.append(((2 * s + d) // (2 * d)).astype(np.float64))
+        planes = [y, chroma[0], chroma[1]]
+    return planes, samp, ph, pw
+
+
+
 def encode_jpeg(rgb, subsampling: str = "444", restart_interval: int = 0) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a REAL baseline JPEG
     (SOF0, quant/Huffman tables inline). ``subsampling`` is ``"444"``
@@ -302,39 +346,13 @@ def encode_jpeg(rgb, subsampling: str = "444", restart_interval: int = 0) -> byt
     resynchronization is certified against our own streams). Edges of
     images whose dims are not multiples of the MCU size are replicated
     into the partial MCUs, per the usual practice."""
-    # Y sampling factors (chroma is always 1x1): fx/fy are the chroma
-    # box-average downsample ratios.
-    _SAMP = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
-    if subsampling not in _SAMP:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
-    fx, fy = _SAMP[subsampling]
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
-    ycc = _ycc_planes(rgb)
+    planes, samp, ph, pw = _prepare_planes(rgb, subsampling)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
     writer = _BitWriter()
-
-    samp = [(fx, fy), (1, 1), (1, 1)]
-    ph, pw = -(-h // (8 * fy)) * 8 * fy, -(-w // (8 * fx)) * 8 * fx
-    y = _pad_replicate(ycc[0].astype(np.int64), ph, pw).astype(np.float64)
-    if fx == fy == 1:
-        planes = [y, *(
-            _pad_replicate(ycc[c].astype(np.float64), ph, pw) for c in (1, 2)
-        )]
-    else:
-        # fx*fy round-half-up box average on the PADDED chroma planes,
-        # so a region flat per MCU downsamples to its exact value
-        chroma = []
-        for c in (1, 2):
-            p = _pad_replicate(ycc[c].astype(np.int64), ph, pw)
-            s = sum(
-                p[dy::fy, dx::fx] for dy in range(fy) for dx in range(fx)
-            )
-            d = fx * fy
-            chroma.append(((2 * s + d) // (2 * d)).astype(np.float64))
-        planes = [y, chroma[0], chroma[1]]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -382,19 +400,144 @@ def encode_jpeg(rgb, subsampling: str = "444", restart_interval: int = 0) -> byt
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read(1)
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _ac_first(block, ks, se, al, reader, table, eobrun):
+    """Decode one block's AC band, first scan (Ah=0) — T.81 G.1.2.2.
+    With ks=1, se=63, al=0 and eobrun pinned at 0 this IS the baseline
+    sequential AC decode (EOB = EOB-run of 1, ZRL identical), so the
+    sequential and progressive paths share one implementation."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ks
+    while k <= se:
+        sym = _read_symbol(reader, table)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        block[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(block, ks, se, al, reader, table, eobrun):
+    """Decode one block's AC band, refinement scan (Ah>0) — T.81
+    G.1.2.3: history coefficients (already nonzero) consume one
+    correction bit each as the run pointer passes them; zero-history
+    runs and EOB runs count only zero-history positions; newly visible
+    coefficients arrive as magnitude-1 codes with a sign bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ks
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, table)
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefs below
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with magnitude > 1")
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                v = int(block[k])
+                if v != 0:
+                    if reader.read(1) and (v & p1) == 0:
+                        block[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(block[k])
+            if v != 0:
+                if reader.read(1) and (v & p1) == 0:
+                    block[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_units(scan_comps, info, w, h, hmax, vmax, mcux, mcuy):
+    """Entropy-coded-unit enumeration for one scan: interleaved scans
+    group per MCU (each component contributing its hi x vi raster of
+    blocks); single-component scans are one block per unit over the
+    component's TRUE block grid (ceil of its sample dims — NOT the
+    MCU-padded grid; T.81 A.2.2). Yields lists of
+    (cid, by, bx, dc_id, ac_id)."""
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                group = []
+                for cid, dc_id, ac_id in scan_comps:
+                    hi, vi, _ = info[cid]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            group.append(
+                                (cid, my * vi + byy, mx * hi + bxx, dc_id, ac_id)
+                            )
+                yield group
+    else:
+        cid, dc_id, ac_id = scan_comps[0]
+        hi, vi, _ = info[cid]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(cid, by, bx, dc_id, ac_id)]
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (tables read from the
-    stream's own DQT/DHT segments — not hardwired to this module's
-    encoder) into an (H, W, 3) uint8 RGB array.
+    """Decode a baseline-sequential OR progressive (SOF2) JPEG (tables
+    read from the stream's own DQT/DHT segments — not hardwired to
+    this module's encoder) into an (H, W, 3) uint8 RGB array.
+
+    One multi-scan coefficient-accumulating core covers both modes:
+    each SOS scan (any spectral band Ss..Se, any successive-
+    approximation pair Ah/Al, interleaved DC or single-component)
+    advances per-block QUANTIZED coefficient arrays; a sequential file
+    is simply the one-scan special case (Ss=0, Se=63, Ah=Al=0), and
+    multi-scan non-interleaved sequential files work the same way.
+    Dequantization + IDCT + upsample + color transform run once at
+    EOI over the accumulated coefficients.
 
     Generic per-component sampling factors (h, v in 1..4, integer
     plane ratios): 4:4:4, 4:2:0, 4:2:2, 4:4:0 — the shapes real
     cameras and libjpeg emit — plus single-component grayscale
     (replicated to RGB). Chroma upsampling is box replication.
     Restart markers (DRI/RSTn) resynchronize per T.81 F.2.1.3:
-    byte-align, expect RSTn, reset every DC predictor. Progressive,
-    arithmetic-coded, 12-bit, and fractional-ratio streams raise
-    NotImplementedError rather than decode wrongly."""
+    byte-align, expect RSTn, reset DC predictors and the EOB run.
+    Arithmetic-coded, hierarchical, 12-bit, and fractional-ratio
+    streams raise NotImplementedError rather than decode wrongly."""
     if bytes(payload[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -403,7 +546,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, qtab id)
     h = w = None
     restart_interval = 0
-    scan_comps: list[tuple[int, int, int]] = []
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None
+    geom: tuple[int, int, int, int] | None = None  # hmax, vmax, mcux, mcuy
+    info: dict[int, tuple[int, int, int]] = {}
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -434,7 +581,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 off += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -446,86 +594,113 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hi, vi, tq))
             if nc not in (1, 3):
                 raise NotImplementedError("only grayscale or 3-component YCbCr")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential SOF0")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended sequential and progressive Huffman SOF"
+            )
+        elif marker == 0xDA:  # SOS: decode this scan's entropy data now
+            if h is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cid, tabs >> 4, tabs & 0xF))
-            pos = pos + 2 + seglen
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coef is None:
+                info = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+                hmax = max(hi for _, hi, _, _ in comps)
+                vmax = max(vi for _, _, vi, _ in comps)
+                for _, hi, vi, _ in comps:
+                    if hmax % hi or vmax % vi:
+                        raise NotImplementedError(
+                            "fractional chroma upsampling ratios"
+                        )
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                coef = {
+                    cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for cid, hi, vi, _ in comps
+                }
+            hmax, vmax, mcux, mcuy = geom
+            if ss > se or se > 63:
+                raise ValueError("bad spectral band")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss != 0 and len(scan_comps) > 1:
+                    raise ValueError(
+                        "progressive AC scans must be single-component"
+                    )
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("sequential scan must cover the full band")
+            data_start = pos + 2 + seglen
+            reader = _BitReader(payload[data_start:])
+            pred = {cid: 0 for cid, _, _ in scan_comps}
+            eobrun = 0
+            count = 0
+            for group in _scan_units(scan_comps, info, w, h, hmax, vmax, mcux, mcuy):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.restart()
+                    pred = {cid: 0 for cid, _, _ in scan_comps}
+                    eobrun = 0
+                count += 1
+                for cid, by, bx, dc_id, ac_id in group:
+                    block = coef[cid][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            s = _read_symbol(reader, huff[(0, dc_id)])
+                            diff = _extend(reader.read(s), s) if s else 0
+                            pred[cid] += diff
+                            block[0] = pred[cid] << al
+                        elif reader.read(1):
+                            block[0] = int(block[0]) | (1 << al)
+                    if se >= 1:
+                        ks = max(1, ss)
+                        if ah == 0:
+                            eobrun = _ac_first(
+                                block, ks, se, al, reader, huff[(1, ac_id)], eobrun
+                            )
+                        else:
+                            eobrun = _ac_refine(
+                                block, ks, se, al, reader, huff[(1, ac_id)], eobrun
+                            )
+            saw_scan = True
+            # find the next marker after this scan's entropy bytes:
+            # skip stuffed 0xFF00 and RSTn, stop at any real marker
+            p = data_start + reader.pos
+            while p + 1 < len(payload):
+                if (
+                    payload[p] == 0xFF
+                    and payload[p + 1] != 0x00
+                    and not (0xD0 <= payload[p + 1] <= 0xD7)
+                ):
+                    break
+                p += 1
+            pos = p
+            continue
         pos += 2 + seglen
-    if h is None or not scan_comps:
+    if h is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("non-interleaved (multi-scan) baseline")
-    end = payload.rfind(b"\xff\xd9")
-    reader = _BitReader(payload[pos : end if end >= 0 else len(payload)])
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | reader.read(1)
-            ln += 1
-            if (ln, code) in table:
-                return table[(ln, code)]
-        raise ValueError("invalid Huffman code")
-
-    info = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    for _, hi, vi, _ in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError("fractional chroma upsampling ratios")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * 8 * vi, mcux * 8 * hi))
-        for cid, hi, vi, _ in comps
-    }
-    pred = [0] * len(scan_comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
-                pred = [0] * len(scan_comps)
-            mcu_count += 1
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                hi, vi, tq = info[cid]
-                q = qtabs[tq]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = read_symbol(huff[(0, dc_id)])
-                        diff = _extend(reader.read(size), size) if size else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci] * int(q[0])
-                        k = 1
-                        while k < 64:
-                            sym = read_symbol(huff[(1, ac_id)])
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            size = sym & 0xF
-                            zz[k] = _extend(reader.read(size), size) * int(q[k])
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[_ZIGZAG] = zz
-                        block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
     full = []
-    for cid, hi, vi, _ in comps:
-        p = np.clip(np.floor(planes[cid] + 0.5), 0, 255).astype(np.int32)
+    for cid, hi, vi, tq in comps:
+        q = qtabs[tq].astype(np.int64)
+        blocks = coef[cid]
+        bh_t, bw_t, _ = blocks.shape
+        plane = np.zeros((bh_t * 8, bw_t * 8))
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                zz = blocks[by, bx] * q
+                c2 = np.zeros(64)
+                c2[_ZIGZAG] = zz
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _M.T @ c2.reshape(8, 8) @ _M + 128.0
+                )
+        p = np.clip(np.floor(plane + 0.5), 0, 255).astype(np.int32)
+        hmax, vmax, _, _ = geom
         fy, fx = vmax // vi, hmax // hi
         if fy > 1 or fx > 1:  # box-replication upsample to full res
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
@@ -537,3 +712,256 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     else:
         ycc = np.stack(full)
     return _rgb_from_planes(ycc)
+
+
+# Progressive AC table: the 15 EOBn run symbols (0x00..0xE0), ZRL, and
+# the 160 run/size symbols — 176 codes, all at length 8 (max code
+# 10101111: no all-ones code, as T.81 requires).
+_AC_SYMBOLS_PROG = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_progressive(
+    rgb, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a REAL progressive JPEG
+    (SOF2): spectral selection (DC scan, then AC bands 1-31 and 32-63
+    per component) AND successive approximation (every band sent at
+    Al=1 first, then a refinement pass at Al=0 — DC as an arithmetic
+    bit-shift, AC as sign-magnitude with EOB-run and correction-bit
+    coding per T.81 G.1.2). The quantized coefficients are IDENTICAL
+    to the sequential encoder's (same DCT, same tables), so
+    decode_jpeg(progressive) must reproduce decode_jpeg(sequential)
+    BIT-EXACTLY on every image — the roundtrip certification used by
+    the tests and the `jpeg420_progressive` oracle section.
+    ``restart_interval`` applies to every scan (DRI once; RSTn resets
+    DC predictors and the EOB run)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    planes, samp, ph, pw = _prepare_planes(rgb, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+
+    # quantized zigzag coefficient arrays per component (the decoder's
+    # own storage shape — the entropy scans below are pure views on it)
+    qb = []
+    for comp in range(3):
+        plane = planes[comp]
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = _M @ (block - 128.0) @ _M.T
+                arr[by, bx] = np.round(coefs.ravel()[_ZIGZAG] / _QTAB).astype(
+                    np.int64
+                )
+        qb.append(arr)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+
+    def mcu_groups():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                group = []
+                for comp in range(3):
+                    hi, vi = samp[comp]
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            group.append((comp, my * vi + byy, mx * hi + bxx))
+                yield group
+
+    def comp_blocks(comp):
+        # TRUE block grid (T.81 A.2.2), not the MCU-padded grid
+        hi, vi = samp[comp]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield comp, by, bx
+
+    def sos(scan_cids, ss, se, ah, al):
+        body = bytes([len(scan_cids)])
+        for cid in scan_cids:
+            body += bytes([cid, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def dc_first_scan(al):
+        writer = _BitWriter()
+        pred = [0, 0, 0]
+        count = rstn = 0
+        for group in mcu_groups():
+            if restart_interval and count and count % restart_interval == 0:
+                writer.emit_marker(0xD0 + (rstn % 8))
+                rstn += 1
+                pred = [0, 0, 0]
+            count += 1
+            for comp, by, bx in group:
+                v = int(qb[comp][by, bx, 0]) >> al  # DC point transform
+                diff = v - pred[comp]
+                pred[comp] = v
+                s = _category(diff)
+                code, ln = dc_codes[s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return writer.flush()
+
+    def dc_refine_scan(al):
+        writer = _BitWriter()
+        count = rstn = 0
+        for group in mcu_groups():
+            if restart_interval and count and count % restart_interval == 0:
+                writer.emit_marker(0xD0 + (rstn % 8))
+                rstn += 1
+            count += 1
+            for comp, by, bx in group:
+                writer.write((int(qb[comp][by, bx, 0]) >> al) & 1, 1)
+        return writer.flush()
+
+    def ac_first_scan(comp, ss, se, al):
+        writer = _BitWriter()
+        eobrun = [0]
+
+        def flush_eob():
+            n = eobrun[0]
+            if n:
+                r = n.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(n - (1 << r), r)
+                eobrun[0] = 0
+
+        count = rstn = 0
+        for _, by, bx in comp_blocks(comp):
+            if restart_interval and count and count % restart_interval == 0:
+                flush_eob()
+                writer.emit_marker(0xD0 + (rstn % 8))
+                rstn += 1
+            count += 1
+            block = qb[comp][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(block[k])
+                mag = (v if v >= 0 else -v) >> al  # AC: sign-magnitude shift
+                if mag == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                s = mag.bit_length()
+                code, ln = ac_codes[(r << 4) | s]
+                writer.write(code, ln)
+                sv = mag if v >= 0 else -mag
+                writer.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return writer.flush()
+
+    def ac_refine_scan(comp, ss, se, al):
+        writer = _BitWriter()
+        eobrun = [0]
+        be: list[int] = []  # correction bits owed by blocks in the EOB run
+
+        def flush_eob():
+            if eobrun[0]:
+                n = eobrun[0]
+                r = n.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(n - (1 << r), r)
+                eobrun[0] = 0
+                for b in be:
+                    writer.write(b, 1)
+                be.clear()
+
+        count = rstn = 0
+        for _, by, bx in comp_blocks(comp):
+            if restart_interval and count and count % restart_interval == 0:
+                flush_eob()
+                writer.emit_marker(0xD0 + (rstn % 8))
+                rstn += 1
+            count += 1
+            block = qb[comp][by, bx]
+            absv = {}
+            eob_k = ss - 1  # last NEWLY-VISIBLE (mag 1) position
+            for k in range(ss, se + 1):
+                m = abs(int(block[k])) >> al
+                absv[k] = m
+                if m == 1:
+                    eob_k = k
+            r = 0
+            br: list[int] = []  # current block's history correction bits
+            for k in range(ss, se + 1):
+                m = absv[k]
+                if m == 0:
+                    r += 1
+                    continue
+                # ZRLs only when more newly-visible coefs follow; runs
+                # past the last one fold into the EOB run instead
+                while r > 15 and k <= eob_k:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                if m > 1:  # history coef: owes one correction bit
+                    br.append(m & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_codes[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if int(block[k]) >= 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun[0] += 1
+                be.extend(br)
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(_QTAB[k]) for k in range(64)
+    )
+    sof = b"\xff\xc2" + struct.pack(">HBHHB", 11 + 6, 8, h, w, 3)
+    for comp, cid in enumerate((1, 2, 3)):
+        hi, vi = samp[comp]
+        sof += bytes([cid, (hi << 4) | vi, 0])  # qtable 0 for all
+    out += sof
+    out += _dht_segment(0x00, _DC_BITS, _DC_SYMBOLS)
+    out += _dht_segment(0x10, _AC_BITS_PROG, _AC_SYMBOLS_PROG)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    out += sos([1, 2, 3], 0, 0, 0, 1) + dc_first_scan(1)
+    out += sos([1, 2, 3], 0, 0, 1, 0) + dc_refine_scan(0)
+    for comp, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 31, 0, 1) + ac_first_scan(comp, 1, 31, 1)
+        out += sos([cid], 32, 63, 0, 1) + ac_first_scan(comp, 32, 63, 1)
+    for comp, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 31, 1, 0) + ac_refine_scan(comp, 1, 31, 0)
+        out += sos([cid], 32, 63, 1, 0) + ac_refine_scan(comp, 32, 63, 0)
+    return bytes(out) + b"\xff\xd9"

@@ -758,6 +758,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_JPEG420_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'jpeg420_progressive' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_JPEG420_ORACLE_ROWS}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'format_rollup' AS section,
                ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
                CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -823,7 +832,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline (flat-region box-average = identity; box-replication "
         "upsample restores it), so the closed-form color-transform "
         "oracle certifies the MCU interleave, the chroma down/up "
-        "sample, and the restart resynchronization together."
+        "sample, and the restart resynchronization together. "
+        "`jpeg420_progressive`: the SAME images through a REAL "
+        "PROGRESSIVE (SOF2) stream — spectral selection + successive "
+        "approximation (DC bit-shift scans, AC sign-magnitude with "
+        "EOB-run and correction-bit coding per T.81 G.1.2) — decoded "
+        "by the multi-scan coefficient-accumulating core; identical "
+        "quantized coefficients make the progressive pixels (and the "
+        "oracle) bit-identical to the sequential section's."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +879,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("wav_roundtrip"))
         .unionByName(codec_rows("jpeg_roundtrip"))
         .unionByName(codec_rows("jpeg420_roundtrip"))
+        .unionByName(codec_rows("jpeg420_progressive"))
     )
 
 
@@ -881,7 +898,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_png = section == "png_roundtrip"
     use_wav = section == "wav_roundtrip"
     use_jpeg = section == "jpeg_roundtrip"
-    use_jpeg420 = section == "jpeg420_roundtrip"
+    use_jpeg420 = section in ("jpeg420_roundtrip", "jpeg420_progressive")
+    use_progressive = section == "jpeg420_progressive"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -906,7 +924,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_jpeg420:
-                    from .jpeg import encode_jpeg
+                    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
                     w = 16 * (1 + i % 3)
                     h = 16 * (1 + (i // 3) % 3)
@@ -918,10 +936,9 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                             ] = _jpeg_block_color(i, mx, my)
                     # restart interval varies per item so DRI/RSTn
                     # resynchronization is inside the certified section
+                    enc = encode_jpeg_progressive if use_progressive else encode_jpeg
                     decoded = decode_real_media(
-                        encode_jpeg(
-                            img, subsampling="420", restart_interval=1 + i % 3
-                        ),
+                        enc(img, subsampling="420", restart_interval=1 + i % 3),
                         "image/jpeg",
                     )
                     assert decoded.shape == (h, w, 3)
