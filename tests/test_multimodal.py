@@ -136,12 +136,13 @@ def test_png_codec_roundtrip_filters_and_integrity():
     bad[45] ^= 0x5A
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # 16-bit / grayscale / interlaced PNGs are explicit gates, not
-    # silent wrong decodes
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    blob16 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    # sub-byte depths are an explicit gate, not a silent wrong decode
+    # (16-bit / gray / palette / alpha / Adam7 now decode for real —
+    # test_png_color_types and test_png_interlaced_and_16bit)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    blob4 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
-        decode_png(blob16)
+        decode_png(blob4)
     with pytest.raises(ValueError):
         decode_png(b"BM not a png")
 
@@ -375,10 +376,76 @@ def test_png_color_types():
     bad_idx = np.full((2, 2, 1), 200, dtype=np.uint8)
     with pytest.raises(ValueError):
         decode_png(build(2, 2, 3, bad_idx.tobytes(), plte=pal.tobytes()))
-    # 16-bit depth stays gated
-    g16 = rng.integers(0, 256, (2, 2, 2), dtype=np.uint8)  # 2 bytes/px
+    # 16-bit palette (invalid per spec) and sub-byte depths stay gated
     with pytest.raises(NotImplementedError):
-        decode_png(build(2, 2, 0, g16.tobytes(), depth=16))
+        decode_png(build(2, 2, 3, idx[:2, :2].tobytes(), plte=pal.tobytes(),
+                         depth=16))
+    with pytest.raises(NotImplementedError):
+        decode_png(build(2, 2, 0, bad_idx.tobytes(), depth=4))
+
+
+def test_png_interlaced_and_16bit():
+    """Adam7-interlaced PNGs (hand-built: each of the 7 sub-images
+    filtered independently) reassemble to the exact original for sizes
+    exercising empty and partial passes; 16-bit samples decode to
+    uint16 big-endian; 16-bit + interlace compose; sub-byte depth
+    stays gated."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(83)
+
+    def build(img, depth, ctype, interlace):
+        h, w, ch = img.shape
+        ihdr = _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        )
+        if depth == 8:
+            px = img.astype(np.uint8)
+        else:
+            px = img.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+        if interlace == 0:
+            scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        else:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                for row in sub:
+                    parts.append(b"\x00" + row.tobytes())
+            scan = b"".join(parts)
+        return (
+            _PNG_SIG + ihdr + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # Adam7 RGB at sizes that exercise empty passes (1x1, 3x5) and
+    # partial passes (13x9)
+    for h, w in [(1, 1), (3, 5), (13, 9), (16, 16)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_png(build(img, 8, 2, 1))
+        assert (out == img).all(), (h, w)
+    # 16-bit gray and RGB, non-interlaced and interlaced
+    g16 = rng.integers(0, 65536, (7, 11, 1), dtype=np.uint16)
+    out = decode_png(build(g16, 16, 0, 0))
+    assert out.dtype == np.uint16 and (out == g16).all()
+    rgb16 = rng.integers(0, 65536, (9, 6, 3), dtype=np.uint16)
+    out = decode_png(build(rgb16, 16, 2, 1))
+    assert out.dtype == np.uint16 and (out == rgb16).all()
+    # sub-byte depth stays gated
+    with pytest.raises(NotImplementedError):
+        decode_png(build(rng.integers(0, 256, (4, 4, 1), np.uint8), 4, 0, 0))
 
 
 def test_wav_variant_roundtrips():
@@ -423,6 +490,70 @@ def test_wav_variant_roundtrips():
     # 24-bit emit demands int32 input; dtype/bits mismatch is an error
     with pytest.raises(ValueError):
         encode_wav(np.zeros((4, 1), np.int16), 8000, bits=24)
+
+
+def test_image_metadata_probe():
+    """Header-only dimension extraction across containers: our own
+    real encoders (BMP/PNG/JPEG sequential+progressive) plus
+    hand-built GIF and all three WebP chunk flavors — no decode cost;
+    unknown payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        probe_image_metadata,
+    )
+
+    img = np.random.default_rng(3).integers(0, 256, (21, 34, 3), np.uint8)
+    m = probe_image_metadata(encode_bmp(img))
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 34, 21)
+    m = probe_image_metadata(encode_png(img))
+    assert (m["format"], m["width"], m["height"]) == ("png", 34, 21)
+    m = probe_image_metadata(encode_jpeg(img))
+    assert (m["format"], m["width"], m["height"], m["progressive"]) == (
+        "jpeg", 34, 21, False,
+    )
+    m = probe_image_metadata(encode_jpeg_progressive(img))
+    assert (m["format"], m["width"], m["height"], m["progressive"]) == (
+        "jpeg", 34, 21, True,
+    )
+    # GIF logical screen descriptor
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    m = probe_image_metadata(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+    # WebP: VP8X (24-bit canvas minus one), VP8L (14-bit packed),
+    # VP8 (frame tag + start code)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10) + bytes(4)
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    m = probe_image_metadata(vp8x)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 640, 480)
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 17) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    )
+    m = probe_image_metadata(vp8l)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 99, 77)
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 512, 288)
+    )
+    m = probe_image_metadata(vp8)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 512, 288)
+    with pytest.raises(ValueError):
+        probe_image_metadata(b"not a container at all")
 
 
 def test_mp4_metadata_probe():

@@ -197,6 +197,28 @@ _JPEG420_ORACLE_ROWS = ",\n          ".join(
 )
 
 
+# ------------- container-metadata probe certification (closed form) -----
+MP4_N_ITEMS = 64
+
+
+def _mp4_probe_formula(i: int):
+    """(duration_ms, width, height) the probe must read back from the
+    i-th built container — the closed form shared by the kernel's
+    builder and the SQL oracle."""
+    return 1000 + 37 * i, 160 + 8 * (i % 5), 90 + 6 * (i % 7)
+
+
+_MP4_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {d}, {w}, {h})".format(
+        i=i,
+        d=_mp4_probe_formula(i)[0],
+        w=_mp4_probe_formula(i)[1],
+        h=_mp4_probe_formula(i)[2],
+    )
+    for i in range(MP4_N_ITEMS)
+)
+
+
 def with_payload(docs: DataFrame) -> DataFrame:
     """documents → multimodal table: (doc_id, payload binary, meta struct).
 
@@ -330,16 +352,63 @@ def encode_png(rgb) -> bytes:
     )
 
 
+def _png_unfilter(raw, nrows: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering over ``nrows`` filtered scanlines of
+    ``stride`` bytes with ``bpp`` bytes per pixel (the 'corresponding
+    byte of the pixel to the left' distance — channels x bytes-per-
+    sample, per the spec): all five filter types, sequential
+    left-dependency resolved per-row. Returns (nrows, stride) uint8."""
+    import numpy as np
+
+    raw = raw.reshape(nrows, stride + 1)
+    out = np.zeros((nrows, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(nrows):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int16)
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prev) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (cur[x] + left) % 256
+                elif f == 3:
+                    rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+                else:
+                    up = prev[x]
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+# Adam7 pass layout: (x offset, y offset, x stride, y stride)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes):
-    """REAL media decode, dependency-free: parse an 8-bit
-    non-interlaced PNG of ANY color type — grayscale (0 → (H, W, 1)),
-    RGB (2 → (H, W, 3)), palette (3 → PLTE-expanded (H, W, 3)),
-    gray+alpha (4 → (H, W, 2)), RGBA (6 → (H, W, 4)) — chunk walk
-    with CRC verification, stdlib zlib inflate, numpy unfiltering of
-    all five scanline filter types (the sequential left-dependency of
-    Sub/Average/Paeth is resolved per-row; rows are short relative to
-    the zlib cost, so this is not the bottleneck). 16-bit depth and
-    Adam7 interlace stay behind NotImplementedError."""
+    """REAL media decode, dependency-free: parse an 8- or 16-bit PNG
+    of ANY color type — grayscale (0 → (H, W, 1)), RGB (2 →
+    (H, W, 3)), palette (3 → PLTE-expanded (H, W, 3), 8-bit),
+    gray+alpha (4 → (H, W, 2)), RGBA (6 → (H, W, 4)); dtype uint8 or
+    uint16 by depth — non-interlaced OR Adam7-interlaced (each of the
+    7 sub-images unfiltered independently and scattered by its pass
+    stride). Chunk walk with CRC verification, stdlib zlib inflate,
+    numpy unfiltering of all five scanline filter types. Sub-byte
+    depths (1/2/4) stay behind NotImplementedError."""
     import struct
     import zlib
 
@@ -368,48 +437,50 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     ch_by_ctype = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    if depth != 8 or ctype not in ch_by_ctype or interlace != 0:
+    if (
+        depth not in (8, 16)
+        or ctype not in ch_by_ctype
+        or (depth == 16 and ctype == 3)
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
-            "only 8-bit non-interlaced PNG (gray/RGB/palette/"
-            "gray+alpha/RGBA) is implemented"
+            "only 8/16-bit gray/RGB/palette/gray+alpha/RGBA PNG "
+            "(non-interlaced or Adam7) is implemented"
         )
     if comp != 0 or filt != 0:
         raise ValueError("PNG reserved compression/filter method")
     ch = ch_by_ctype[ctype]
+    bpp = ch * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.int16)
-    prev = np.zeros(stride, dtype=np.int16)
-    for y in range(h):
-        f = int(raw[y, 0])
-        cur = raw[y, 1:].astype(np.int16)
-        if f == 0:
-            rec = cur
-        elif f == 2:
-            rec = (cur + prev) % 256
-        elif f in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
-                if f == 1:
-                    rec[x] = (cur[x] + left) % 256
-                elif f == 3:
-                    rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
-                else:
-                    up = prev[x]
-                    ul = prev[x - ch] if x >= ch else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                    rec[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = rec
-        prev = rec
-    arr = out.astype(np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        data = _png_unfilter(raw, h, stride, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        out_px = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            n = ph * (stride + 1)
+            sub = raw[pos : pos + n]
+            if sub.size != n:
+                raise ValueError("PNG interlace pass truncated")
+            pos += n
+            rec = _png_unfilter(sub, ph, stride, bpp).reshape(ph, pw, bpp)
+            out_px[y0::dy, x0::dx] = rec
+        if pos != raw.size:
+            raise ValueError("PNG interlace payload size mismatch")
+        data = out_px.reshape(h, w * bpp)
+    if depth == 8:
+        arr = data.reshape(h, w, ch)
+    else:  # 16-bit samples are big-endian per the spec
+        arr = np.frombuffer(data.tobytes(), dtype=">u2").reshape(h, w, ch)
+        arr = arr.astype(np.uint16)
     if ctype == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
@@ -524,6 +595,106 @@ def decode_wav(payload: bytes):
             -1, ch
         )
     return arr, rate
+
+
+def probe_image_metadata(payload: bytes) -> dict:
+    """REAL image-container METADATA probe, dependency-free: read
+    format + pixel dimensions from the HEADER ONLY — no entropy
+    decode, no inflate — for JPEG (marker walk to any SOFn), PNG
+    (IHDR), BMP (BITMAPINFOHEADER), GIF (logical screen descriptor),
+    and WebP (VP8/VP8L/VP8X chunk headers). At 100 TB this is the
+    first pass a media corpus runs (dimension/format stats, size
+    filters) and it must not pay decode cost. Raises ValueError for
+    unrecognized payloads."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:8] == _PNG_SIG:
+        w, h, depth, ctype = struct.unpack_from(">IIBB", buf, 16)
+        return {
+            "format": "png", "width": w, "height": h,
+            "bit_depth": depth, "color_type": ctype,
+        }
+    if buf[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", buf, 18)
+        (bpp,) = struct.unpack_from("<H", buf, 28)
+        return {"format": "bmp", "width": w, "height": abs(h), "bit_depth": bpp}
+    if buf[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = buf[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", buf, pos + 5)
+                return {
+                    "format": "jpeg", "width": w, "height": h,
+                    "progressive": marker == 0xC2,
+                    "n_components": buf[pos + 9],
+                }
+            pos += 2 + seglen
+        raise ValueError("JPEG missing SOF")
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", buf, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        tag = bytes(buf[12:16])
+        if tag == b"VP8X":  # extended: 24-bit canvas dims minus one
+            w = 1 + int.from_bytes(buf[24:27], "little")
+            h = 1 + int.from_bytes(buf[27:30], "little")
+            return {"format": "webp", "width": w, "height": h}
+        if tag == b"VP8L":  # lossless: 14-bit dims minus one
+            if buf[20] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(buf[21:25], "little")
+            return {
+                "format": "webp",
+                "width": 1 + (bits & 0x3FFF),
+                "height": 1 + ((bits >> 14) & 0x3FFF),
+            }
+        if tag == b"VP8 ":  # lossy: frame tag + start code + 14-bit dims
+            if bytes(buf[23:26]) != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code")
+            (w,) = struct.unpack_from("<H", buf, 26)
+            (h,) = struct.unpack_from("<H", buf, 28)
+            return {"format": "webp", "width": w & 0x3FFF, "height": h & 0x3FFF}
+        raise ValueError(f"unknown WebP chunk {tag!r}")
+    raise ValueError("unrecognized image container")
+
+
+def build_minimal_mp4(
+    duration_ms: int, width: int, height: int, codec: str = "avc1"
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov/mvhd + one video
+    trak with tkhd dims and an stsd sample entry) — the encode half of
+    the mp4_probe certification: the probe must read back exactly the
+    fields written here. No media data; this is a HEADER container
+    (what a metadata pass sees), not a playable file."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + struct.pack(">II", 1000, duration_ms) + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd", bytes(76) + struct.pack(">II", width << 16, height << 16)
+    )
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsd = box(
+        b"stsd",
+        bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 86)
+        + codec.encode("ascii") + bytes(78),
+    )
+    mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
 
 
 def probe_video_metadata(payload: bytes) -> dict:
@@ -758,6 +929,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_JPEG420_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'mp4_probe' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(d AS BIGINT) AS m1, CAST(w AS BIGINT) AS m2,
+               CAST(h AS BIGINT) AS m3
+        FROM (VALUES
+          {_MP4_ORACLE_ROWS}
+        ) AS t(i, d, w, h)
+        UNION ALL
         SELECT 'jpeg420_progressive' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -839,7 +1019,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EOB-run and correction-bit coding per T.81 G.1.2) — decoded "
         "by the multi-scan coefficient-accumulating core; identical "
         "quantized coefficients make the progressive pixels (and the "
-        "oracle) bit-identical to the sequential section's."
+        "oracle) bit-identical to the sequential section's. "
+        "`mp4_probe`: REAL ISO-BMFF metadata extraction — 64 minimal "
+        "MP4 containers built with formula-driven mvhd duration, tkhd "
+        "16.16 fixed-point dims, and alternating stsd codec fourccs, "
+        "walked back by probe_video_metadata (m1/m2/m3 = duration_ms/"
+        "width/height) — the no-decode metadata pass a 100 TB media "
+        "corpus runs first, certified against the closed form."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +1066,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("jpeg_roundtrip"))
         .unionByName(codec_rows("jpeg420_roundtrip"))
         .unionByName(codec_rows("jpeg420_progressive"))
+        .unionByName(codec_rows("mp4_probe"))
     )
 
 
@@ -900,6 +1087,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_jpeg = section == "jpeg_roundtrip"
     use_jpeg420 = section in ("jpeg420_roundtrip", "jpeg420_progressive")
     use_progressive = section == "jpeg420_progressive"
+    use_mp4 = section == "mp4_probe"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -908,7 +1096,23 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
             ids, m1, m2, m3 = [], [], [], []
             for i in pdf["id"]:
                 i = int(i)
-                if use_jpeg:
+                if use_mp4:
+                    d_ms, vw, vh = _mp4_probe_formula(i)
+                    meta = probe_video_metadata(
+                        build_minimal_mp4(
+                            d_ms, vw, vh, "avc1" if i % 2 == 0 else "hvc1"
+                        )
+                    )
+                    trk = meta["tracks"][0]
+                    assert meta["brand"] == "isom"
+                    assert trk["handler"] == "vide"
+                    assert trk["codec"] == ("avc1" if i % 2 == 0 else "hvc1")
+                    vals = (
+                        int(round(meta["duration_s"] * 1000)),
+                        trk["width"],
+                        trk["height"],
+                    )
+                elif use_jpeg:
                     from .jpeg import encode_jpeg
 
                     w = 8 * (1 + i % 4)
@@ -992,6 +1196,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_wav
         else JPEG_N_ITEMS
         if (use_jpeg or use_jpeg420)
+        else MP4_N_ITEMS
+        if use_mp4
         else BMP_N_ITEMS
     )
     return spark.range(n_items).mapInPandas(
