@@ -136,10 +136,11 @@ def test_png_codec_roundtrip_filters_and_integrity():
     bad[45] ^= 0x5A
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # sub-byte depths are an explicit gate, not a silent wrong decode
-    # (16-bit / gray / palette / alpha / Adam7 now decode for real —
-    # test_png_color_types and test_png_interlaced_and_16bit)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    # spec-ILLEGAL combos are an explicit gate, not a silent wrong
+    # decode (every legal depth/color/interlace combo decodes for real
+    # — test_png_color_types / test_png_interlaced_and_16bit /
+    # test_png_subbyte_depths)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # 4-bit RGB
     blob4 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(blob4)
@@ -193,13 +194,13 @@ def test_wav_codec_roundtrip_layout_and_gates():
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     arr, rate = decode_wav(spliced)
     assert rate == 44100 and (arr == sig).all()
-    # gate: compressed-in-RIFF codecs (mu-law, format tag 7) are not
-    # silently wrong (float/8/24/32-bit PCM now decode for real —
-    # test_wav_variant_roundtrips covers them)
-    mulaw_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    # gate: block codecs (ADPCM, format tag 2) are not silently wrong
+    # (float/8/24/32-bit PCM and G.711 now decode for real —
+    # test_wav_variant_roundtrips / test_wav_g711_decode cover them)
+    adpcm_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     bad = (
         b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + mulaw_fmt
+        + b"fmt " + struct.pack("<I", 16) + adpcm_fmt
         + b"data" + struct.pack("<I", 0)
     )
     with pytest.raises(NotImplementedError):
@@ -376,12 +377,10 @@ def test_png_color_types():
     bad_idx = np.full((2, 2, 1), 200, dtype=np.uint8)
     with pytest.raises(ValueError):
         decode_png(build(2, 2, 3, bad_idx.tobytes(), plte=pal.tobytes()))
-    # 16-bit palette (invalid per spec) and sub-byte depths stay gated
+    # 16-bit palette (invalid per spec) stays gated
     with pytest.raises(NotImplementedError):
         decode_png(build(2, 2, 3, idx[:2, :2].tobytes(), plte=pal.tobytes(),
                          depth=16))
-    with pytest.raises(NotImplementedError):
-        decode_png(build(2, 2, 0, bad_idx.tobytes(), depth=4))
 
 
 def test_png_interlaced_and_16bit():
@@ -443,9 +442,77 @@ def test_png_interlaced_and_16bit():
     rgb16 = rng.integers(0, 65536, (9, 6, 3), dtype=np.uint16)
     out = decode_png(build(rgb16, 16, 2, 1))
     assert out.dtype == np.uint16 and (out == rgb16).all()
-    # sub-byte depth stays gated
+    # sub-byte RGB (spec-illegal) stays gated
     with pytest.raises(NotImplementedError):
-        decode_png(build(rng.integers(0, 256, (4, 4, 1), np.uint8), 4, 0, 0))
+        decode_png(build(rng.integers(0, 256, (4, 4, 3), np.uint8), 4, 2, 0))
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit gray and palette PNGs (MSB-first packed samples,
+    byte-distance filtering), non-interlaced and Adam7: hand-packed
+    scanlines must decode to the exact sample values; palette expands
+    through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(101)
+
+    def pack_rows(sam, depth):
+        # (rows, width) samples -> filter-0 scanlines, MSB-first
+        rows = []
+        for row in sam:
+            bits = np.zeros(len(row) * depth, dtype=np.uint8)
+            for i, v in enumerate(row):
+                for b in range(depth):
+                    bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+            rows.append(b"\x00" + np.packbits(bits).tobytes())
+        return rows
+
+    def build(sam, depth, ctype, interlace, plte=None):
+        h, w = sam.shape
+        chunks = _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        )
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte)
+        if interlace == 0:
+            scan = b"".join(pack_rows(sam, depth))
+        else:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7:
+                sub = sam[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                parts.extend(pack_rows(sub, depth))
+            scan = b"".join(parts)
+        return (
+            _PNG_SIG + chunks + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for depth in (1, 2, 4):
+        # gray, widths that leave partial trailing bytes
+        for h, w in [(3, 5), (7, 11), (1, 1)]:
+            sam = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+            out = decode_png(build(sam, depth, 0, 0))
+            assert out.shape == (h, w, 1) and (out[:, :, 0] == sam).all()
+            out = decode_png(build(sam, depth, 0, 1))
+            assert (out[:, :, 0] == sam).all(), (depth, h, w, "adam7")
+        # palette
+        pal = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+        idx = rng.integers(0, 1 << depth, (6, 7), dtype=np.uint8)
+        out = decode_png(build(idx, depth, 3, 0, plte=pal.tobytes()))
+        assert (out == pal[idx]).all(), depth
 
 
 def test_wav_variant_roundtrips():
@@ -479,8 +546,9 @@ def test_wav_variant_roundtrips():
         arr, got_rate = decode_wav(blob)
         assert arr.dtype == want_dtype and got_rate == rate
         assert (arr == sig).all(), (want_dtype, bits)
-    # mu-law (format tag 7) is compressed: stays behind the gate
-    fmt_chunk = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    # block codecs (ADPCM, format tag 2) stay behind the gate
+    # (G.711 mu/A-law now expand for real — test_wav_g711_decode)
+    fmt_chunk = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
@@ -525,6 +593,22 @@ def test_image_metadata_probe():
     assert (m["format"], m["width"], m["height"], m["progressive"]) == (
         "jpeg", 34, 21, True,
     )
+    # EXIF orientation rides along (APP1 TIFF IFD0 tag 0x0112),
+    # little- and big-endian TIFF headers both
+    base = encode_jpeg(img)
+    for bo, fmt in (("II", "<"), ("MM", ">")):
+        tiff = (
+            bo.encode() + struct.pack(fmt + "H", 42) + struct.pack(fmt + "I", 8)
+            + struct.pack(fmt + "H", 1)
+            + struct.pack(fmt + "HHI", 0x0112, 3, 1)
+            + struct.pack(fmt + "H", 6) + b"\x00\x00"
+            + struct.pack(fmt + "I", 0)
+        )
+        app1_body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+        with_exif = base[:2] + app1 + base[2:]
+        m = probe_image_metadata(with_exif)
+        assert m["orientation"] == 6 and m["width"] == 34, bo
     # GIF logical screen descriptor
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
     m = probe_image_metadata(gif)
@@ -554,6 +638,72 @@ def test_image_metadata_probe():
     assert (m["format"], m["width"], m["height"]) == ("webp", 512, 288)
     with pytest.raises(ValueError):
         probe_image_metadata(b"not a container at all")
+
+
+def test_wav_g711_decode():
+    """G.711 telephony expansion (the call-recording codec of this
+    engine's own domain): the vectorized mu-law/A-law decoders match
+    an INDEPENDENT scalar re-derivation of the recommendation on all
+    256 code points, hit the canonical anchor values, and wire through
+    RIFF format tags 7/6 in decode_wav."""
+    import struct
+
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+        decode_wav,
+    )
+
+    def ulaw_ref(b):  # scalar, straight from the spec shape
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(b):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (_g711_ulaw_to_linear(codes) == [ulaw_ref(b) for b in range(256)]).all()
+    assert (_g711_alaw_to_linear(codes) == [alaw_ref(b) for b in range(256)]).all()
+    # canonical anchors (16-bit linear domain, as in the classic Sun
+    # g711.c): mu-law 0xFF/0x7F are +-0, extremes +-32124; A-law
+    # smallest step +-8 at codes 0xD5/0x55, extreme 32256
+    assert _g711_ulaw_to_linear(np.array([0xFF], np.uint8))[0] == 0
+    assert _g711_ulaw_to_linear(np.array([0x7F], np.uint8))[0] == 0
+    assert _g711_ulaw_to_linear(np.array([0x80], np.uint8))[0] == 32124
+    assert _g711_ulaw_to_linear(np.array([0x00], np.uint8))[0] == -32124
+    assert _g711_alaw_to_linear(np.array([0xD5], np.uint8))[0] == 8
+    assert _g711_alaw_to_linear(np.array([0x55], np.uint8))[0] == -8
+    assert _g711_alaw_to_linear(np.array([0xAA], np.uint8))[0] == 32256
+    # both laws decode to symmetric value sets
+    assert set((-_g711_ulaw_to_linear(codes)).tolist()) == set(
+        _g711_ulaw_to_linear(codes).tolist()
+    )
+    # RIFF wiring: format tags 7 (mu) and 6 (A), mono and stereo
+    for tag, fn in ((7, _g711_ulaw_to_linear), (6, _g711_alaw_to_linear)):
+        for ch in (1, 2):
+            raw = np.arange(64, dtype=np.uint8)
+            fmt_chunk = struct.pack("<HHIIHH", tag, ch, 8000, 8000 * ch, ch, 8)
+            body = (
+                b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+                + b"data" + struct.pack("<I", raw.size) + raw.tobytes()
+            )
+            arr, rate = decode_wav(
+                b"RIFF" + struct.pack("<I", len(body)) + body
+            )
+            assert rate == 8000 and arr.dtype == np.int16
+            assert (arr.reshape(-1) == fn(raw)).all()
 
 
 def test_mp4_metadata_probe():

@@ -408,7 +408,9 @@ def decode_png(payload: bytes):
     7 sub-images unfiltered independently and scattered by its pass
     stride). Chunk walk with CRC verification, stdlib zlib inflate,
     numpy unfiltering of all five scanline filter types. Sub-byte
-    depths (1/2/4) stay behind NotImplementedError."""
+    depths (1/2/4-bit gray and palette) unpack MSB-first after
+    unfiltering — EVERY spec-legal PNG depth/color/interlace combo now
+    decodes."""
     import struct
     import zlib
 
@@ -437,50 +439,88 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     ch_by_ctype = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    subbyte = depth in (1, 2, 4)
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or ctype not in ch_by_ctype
         or (depth == 16 and ctype == 3)
+        or (subbyte and ctype not in (0, 3))
         or interlace not in (0, 1)
     ):
         raise NotImplementedError(
-            "only 8/16-bit gray/RGB/palette/gray+alpha/RGBA PNG "
-            "(non-interlaced or Adam7) is implemented"
+            "only 1/2/4-bit gray/palette and 8/16-bit gray/RGB/palette/"
+            "gray+alpha/RGBA PNG (non-interlaced or Adam7) is implemented"
         )
     if comp != 0 or filt != 0:
         raise ValueError("PNG reserved compression/filter method")
     ch = ch_by_ctype[ctype]
-    bpp = ch * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if interlace == 0:
-        stride = w * bpp
-        if raw.size != h * (stride + 1):
-            raise ValueError("PNG scanline payload size mismatch")
-        data = _png_unfilter(raw, h, stride, bpp)
-    else:  # Adam7: 7 independently-filtered sub-images, scattered
-        out_px = np.zeros((h, w, bpp), dtype=np.uint8)
-        pos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            stride = pw * bpp
-            n = ph * (stride + 1)
-            sub = raw[pos : pos + n]
-            if sub.size != n:
-                raise ValueError("PNG interlace pass truncated")
-            pos += n
-            rec = _png_unfilter(sub, ph, stride, bpp).reshape(ph, pw, bpp)
-            out_px[y0::dy, x0::dx] = rec
-        if pos != raw.size:
-            raise ValueError("PNG interlace payload size mismatch")
-        data = out_px.reshape(h, w * bpp)
-    if depth == 8:
-        arr = data.reshape(h, w, ch)
-    else:  # 16-bit samples are big-endian per the spec
-        arr = np.frombuffer(data.tobytes(), dtype=">u2").reshape(h, w, ch)
-        arr = arr.astype(np.uint16)
+    if subbyte:
+        # sub-byte gray/palette: filtering distance is 1 byte; unpack
+        # MSB-first packed samples after unfiltering. Gray samples stay
+        # in the raw 0..2^depth-1 domain (callers scale if they want).
+        def unpack(rows_bytes, width):
+            bits = np.unpackbits(rows_bytes, axis=1)[:, : width * depth]
+            if depth == 1:
+                return bits
+            v = bits.reshape(rows_bytes.shape[0], width, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            return (v * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            if raw.size != h * (stride + 1):
+                raise ValueError("PNG scanline payload size mismatch")
+            sam = unpack(_png_unfilter(raw, h, stride, 1), w)
+        else:
+            sam = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                n = ph * (stride + 1)
+                sub = raw[pos : pos + n]
+                if sub.size != n:
+                    raise ValueError("PNG interlace pass truncated")
+                pos += n
+                sam[y0::dy, x0::dx] = unpack(_png_unfilter(sub, ph, stride, 1), pw)
+            if pos != raw.size:
+                raise ValueError("PNG interlace payload size mismatch")
+        arr = sam[:, :, None]
+    else:
+        bpp = ch * (depth // 8)
+        if interlace == 0:
+            stride = w * bpp
+            if raw.size != h * (stride + 1):
+                raise ValueError("PNG scanline payload size mismatch")
+            data = _png_unfilter(raw, h, stride, bpp)
+        else:  # Adam7: 7 independently-filtered sub-images, scattered
+            out_px = np.zeros((h, w, bpp), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * bpp
+                n = ph * (stride + 1)
+                sub = raw[pos : pos + n]
+                if sub.size != n:
+                    raise ValueError("PNG interlace pass truncated")
+                pos += n
+                rec = _png_unfilter(sub, ph, stride, bpp).reshape(ph, pw, bpp)
+                out_px[y0::dy, x0::dx] = rec
+            if pos != raw.size:
+                raise ValueError("PNG interlace payload size mismatch")
+            data = out_px.reshape(h, w * bpp)
+        if depth == 8:
+            arr = data.reshape(h, w, ch)
+        else:  # 16-bit samples are big-endian per the spec
+            arr = np.frombuffer(data.tobytes(), dtype=">u2").reshape(h, w, ch)
+            arr = arr.astype(np.uint16)
     if ctype == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
@@ -540,6 +580,32 @@ def encode_wav(samples, sample_rate: int, bits: int | None = None) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _g711_alaw_to_linear(a: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law byte → linear int16, vectorized (the classic
+    Sun g711.c expansion re-derived from the recommendation): XOR 0x55,
+    4-bit mantissa + 3-bit segment, segment 0/1 offsets, sign from the
+    top bit."""
+    import numpy as np
+
+    a = a.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                                           (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_ulaw_to_linear(u: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 mu-law byte → linear int16, vectorized: complement,
+    3-bit exponent + 4-bit mantissa around the 0x84 bias, sign from
+    the top bit."""
+    import numpy as np
+
+    u = (~u.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def decode_wav(payload: bytes):
     """REAL media decode, dependency-free: parse a RIFF/WAVE payload
     into ((N, channels) sample array, sample_rate) — generic chunk
@@ -548,8 +614,11 @@ def decode_wav(payload: bytes):
     per-sample Python. Every uncompressed RIFF variant decodes:
     PCM-8 (unsigned → uint8), PCM-16 (→ int16), PCM-24 (3-byte LE
     sign-extended → int32), PCM-32 (→ int32), and IEEE float32/64
-    (format tag 3 → float32/float64); compressed codecs (mu-law,
-    ADPCM, MP3-in-RIFF) stay behind the documented gate."""
+    (format tag 3 → float32/float64) — plus the G.711 telephony
+    codecs (format 6 A-law, format 7 mu-law → expanded int16; what a
+    call-recording corpus in this engine's own domain actually
+    contains). Block codecs (ADPCM, MP3-in-RIFF) stay behind the
+    documented gate."""
     import struct
 
     import numpy as np
@@ -568,6 +637,16 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        if block_align != ch or len(data) % block_align:
+            raise ValueError("WAV data chunk size inconsistent with fmt")
+        enc = np.frombuffer(bytes(data), dtype=np.uint8)
+        lin = (
+            _g711_alaw_to_linear(enc)
+            if audio_fmt == 6
+            else _g711_ulaw_to_linear(enc)
+        )
+        return lin.reshape(-1, ch), rate
     dtypes = {
         (1, 8): "u1",
         (1, 16): "<i2",
@@ -579,7 +658,7 @@ def decode_wav(payload: bytes):
     if (audio_fmt, bits) not in dtypes:
         raise NotImplementedError(
             f"WAV format tag {audio_fmt} at {bits}-bit is not an "
-            "uncompressed PCM/float variant"
+            "uncompressed PCM/float or G.711 variant"
         )
     if block_align != ch * (bits // 8) or len(data) % block_align:
         raise ValueError("WAV data chunk size inconsistent with fmt")
@@ -621,6 +700,7 @@ def probe_image_metadata(payload: bytes) -> dict:
         return {"format": "bmp", "width": w, "height": abs(h), "bit_depth": bpp}
     if buf[:2] == b"\xff\xd8":
         pos = 2
+        orientation = None
         while pos + 4 <= len(buf):
             if buf[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
@@ -629,13 +709,37 @@ def probe_image_metadata(payload: bytes) -> dict:
                 pos += 2
                 continue
             (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            body = buf[pos + 4 : pos + 2 + seglen]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                # TIFF IFD0 walk for the one EXIF field a pipeline
+                # actually needs before decode: tag 0x0112 orientation
+                tiff = body[6:]
+                bo = {b"II": "<", b"MM": ">"}.get(bytes(tiff[:2]))
+                if bo and struct.unpack_from(bo + "H", tiff, 2)[0] == 42:
+                    (ifd,) = struct.unpack_from(bo + "I", tiff, 4)
+                    if ifd + 2 <= len(tiff):
+                        (n,) = struct.unpack_from(bo + "H", tiff, ifd)
+                        for e in range(n):
+                            off = ifd + 2 + 12 * e
+                            if off + 12 > len(tiff):
+                                break
+                            tag, typ, _cnt = struct.unpack_from(
+                                bo + "HHI", tiff, off
+                            )
+                            if tag == 0x0112 and typ == 3:
+                                (orientation,) = struct.unpack_from(
+                                    bo + "H", tiff, off + 8
+                                )
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack_from(">HH", buf, pos + 5)
-                return {
+                out = {
                     "format": "jpeg", "width": w, "height": h,
                     "progressive": marker == 0xC2,
                     "n_components": buf[pos + 9],
                 }
+                if orientation is not None:
+                    out["orientation"] = orientation
+                return out
             pos += 2 + seglen
         raise ValueError("JPEG missing SOF")
     if buf[:6] in (b"GIF87a", b"GIF89a"):
