@@ -218,6 +218,117 @@ _MP4_ORACLE_ROWS = ",\n          ".join(
     for i in range(MP4_N_ITEMS)
 )
 
+# ------------- real GIF decode certification (closed-form oracle) -------
+GIF_N_ITEMS = 48
+
+
+def _gif_item_spec(i: int):
+    """(palette size, canvas w/h, patch w/h, patch left/top) for the
+    i-th synthetic 2-frame animated GIF."""
+    p = (2, 16, 64, 256)[i % 4]
+    w = 8 + (i * 5) % 24
+    h = 8 + (i * 11) % 24
+    pw = max(2, w // 2)
+    ph = max(2, h // 2)
+    left = (i * 3) % (w - pw + 1)
+    top = (i * 7) % (h - ph + 1)
+    return p, w, h, pw, ph, left, top
+
+
+def _gif_pal_entry(i: int, c: int):
+    return ((i * 3 + c * 7) % 256, (i * 5 + c * 13) % 256, (c * c + i) % 256)
+
+
+def _gif_frames_formula(i: int):
+    """(r_sum, g_sum, b_sum) over BOTH composited frames of GIF i —
+    pure scalar integer math, independent of the codec: frame 1 fills
+    the canvas; frame 2 overlays a patch whose index-0 pixels are
+    transparent (frame 1 shows through)."""
+    p, w, h, pw, ph, left, top = _gif_item_spec(i)
+    r = g = b = 0
+    for y in range(h):
+        for x in range(w):
+            c1 = (i + x // 2 + y) % p
+            pr, pg, pb = _gif_pal_entry(i, c1)
+            r += pr
+            g += pg
+            b += pb
+            if top <= y < top + ph and left <= x < left + pw:
+                c2 = (i * 2 + (x - left) + (y - top) // 2) % p
+                c = c2 if c2 != 0 else c1
+            else:
+                c = c1
+            pr, pg, pb = _gif_pal_entry(i, c)
+            r += pr
+            g += pg
+            b += pb
+    return r, g, b
+
+
+_GIF_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {r}, {g}, {b})".format(
+        i=i,
+        r=_gif_frames_formula(i)[0],
+        g=_gif_frames_formula(i)[1],
+        b=_gif_frames_formula(i)[2],
+    )
+    for i in range(GIF_N_ITEMS)
+)
+
+# ----------- real IMA ADPCM decode certification (closed-form oracle) ---
+ADPCM_N_ITEMS = 48
+
+
+def _adpcm_stream_spec(i: int):
+    """(channels, block_align, n_blocks, sample_rate) for the i-th
+    synthetic ADPCM stream."""
+    ch = 1 + i % 2
+    ba = 32 * (1 + i % 3) * ch
+    return ch, ba, 2 + (i // 2) % 3, 8000 + 100 * (i % 5)
+
+
+def _adpcm_nibble(i: int, c: int, b: int, t: int) -> int:
+    return (i * 7 + c * 5 + b * 13 + t * 3 + (t * t) % 11) % 16
+
+
+def _adpcm_pred0(i: int, c: int, b: int) -> int:
+    return ((i * 97 + c * 53 + b * 29) % 4001) - 2000
+
+
+def _adpcm_idx0(i: int, c: int, b: int) -> int:
+    return (i * 31 + c * 17 + b * 7) % 89
+
+
+def _adpcm_stream_formula(i: int):
+    """(sum_ch0, sum_ch1_or_0, n*100000 + rate*10 + ch) for ADPCM
+    stream i via the textbook SCALAR reference decode — the vectorized
+    block decoder in operators/adpcm.py is the system under test."""
+    from .adpcm import reference_decode_nibbles
+
+    ch, ba, n_blocks, rate = _adpcm_stream_spec(i)
+    spb = (ba // ch - 4) * 2 + 1
+    sums = [0, 0]
+    for c in range(ch):
+        for b in range(n_blocks):
+            nibs = [_adpcm_nibble(i, c, b, t) for t in range(spb - 1)]
+            sums[c] += sum(
+                reference_decode_nibbles(
+                    nibs, _adpcm_pred0(i, c, b), _adpcm_idx0(i, c, b)
+                )
+            )
+    return sums[0], sums[1], n_blocks * spb * 100000 + rate * 10 + ch
+
+
+_ADPCM_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {a}, {b}, {m})".format(
+        i=i,
+        a=_adpcm_stream_formula(i)[0],
+        b=_adpcm_stream_formula(i)[1],
+        m=_adpcm_stream_formula(i)[2],
+    )
+    for i in range(ADPCM_N_ITEMS)
+)
+
 
 def with_payload(docs: DataFrame) -> DataFrame:
     """documents → multimodal table: (doc_id, payload binary, meta struct).
@@ -617,8 +728,9 @@ def decode_wav(payload: bytes):
     (format tag 3 → float32/float64) — plus the G.711 telephony
     codecs (format 6 A-law, format 7 mu-law → expanded int16; what a
     call-recording corpus in this engine's own domain actually
-    contains). Block codecs (ADPCM, MP3-in-RIFF) stay behind the
-    documented gate."""
+    contains) and 4-bit IMA ADPCM (format tag 0x11, block-vectorized
+    in operators/adpcm.py). Only non-IMA block codecs (MS ADPCM tag 2,
+    MP3-in-RIFF) stay behind the documented gate."""
     import struct
 
     import numpy as np
@@ -637,6 +749,10 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM block codec
+        from .adpcm import decode_wav_adpcm_payload
+
+        return decode_wav_adpcm_payload(payload)
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
         if block_align != ch or len(data) % block_align:
             raise ValueError("WAV data chunk size inconsistent with fmt")
@@ -888,10 +1004,13 @@ def decode_real_media(payload: bytes, fmt: str):
     :func:`.jpeg.decode_jpeg` — full baseline-sequential entropy
     decode, Huffman tables read from the stream, dequant + IDCT +
     JFIF color transform; and :func:`decode_wav` — RIFF chunk walk +
-    numpy frombuffer) — certified end-to-end by the `bmp_roundtrip` /
-    `png_roundtrip` / `jpeg_roundtrip` / `wav_roundtrip` sections of
-    `multimodal_media_ops` (encode → decode → pixel/sample sums vs a
-    closed-form oracle). The remaining containers (compressed
+    numpy frombuffer; :func:`.gif.decode_gif` — LZW + interlace +
+    animation compositing, returning a composited RGBA frame stack)
+    — certified end-to-end by the `bmp_roundtrip` / `png_roundtrip` /
+    `jpeg_roundtrip` / `wav_roundtrip` / `gif_roundtrip` /
+    `adpcm_roundtrip` sections of `multimodal_media_ops` (encode →
+    decode → pixel/sample sums vs a closed-form oracle). The
+    remaining containers (compressed
     audio/video) need libav, which this environment does not ship;
     the import gate keeps the pipeline importable and a cluster image
     with codecs swaps the real implementation in."""
@@ -905,6 +1024,10 @@ def decode_real_media(payload: bytes, fmt: str):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if bytes(payload[:4]) == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     try:
         import av  # noqa: F401
     except ImportError as e:
@@ -1051,6 +1174,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_JPEG420_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'gif_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_GIF_ORACLE_ROWS}
+        ) AS t(i, r, g, b)
+        UNION ALL
+        SELECT 'adpcm_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_ADPCM_ORACLE_ROWS}
+        ) AS t(i, a, b, m)
+        UNION ALL
         SELECT 'format_rollup' AS section,
                ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
                CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -1129,7 +1270,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "16.16 fixed-point dims, and alternating stsd codec fourccs, "
         "walked back by probe_video_metadata (m1/m2/m3 = duration_ms/"
         "width/height) — the no-decode metadata pass a 100 TB media "
-        "corpus runs first, certified against the closed form."
+        "corpus runs first, certified against the closed form. "
+        "`gif_roundtrip`: REAL dependency-free GIF decode "
+        "(operators/gif.py: variable-width LSB-first LZW, 4-pass row "
+        "interlace, transparency + animation compositing) — 48 "
+        "two-frame animated GIFs (frame 2 a transparent-holed patch "
+        "composited over frame 1), encoded/decoded for real and "
+        "reduced to RGB sums over BOTH composited frames vs the "
+        "closed-form scalar compositor; a wrong LZW bit, interlace "
+        "row, or composite rule breaks the hash. `adpcm_roundtrip`: "
+        "REAL 4-bit IMA ADPCM audio decode (operators/adpcm.py, "
+        "vectorized ACROSS blocks — the recurrence loops samples-per-"
+        "block numpy steps over all blocks/channels at once) — "
+        "closed-form nibble streams packed into real RIFF tag-0x11 "
+        "containers, decoded back, per-channel sums certified against "
+        "an independent textbook SCALAR reference decode; a wrong "
+        "step-table entry, clamp, nibble order, or stereo interleave "
+        "breaks the hash."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,6 +1328,8 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("jpeg420_roundtrip"))
         .unionByName(codec_rows("jpeg420_progressive"))
         .unionByName(codec_rows("mp4_probe"))
+        .unionByName(codec_rows("gif_roundtrip"))
+        .unionByName(codec_rows("adpcm_roundtrip"))
     )
 
 
@@ -1192,6 +1351,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_jpeg420 = section in ("jpeg420_roundtrip", "jpeg420_progressive")
     use_progressive = section == "jpeg420_progressive"
     use_mp4 = section == "mp4_probe"
+    use_gif = section == "gif_roundtrip"
+    use_adpcm = section == "adpcm_roundtrip"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1215,6 +1376,91 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                         int(round(meta["duration_s"] * 1000)),
                         trk["width"],
                         trk["height"],
+                    )
+                elif use_gif:
+                    from .gif import encode_gif
+
+                    p, w, h, pw, ph, left, top = _gif_item_spec(i)
+                    x = np.arange(w)
+                    y = np.arange(h)
+                    idx1 = ((i + x[None, :] // 2 + y[:, None]) % p).astype(
+                        np.uint8
+                    )
+                    px = np.arange(pw)
+                    py = np.arange(ph)
+                    idx2 = (
+                        (i * 2 + px[None, :] + py[:, None] // 2) % p
+                    ).astype(np.uint8)
+                    c = np.arange(p)
+                    pal = np.stack(
+                        [
+                            (i * 3 + c * 7) % 256,
+                            (i * 5 + c * 13) % 256,
+                            (c * c + i) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    payload = encode_gif(
+                        [idx1, idx2],
+                        pal,
+                        transparent=[None, 0],
+                        offsets=[(0, 0), (top, left)],
+                        interlace=bool(i % 2),
+                        delays_ms=[10 * (i % 5), 20],
+                    )
+                    frames, delays = decode_real_media(payload, "image/gif")
+                    assert frames.shape == (2, h, w, 4)
+                    assert (frames[..., 3] == 255).all()
+                    assert delays == [10 * (i % 5), 20]
+                    sums = frames[..., :3].astype(np.int64).sum(axis=(0, 1, 2))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_adpcm:
+                    import struct as _struct
+
+                    ch, ba, n_blocks, rate = _adpcm_stream_spec(i)
+                    spb = (ba // ch - 4) * 2 + 1
+                    t = np.arange(spb - 1)
+                    raw = bytearray()
+                    for b in range(n_blocks):
+                        nibs = np.stack(
+                            [
+                                (i * 7 + c * 5 + b * 13 + t * 3 + (t * t) % 11)
+                                % 16
+                                for c in range(ch)
+                            ]
+                        ).astype(np.uint8)  # (ch, spb-1)
+                        for c in range(ch):
+                            raw += _struct.pack(
+                                "<hBB",
+                                _adpcm_pred0(i, c, b),
+                                _adpcm_idx0(i, c, b),
+                                0,
+                            )
+                        # channel-interleaved 4-byte groups, low nibble 1st
+                        g = nibs.reshape(ch, -1, 8)
+                        packed = (g[..., 0::2] | (g[..., 1::2] << 4)).astype(
+                            np.uint8
+                        )  # (ch, groups, 4)
+                        raw += packed.transpose(1, 0, 2).tobytes()
+                    byte_rate = (rate * ba + spb - 1) // spb
+                    fmtc = _struct.pack(
+                        "<HHIIHHHH", 0x11, ch, rate, byte_rate, ba, 4, 2, spb
+                    )
+                    body = (
+                        b"WAVE"
+                        + b"fmt " + _struct.pack("<I", len(fmtc)) + fmtc
+                        + b"data" + _struct.pack("<I", len(raw)) + bytes(raw)
+                    )
+                    payload = (
+                        b"RIFF" + _struct.pack("<I", len(body)) + body
+                    )
+                    decoded, got_rate = decode_real_media(payload, "audio/wav")
+                    assert decoded.shape == (n_blocks * spb, ch)
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n_blocks * spb * 100000 + got_rate * 10 + ch,
                     )
                 elif use_jpeg:
                     from .jpeg import encode_jpeg
@@ -1302,6 +1548,10 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if (use_jpeg or use_jpeg420)
         else MP4_N_ITEMS
         if use_mp4
+        else GIF_N_ITEMS
+        if use_gif
+        else ADPCM_N_ITEMS
+        if use_adpcm
         else BMP_N_ITEMS
     )
     return spark.range(n_items).mapInPandas(
