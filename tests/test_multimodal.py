@@ -947,3 +947,178 @@ def test_jpeg_flat_formula_matches_codec():
                 )
         sums = decode_jpeg(encode_jpeg(img)).astype(np.int64).sum(axis=(0, 1))
         assert (int(sums[0]), int(sums[1]), int(sums[2])) == (rs, gs, bs), i
+
+
+def test_bmp_variant_decodes():
+    """decode_bmp covers every common BITMAPINFOHEADER shape: 1/4/8-bit
+    palette (uncompressed + RLE8/RLE4 runs, absolute mode, EOL, delta,
+    EOB), 16-bit 555 default and 565 BI_BITFIELDS, 32-bit BGRX and
+    RGBX bitfields, top-down rows — all against hand-packed streams."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    def hdr(w, h, bpp, comp, n_pal=0, masks=b""):
+        body_off = 14 + 40 + len(masks) + 4 * n_pal
+        return (
+            b"BM" + struct.pack("<IHHI", 0, 0, 0, body_off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, 0, 0, 0, n_pal, 0
+            )
+            + masks
+        )
+
+    rng = np.random.default_rng(21)
+
+    # 8-bit palette, bottom-up and top-down
+    pal = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+    idx = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    stride = (7 + 3) & ~3
+    rows = np.zeros((5, stride), dtype=np.uint8)
+    rows[:, :7] = idx[::-1]
+    expect = pal[idx][:, :, [2, 1, 0]]
+    blob = hdr(7, 5, 8, 0, 256) + pal.tobytes() + rows.tobytes()
+    assert (decode_bmp(blob) == expect).all()
+    rows_td = np.zeros((5, stride), dtype=np.uint8)
+    rows_td[:, :7] = idx
+    blob = hdr(7, -5, 8, 0, 256) + pal.tobytes() + rows_td.tobytes()
+    assert (decode_bmp(blob) == expect).all()
+
+    # 4-bit and 1-bit palette: MSB-first packed indices
+    for bpp in (4, 1):
+        n = 1 << bpp
+        pal = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+        idx = rng.integers(0, n, (3, 9), dtype=np.uint8)
+        stride = (9 * bpp + 31) // 32 * 4
+        rows = np.zeros((3, stride), dtype=np.uint8)
+        for y in range(3):
+            bits = np.zeros(stride * 8, dtype=np.uint8)
+            for x in range(9):
+                for b in range(bpp):
+                    bits[x * bpp + b] = (int(idx[y, x]) >> (bpp - 1 - b)) & 1
+            rows[y] = np.packbits(bits)
+        blob = hdr(9, 3, bpp, 0, n) + pal.tobytes() + rows[::-1].tobytes()
+        assert (decode_bmp(blob) == pal[idx][:, :, [2, 1, 0]]).all()
+
+    # RLE8: runs + absolute + EOL + delta + EOB
+    pal = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+    rle = bytes(
+        [3, 5, 0, 3, 7, 8, 9, 0, 0, 0]      # row 0 (bottom): 5,5,5,7,8,9
+        + [2, 1, 0, 2, 2, 0, 2, 9, 0, 0]    # row 1: 1,1,skip2(0,0),9,9
+        + [6, 4, 0, 0]                      # row 2: 4 x6
+        + [0, 1]                            # EOB -> row 3 stays 0
+    )
+    blob = hdr(6, 4, 8, 1, 256) + pal.tobytes() + rle
+    exp_idx = np.zeros((4, 6), dtype=np.uint8)
+    exp_idx[3] = [5, 5, 5, 7, 8, 9]
+    exp_idx[2] = [1, 1, 0, 0, 9, 9]
+    exp_idx[1] = [4, 4, 4, 4, 4, 4]
+    assert (decode_bmp(blob) == pal[exp_idx][:, :, [2, 1, 0]]).all()
+
+    # RLE4: run alternates nibbles; absolute packs nibbles, word-aligned
+    pal4 = rng.integers(0, 256, (16, 4), dtype=np.uint8)
+    rle4 = bytes(
+        [5, 0x12, 0, 0]             # row 0 (bottom): 1,2,1,2,1
+        + [0, 3, 0xAB, 0xC0, 0, 0]  # row 1 absolute: A,B,C (padded)
+        + [0, 1]
+    )
+    blob = hdr(5, 3, 4, 2, 16) + pal4.tobytes() + rle4
+    exp_idx = np.zeros((3, 5), dtype=np.uint8)
+    exp_idx[2] = [1, 2, 1, 2, 1]
+    exp_idx[1, :3] = [0xA, 0xB, 0xC]
+    assert (decode_bmp(blob) == pal4[exp_idx][:, :, [2, 1, 0]]).all()
+
+    # 16-bit: 555 default masks and 565 BI_BITFIELDS
+    r5 = rng.integers(0, 32, (2, 3), dtype=np.uint32)
+    g5 = rng.integers(0, 32, (2, 3), dtype=np.uint32)
+    b5 = rng.integers(0, 32, (2, 3), dtype=np.uint32)
+    v = (r5 << 10) | (g5 << 5) | b5
+    rows = np.zeros((2, 8), dtype=np.uint8)
+    le = np.stack([v & 0xFF, v >> 8], axis=2).astype(np.uint8).reshape(2, 6)
+    rows[:, :6] = le[::-1]
+    out = decode_bmp(hdr(3, 2, 16, 0) + rows.tobytes())
+    assert (out[:, :, 0] == (r5 * 255 // 31).astype(np.uint8)).all()
+    assert (out[:, :, 2] == (b5 * 255 // 31).astype(np.uint8)).all()
+    g6 = rng.integers(0, 64, (2, 3), dtype=np.uint32)
+    v = (r5 << 11) | (g6 << 5) | b5
+    le = np.stack([v & 0xFF, v >> 8], axis=2).astype(np.uint8).reshape(2, 6)
+    rows = np.zeros((2, 8), dtype=np.uint8)
+    rows[:, :6] = le[::-1]
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    out = decode_bmp(hdr(3, 2, 16, 3, 0, masks) + rows.tobytes())
+    assert (out[:, :, 1] == (g6 * 255 // 63).astype(np.uint8)).all()
+
+    # 32-bit BGRX and RGBX bitfields
+    rgb = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    raw = np.zeros((3, 4, 4), dtype=np.uint8)
+    raw[:, :, :3] = rgb[::-1][:, :, ::-1]
+    assert (decode_bmp(hdr(4, 3, 32, 0) + raw.tobytes()) == rgb).all()
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    raw2 = np.zeros((3, 4, 4), dtype=np.uint8)
+    raw2[:, :, :3] = rgb[::-1]
+    assert (
+        decode_bmp(hdr(4, 3, 32, 3, 0, masks) + raw2.tobytes()) == rgb
+    ).all()
+
+    # unsupported bpp still gated
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr(2, 2, 2, 0) + b"\x00" * 16)
+
+
+def test_mp3_metadata_probe():
+    """probe_audio_metadata walks MPEG audio frame headers — versions
+    1/2/2.5, Layers I/II/III, CBR/VBR, padding bits, ID3v2 skip,
+    trailing-junk tolerance — against containers built from the
+    public frame-size formulas."""
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        build_mp3,
+        probe_audio_metadata,
+    )
+
+    # CBR MPEG-1 Layer III with ID3v2
+    m = probe_audio_metadata(build_mp3([128] * 10, 44100, id3_size=321))
+    assert m["n_frames"] == 10 and m["mpeg_version"] == "1"
+    assert m["layer"] == 3 and m["sample_rate"] == 44100
+    assert m["id3v2_bytes"] == 331 and not m["vbr"]
+    assert abs(m["duration_s"] - 10 * 1152 / 44100) < 1e-9
+    assert m["channel_mode"] == "joint_stereo"
+
+    # VBR across frames
+    m = probe_audio_metadata(build_mp3([64, 128, 192, 320], 48000))
+    assert m["vbr"] and m["n_frames"] == 4 and m["sample_rate"] == 48000
+
+    # MPEG-2 Layer III: 576 samples/frame, 72-factor frame size
+    m = probe_audio_metadata(build_mp3([64] * 6, 22050, version_bits=2))
+    assert m["mpeg_version"] == "2" and m["n_frames"] == 6
+    assert abs(m["duration_s"] - 6 * 576 / 22050) < 1e-9
+
+    # MPEG-2.5 low rate
+    m = probe_audio_metadata(build_mp3([16] * 3, 8000, version_bits=0))
+    assert m["mpeg_version"] == "2.5" and m["n_frames"] == 3
+
+    # Layer II and Layer I geometry
+    m = probe_audio_metadata(build_mp3([192] * 5, 44100, layer=2))
+    assert m["layer"] == 2 and m["n_frames"] == 5
+    assert abs(m["duration_s"] - 5 * 1152 / 44100) < 1e-9
+    m = probe_audio_metadata(build_mp3([224] * 4, 32000, layer=1, mode_idx=3))
+    assert m["layer"] == 1 and m["channel_mode"] == "mono"
+    assert abs(m["duration_s"] - 4 * 384 / 32000) < 1e-9
+
+    # trailing ID3v1 junk after frames is tolerated
+    blob = build_mp3([128] * 2) + b"TAG" + bytes(125)
+    assert probe_audio_metadata(blob)["n_frames"] == 2
+
+    # CBR stream reports ~ the nominal average bitrate
+    m = probe_audio_metadata(build_mp3([128] * 50))
+    assert abs(m["avg_bitrate_kbps"] - 128) < 3
+
+    # garbage raises; decode (vs probe) stays behind the gate
+    with pytest.raises(ValueError):
+        probe_audio_metadata(b"\x00" * 64)

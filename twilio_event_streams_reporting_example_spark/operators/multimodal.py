@@ -7,7 +7,9 @@ frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``) — never
 row-at-a-time Python.
 
 The container ships no image/audio libraries. Formats that can be
-coded dependency-free decode FOR REAL here: 24-bit BMP (pure numpy),
+coded dependency-free decode FOR REAL here: BMP in every common
+BITMAPINFOHEADER shape (1/4/8-bit palette incl. RLE8/RLE4, 16-bit
+555/565 bitfields, 24-bit BGR, 32-bit BGRX/bitfields — pure numpy),
 8-bit RGB PNG (stdlib zlib + numpy unfiltering, all five scanline
 filters), baseline JPEG including 4:2:0/4:2:2/4:4:0 chroma
 subsampling, grayscale, and restart markers (operators/jpeg.py —
@@ -73,6 +75,159 @@ _BMP_ORACLE_ROWS = ",\n          ".join(
         b=_bmp_pixel_formula(i)[4],
     )
     for i in range(BMP_N_ITEMS)
+)
+
+# -------- BMP variant decode certification (closed-form oracle) --------
+BMPV_N_ITEMS = 48
+
+
+def _bmp_variant_spec(i: int):
+    """Deterministic spec for variant item i: (variant, w, h).
+    variant 0 = 8-bit palette (top-down rows when i is odd), 1 = 4-bit
+    palette, 2 = 1-bit palette, 3 = RLE8, 4 = 16-bit 565 BI_BITFIELDS,
+    5 = 32-bit RGBX BI_BITFIELDS."""
+    return i % 6, 8 + (i * 5) % 24, 8 + (i * 3) % 16
+
+
+def _bmp_variant_pixels(i: int):
+    """(H, W, 3) uint8 expected pixels for variant item i — a pure
+    formula shared by the closed-form oracle (which only sums it) and
+    independent of both the container packer and the decoder."""
+    import numpy as np
+
+    variant, w, h = _bmp_variant_spec(i)
+    x = np.arange(w)
+    y = np.arange(h)
+    if variant in (0, 1, 2, 3):
+        bpp = 8 if variant in (0, 3) else (4 if variant == 1 else 1)
+        n = 1 << bpp
+        c = np.arange(n)
+        pal = np.stack(
+            [(i * 7 + c * 11) % 256, (i * 13 + c * 5) % 256, (c * 3 + i) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        if variant == 3:  # x//3 gives real runs for the RLE encoder
+            idx = ((i + y[:, None] * 4 + x[None, :] // 3) % n).astype(np.uint8)
+        else:
+            idx = ((i + x[None, :] * 2 + y[:, None]) % n).astype(np.uint8)
+        return pal[idx]
+    if variant == 4:  # 565: decode scales each field to 0..255
+        r5 = (i + x[None, :] + 0 * y[:, None]) % 32
+        g6 = (x[None, :] + 2 * y[:, None]) % 64
+        b5 = (2 * i + y[:, None] + 0 * x[None, :]) % 32
+        return np.stack(
+            [r5 * 255 // 31, g6 * 255 // 63, b5 * 255 // 31], axis=2
+        ).astype(np.uint8)
+    r = (i + 3 * x[None, :] + 0 * y[:, None]) % 256
+    g = (i + 5 * y[:, None] + 0 * x[None, :]) % 256
+    b = (i + x[None, :] + y[:, None]) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _pack_bmp_variant(i: int) -> bytes:
+    """REAL variant-container encode for certification: pack item i's
+    formula pixels into on-disk BMP bytes for its variant — palette
+    quads + packed 1/4/8-bit indices, a genuine RLE8 run-length
+    encoder (runs + EOL + EOB escapes), 16-bit 565 and 32-bit RGBX
+    BI_BITFIELDS with mask words — so the decoder's every branch is
+    exercised against independently packed streams."""
+    import struct
+
+    import numpy as np
+
+    variant, w, h = _bmp_variant_spec(i)
+
+    def hdr(hdr_h, bpp, comp, n_pal=0, masks=b""):
+        body_off = 14 + 40 + len(masks) + 4 * n_pal
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 0, 0, 0, body_off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, comp, 0, 0, 0, n_pal, 0
+            )
+            + masks
+        )
+
+    x = np.arange(w)
+    y = np.arange(h)
+    if variant in (0, 1, 2, 3):
+        bpp = 8 if variant in (0, 3) else (4 if variant == 1 else 1)
+        n = 1 << bpp
+        c = np.arange(n)
+        pal_quads = np.zeros((n, 4), dtype=np.uint8)
+        pal_quads[:, 2] = (i * 7 + c * 11) % 256  # R in quad byte 2
+        pal_quads[:, 1] = (i * 13 + c * 5) % 256
+        pal_quads[:, 0] = (c * 3 + i) % 256
+        if variant == 3:
+            idx = ((i + y[:, None] * 4 + x[None, :] // 3) % n).astype(np.uint8)
+            out = bytearray()
+            for ry in range(h):  # RLE rows run bottom-up
+                row = idx[h - 1 - ry]
+                cx = 0
+                while cx < w:
+                    run = 1
+                    while (
+                        cx + run < w
+                        and row[cx + run] == row[cx]
+                        and run < 255
+                    ):
+                        run += 1
+                    out += bytes([run, int(row[cx])])
+                    cx += run
+                out += b"\x00\x00"  # end of line
+            out[-2:] = b"\x00\x01"  # end of bitmap
+            return hdr(h, 8, 1, n) + pal_quads.tobytes() + bytes(out)
+        idx = ((i + x[None, :] * 2 + y[:, None]) % n).astype(np.uint8)
+        top_down = variant == 0 and i % 2 == 1
+        rows_src = idx if top_down else idx[::-1]
+        stride = (w * bpp + 31) // 32 * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        if bpp == 8:
+            rows[:, :w] = rows_src
+        else:
+            shifts = np.arange(bpp - 1, -1, -1)
+            bits = (rows_src[:, :, None] >> shifts[None, None, :]) & 1
+            packed = np.packbits(
+                bits.reshape(h, w * bpp).astype(np.uint8), axis=1
+            )
+            rows[:, : packed.shape[1]] = packed
+        return (
+            hdr(-h if top_down else h, bpp, 0, n)
+            + pal_quads.tobytes()
+            + rows.tobytes()
+        )
+    if variant == 4:
+        r5 = (i + x[None, :] + 0 * y[:, None]) % 32
+        g6 = (x[None, :] + 2 * y[:, None]) % 64
+        b5 = (2 * i + y[:, None] + 0 * x[None, :]) % 32
+        v = ((r5 << 11) | (g6 << 5) | b5).astype(np.uint32)[::-1]
+        stride = (w * 2 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        le = np.stack([v & 0xFF, v >> 8], axis=2).astype(np.uint8)
+        rows[:, : w * 2] = le.reshape(h, w * 2)
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        return hdr(h, 16, 3, 0, masks) + rows.tobytes()
+    px = _bmp_variant_pixels(i)[::-1]  # bottom-up RGBX dwords
+    raw = np.zeros((h, w, 4), dtype=np.uint8)
+    raw[:, :, :3] = px
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    return hdr(h, 32, 3, 0, masks) + raw.tobytes()
+
+
+def _bmp_variant_sums(i: int):
+    px = _bmp_variant_pixels(i).astype("int64")
+    s = px.sum(axis=(0, 1))
+    return int(s[0]), int(s[1]), int(s[2])
+
+
+_BMPV_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {r}, {g}, {b})".format(
+        i=i,
+        r=_bmp_variant_sums(i)[0],
+        g=_bmp_variant_sums(i)[1],
+        b=_bmp_variant_sums(i)[2],
+    )
+    for i in range(BMPV_N_ITEMS)
 )
 
 # ---------------- real WAV decode certification (closed-form oracle) ----
@@ -216,6 +371,55 @@ _MP4_ORACLE_ROWS = ",\n          ".join(
         h=_mp4_probe_formula(i)[2],
     )
     for i in range(MP4_N_ITEMS)
+)
+
+MP3_N_ITEMS = 48
+
+
+def _mp3_probe_spec(i: int):
+    """(version_bits, layer, sample_rate, per-frame kbps, id3_size)
+    the builder packs for item i — cycling MPEG-1/2/2.5, Layers
+    I/II/III, CBR and VBR, with and without an ID3v2 tag."""
+    n = 8 + i % 9
+    v = i % 6
+    if v == 0:
+        return 3, 3, 44100, [128] * n, (i * 17) % 200
+    if v == 1:
+        return 3, 3, 48000, [[64, 128, 192, 320][j % 4] for j in range(n)], 0
+    if v == 2:
+        return 2, 3, 22050, [64] * n, (i * 7) % 100
+    if v == 3:
+        return 0, 3, 8000, [16] * n, 0
+    if v == 4:
+        return 3, 2, 44100, [192] * n, 0
+    return 3, 1, 32000, [224] * n, (i * 11) % 64
+
+
+def _mp3_probe_formula(i: int):
+    """(n_frames*10+layer, total_samples, sample_rate*10+vbr) the
+    probe must read back — samples-per-frame restated closed-form
+    here (384 / 1152 / 576) independent of the frame-geometry code
+    the builder and probe share."""
+    vbits, layer, sr, kbps, _ = _mp3_probe_spec(i)
+    if layer == 1:
+        spf = 384
+    elif layer == 2:
+        spf = 1152
+    else:
+        spf = 1152 if vbits == 3 else 576
+    n = len(kbps)
+    vbr = 1 if len(set(kbps)) > 1 else 0
+    return n * 10 + layer, n * spf, sr * 10 + vbr
+
+
+_MP3PROBE_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {a}, {b}, {c})".format(
+        i=i,
+        a=_mp3_probe_formula(i)[0],
+        b=_mp3_probe_formula(i)[1],
+        c=_mp3_probe_formula(i)[2],
+    )
+    for i in range(MP3_N_ITEMS)
 )
 
 # ------------- real GIF decode certification (closed-form oracle) -------
@@ -376,9 +580,13 @@ def encode_bmp(rgb) -> bytes:
 
 
 def decode_bmp(payload: bytes):
-    """REAL media decode, dependency-free: parse a 24-bit uncompressed
-    BMP into an (H, W, 3) uint8 RGB array (numpy frombuffer on the
-    padded bottom-up BGR rows — no per-pixel Python)."""
+    """REAL media decode, dependency-free: BITMAPINFOHEADER BMPs in
+    every common on-disk shape — 1/4/8-bit palette (uncompressed and
+    RLE8/RLE4), 16-bit 555/565 via BI_BITFIELDS masks, 24-bit BGR,
+    32-bit BGRX/BI_BITFIELDS — bottom-up or top-down rows, 4-byte row
+    padding. Returns an (H, W, 3) uint8 RGB array. Palette/bitfield
+    paths are numpy lookups; RLE decodes per-run (not per-pixel)
+    Python, bounded by the run count."""
     import struct
 
     import numpy as np
@@ -386,17 +594,150 @@ def decode_bmp(payload: bytes):
     if bytes(payload[:2]) != b"BM":
         raise ValueError("not a BMP payload")
     off = struct.unpack_from("<I", payload, 10)[0]
-    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
-    if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
-        raise NotImplementedError(
-            "only 24-bit uncompressed top-populated BMP is implemented"
-        )
-    row_size = (w * 3 + 3) & ~3
-    arr = np.frombuffer(
-        payload, dtype=np.uint8, count=row_size * h, offset=off
-    ).reshape(h, row_size)
-    bgr = arr[:, : w * 3].reshape(h, w, 3)[::-1]
-    return bgr[:, :, ::-1].copy()
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    top_down = h < 0
+    h = -h if top_down else h
+    if w <= 0 or h <= 0:
+        raise ValueError("BMP degenerate dimensions")
+    (clr_used,) = struct.unpack_from("<I", payload, 14 + 32)
+
+    def rows_bottom_up(arr):  # (h, w, 3) stored bottom-up unless top-down
+        return arr if top_down else arr[::-1]
+
+    def palette(n_default: int) -> np.ndarray:
+        n = clr_used or n_default
+        pal_off = 14 + hdr_size + (12 if comp == 3 and hdr_size == 40 else 0)
+        quads = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n, offset=pal_off
+        ).reshape(n, 4)
+        return quads[:, 2::-1].copy()  # BGRA quads → RGB
+
+    def bitfield_channels(v, masks):
+        chans = []
+        for m in masks:
+            if m == 0:
+                raise ValueError("BMP zero bitfield mask")
+            shift = (m & -m).bit_length() - 1
+            mx = m >> shift
+            chans.append(((v & m) >> shift) * 255 // mx)
+        return np.stack(chans, axis=2).astype(np.uint8)
+
+    if bpp in (1, 4, 8) and comp == 0:
+        pal = palette(1 << bpp)
+        stride = (w * bpp + 31) // 32 * 4
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = raw[:, :w]
+        else:
+            bits = np.unpackbits(raw, axis=1)[:, : w * bpp]
+            if bpp == 1:
+                idx = bits
+            else:
+                v = bits.reshape(h, w, 4)
+                weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+                idx = (v * weights).sum(axis=2).astype(np.uint8)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("BMP pixel index beyond palette")
+        return rows_bottom_up(pal[idx]).copy()
+
+    if bpp in (4, 8) and comp in (1, 2):
+        if (comp == 1) != (bpp == 8):
+            raise ValueError("BMP RLE compression/bpp mismatch")
+        pal = palette(1 << bpp)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        pos, x, y = off, 0, 0
+        data = payload
+        while pos + 1 < len(data):
+            n, v = data[pos], data[pos + 1]
+            pos += 2
+            if n:  # encoded run: n pixels of value(s) v
+                if bpp == 8:
+                    px = np.full(n, v, dtype=np.uint8)
+                else:  # RLE4: alternate high/low nibble
+                    px = np.where(
+                        np.arange(n) % 2 == 0, v >> 4, v & 0x0F
+                    ).astype(np.uint8)
+                end = min(x + n, w)
+                if y >= h:
+                    raise ValueError("BMP RLE writes past image")
+                idx[y, x:end] = px[: end - x]
+                x = end
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta: skipped pixels stay 0 per convention
+                x = min(x + data[pos], w)
+                y += data[pos + 1]
+                pos += 2
+            else:  # absolute mode: v literal pixels, word-aligned
+                if bpp == 8:
+                    lit = np.frombuffer(
+                        data, dtype=np.uint8, count=v, offset=pos
+                    )
+                    pos += (v + 1) & ~1
+                else:
+                    nbytes = (v + 1) // 2
+                    b = np.frombuffer(
+                        data, dtype=np.uint8, count=nbytes, offset=pos
+                    )
+                    lit = np.empty(nbytes * 2, dtype=np.uint8)
+                    lit[0::2] = b >> 4
+                    lit[1::2] = b & 0x0F
+                    lit = lit[:v]
+                    pos += (nbytes + 1) & ~1
+                end = min(x + v, w)
+                if y >= h:
+                    raise ValueError("BMP RLE writes past image")
+                idx[y, x:end] = lit[: end - x]
+                x = end
+        if int(idx.max()) >= len(pal):
+            raise ValueError("BMP pixel index beyond palette")
+        # RLE coordinates address bottom-up rows
+        return (pal[idx] if top_down else pal[idx][::-1]).copy()
+
+    if bpp == 16 and comp in (0, 3):
+        if comp == 3:
+            rm, gm, bm = struct.unpack_from("<III", payload, 14 + 40)
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # default 555
+        stride = (w * 2 + 3) & ~3
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        v = raw[:, : w * 2].reshape(h, w, 2)
+        v = v[:, :, 0].astype(np.uint32) | (v[:, :, 1].astype(np.uint32) << 8)
+        return rows_bottom_up(bitfield_channels(v, (rm, gm, bm))).copy()
+
+    if bpp == 24 and comp == 0:
+        row_size = (w * 3 + 3) & ~3
+        arr = np.frombuffer(
+            payload, dtype=np.uint8, count=row_size * h, offset=off
+        ).reshape(h, row_size)
+        bgr = arr[:, : w * 3].reshape(h, w, 3)
+        return rows_bottom_up(bgr[:, :, ::-1]).copy()
+
+    if bpp == 32 and comp in (0, 3):
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=w * 4 * h, offset=off
+        ).reshape(h, w, 4)
+        if comp == 3:
+            rm, gm, bm = struct.unpack_from("<III", payload, 14 + 40)
+            v = raw.view(np.uint32).reshape(h, w)
+            arr = bitfield_channels(v, (rm, gm, bm))
+        else:
+            arr = raw[:, :, 2::-1]  # BGRX → RGB
+        return rows_bottom_up(arr).copy()
+
+    raise NotImplementedError(
+        f"BMP bpp={bpp} compression={comp} is not a supported variant"
+    )
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1084,6 +1425,147 @@ _FEATURES_ORACLE = f"""
 """
 
 
+# ------------- MPEG audio (MP3) metadata probe ---------------------------
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table indexed by bitrate index 1..14
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # version bits -> sample rates
+_MP3_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def _mp3_frame_geometry(version_bits: int, layer: int, kbps: int, sr: int,
+                        padding: int):
+    """(frame_bytes, samples_per_frame) from the public MPEG audio
+    frame-size formulas (ISO/IEC 11172-3 / 13818-3)."""
+    if layer == 1:
+        return (12 * kbps * 1000 // sr + padding) * 4, 384
+    if layer == 2:
+        return 144 * kbps * 1000 // sr + padding, 1152
+    if version_bits == 3:  # MPEG-1 Layer III
+        return 144 * kbps * 1000 // sr + padding, 1152
+    return 72 * kbps * 1000 // sr + padding, 576  # MPEG-2/2.5 Layer III
+
+
+def probe_audio_metadata(payload: bytes) -> dict:
+    """REAL compressed-audio METADATA probe, dependency-free: skip an
+    ID3v2 tag (syncsafe size), then walk MPEG audio frame headers —
+    version, layer, per-frame bitrate index, sample rate, channel
+    mode — using the public frame-size formulas, without decoding a
+    single granule. Like :func:`probe_video_metadata`, this is the
+    half of compressed-media support a 100 TB corpus audit needs
+    first (what is this file, how long, what rate); frame DECODE
+    still requires a codec runtime and stays behind
+    :func:`decode_real_media`'s documented gate. Tolerates trailing
+    junk (e.g. an ID3v1 tag) after the last frame. Raises ValueError
+    when no frame sync is found."""
+    buf = bytes(payload)
+    pos = 0
+    id3_bytes = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        flags = buf[5]
+        size = ((buf[6] & 0x7F) << 21 | (buf[7] & 0x7F) << 14
+                | (buf[8] & 0x7F) << 7 | (buf[9] & 0x7F))
+        id3_bytes = 10 + size + (10 if flags & 0x10 else 0)
+        pos = id3_bytes
+    n_frames = 0
+    total_samples = 0
+    total_bits = 0
+    version = layer = sr = None
+    mode = None
+    kbps_seen = set()
+    while pos + 4 <= len(buf):
+        b0, b1, b2, b3 = buf[pos], buf[pos + 1], buf[pos + 2], buf[pos + 3]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk ends the walk
+            pos += 1
+            continue
+        vbits = (b1 >> 3) & 3
+        lbits = (b1 >> 1) & 3
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        mode_idx = (b3 >> 6) & 3
+        if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        f_layer = 4 - lbits  # bits 11/10/01 -> layer I/II/III
+        vgroup = 1 if vbits == 3 else 2
+        f_kbps = _MP3_BITRATES[(vgroup, f_layer)][br_idx - 1]
+        f_sr = _MP3_RATES[vbits][sr_idx]
+        if n_frames and (f_layer != layer or f_sr != sr):
+            break  # a stream never changes layer/rate mid-file
+        size, samples = _mp3_frame_geometry(vbits, f_layer, f_kbps, f_sr,
+                                            padding)
+        if size < 4 or pos + size > len(buf):
+            break
+        version = {3: "1", 2: "2", 0: "2.5"}[vbits]
+        layer, sr = f_layer, f_sr
+        mode = _MP3_MODES[mode_idx]
+        kbps_seen.add(f_kbps)
+        n_frames += 1
+        total_samples += samples
+        total_bits += size * 8
+        pos += size
+    if not n_frames:
+        raise ValueError("no MPEG audio frame sync found")
+    duration_s = total_samples / sr
+    return {
+        "format": "mp3",
+        "mpeg_version": version,
+        "layer": layer,
+        "sample_rate": sr,
+        "channel_mode": mode,
+        "n_frames": n_frames,
+        "duration_s": duration_s,
+        "avg_bitrate_kbps": total_bits / duration_s / 1000.0,
+        "vbr": len(kbps_seen) > 1,
+        "id3v2_bytes": id3_bytes,
+    }
+
+
+def build_mp3(frame_kbps, sample_rate=44100, version_bits=3, layer=3,
+              mode_idx=1, id3_size=0) -> bytes:
+    """Builder half of the mp3_probe certification: emit an optional
+    ID3v2 tag and one valid MPEG audio frame header per requested
+    bitrate, with zero-filled audio payloads (a probe never reads
+    them). This is a HEADER container (what a metadata pass sees),
+    not a playable file."""
+    vgroup = 1 if version_bits == 3 else 2
+    table = _MP3_BITRATES[(vgroup, layer)]
+    rates = _MP3_RATES[version_bits]
+    sr_idx = rates.index(sample_rate)
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + bytes(id3_size)
+    lbits = 4 - layer
+    for j, kbps in enumerate(frame_kbps):
+        br_idx = table.index(kbps) + 1
+        padding = j % 2  # exercise the padding bit
+        size, _ = _mp3_frame_geometry(version_bits, layer, kbps,
+                                      sample_rate, padding)
+        hdr = bytes([
+            0xFF,
+            0xE0 | (version_bits << 3) | (lbits << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            (mode_idx << 6),
+        ])
+        out += hdr + bytes(size - 4)
+    return bytes(out)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing: binary payload +
     metadata struct through an Arrow-batched mapInPandas kernel.
@@ -1118,6 +1600,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
           {_BMP_ORACLE_ROWS}
+        ) AS t(i, r, g, b)
+        UNION ALL
+        SELECT 'bmp_variants' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_BMPV_ORACLE_ROWS}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'png_roundtrip' AS section,
@@ -1164,6 +1655,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (VALUES
           {_MP4_ORACLE_ROWS}
         ) AS t(i, d, w, h)
+        UNION ALL
+        SELECT 'mp3_probe' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(c AS BIGINT) AS m3
+        FROM (VALUES
+          {_MP3PROBE_ORACLE_ROWS}
+        ) AS t(i, a, b, c)
         UNION ALL
         SELECT 'jpeg420_progressive' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
@@ -1230,7 +1730,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "back by decode_real_media's pure-numpy BMP branch, and reduced "
         "to per-channel pixel sums (m1/m2/m3 = R/G/B); the oracle is "
         "the closed-form pixel formula, so any wrong byte in the "
-        "container layout breaks the hash. `png_roundtrip`: the same "
+        "container layout breaks the hash. `bmp_variants`: the same "
+        "certification through every other common BMP shape — 48 items "
+        "cycling 8/4/1-bit palette (incl. top-down rows), a genuine "
+        "RLE8 run-length encode, 16-bit 565 and 32-bit RGBX "
+        "BI_BITFIELDS — each packed independently executor-side and "
+        "decoded back through decode_bmp's variant branches. "
+        "`png_roundtrip`: the same "
         "certification through REAL PNG containers (stdlib zlib "
         "deflate/inflate + CRC-verified chunks; scanline filters cycle "
         "all five types so the decoder's full unfiltering path — "
@@ -1271,6 +1777,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "walked back by probe_video_metadata (m1/m2/m3 = duration_ms/"
         "width/height) — the no-decode metadata pass a 100 TB media "
         "corpus runs first, certified against the closed form. "
+        "`mp3_probe`: the same no-decode pass for COMPRESSED AUDIO — "
+        "48 MPEG audio streams (versions 1/2/2.5, Layers I/II/III, "
+        "CBR + VBR, optional ID3v2 tags) built header-by-header from "
+        "the public frame-size formulas and walked back by "
+        "probe_audio_metadata (m1/m2/m3 = n_frames*10+layer / "
+        "total_samples / rate*10+vbr); a wrong bitrate table entry, "
+        "frame-size factor, or syncsafe ID3 skip breaks the hash. "
         "`gif_roundtrip`: REAL dependency-free GIF decode "
         "(operators/gif.py: variable-width LSB-first LZW, 4-pass row "
         "interlace, transparency + animation compositing) — 48 "
@@ -1322,12 +1835,14 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rollup.unionByName(frames)
         .unionByName(codec_rows("bmp_roundtrip"))
+        .unionByName(codec_rows("bmp_variants"))
         .unionByName(codec_rows("png_roundtrip"))
         .unionByName(codec_rows("wav_roundtrip"))
         .unionByName(codec_rows("jpeg_roundtrip"))
         .unionByName(codec_rows("jpeg420_roundtrip"))
         .unionByName(codec_rows("jpeg420_progressive"))
         .unionByName(codec_rows("mp4_probe"))
+        .unionByName(codec_rows("mp3_probe"))
         .unionByName(codec_rows("gif_roundtrip"))
         .unionByName(codec_rows("adpcm_roundtrip"))
     )
@@ -1346,11 +1861,13 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     stream/tables/IDCT) breaks the hash match. Scan → mapInPandas,
     shuffle-free."""
     use_png = section == "png_roundtrip"
+    use_bmpv = section == "bmp_variants"
     use_wav = section == "wav_roundtrip"
     use_jpeg = section == "jpeg_roundtrip"
     use_jpeg420 = section in ("jpeg420_roundtrip", "jpeg420_progressive")
     use_progressive = section == "jpeg420_progressive"
     use_mp4 = section == "mp4_probe"
+    use_mp3 = section == "mp3_probe"
     use_gif = section == "gif_roundtrip"
     use_adpcm = section == "adpcm_roundtrip"
 
@@ -1376,6 +1893,22 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                         int(round(meta["duration_s"] * 1000)),
                         trk["width"],
                         trk["height"],
+                    )
+                elif use_mp3:
+                    vbits, layer, sr, kbps, id3 = _mp3_probe_spec(i)
+                    meta = probe_audio_metadata(
+                        build_mp3(
+                            kbps, sr, version_bits=vbits, layer=layer,
+                            mode_idx=i % 4, id3_size=id3,
+                        )
+                    )
+                    assert meta["format"] == "mp3"
+                    assert meta["channel_mode"] == _MP3_MODES[i % 4]
+                    assert meta["id3v2_bytes"] == (10 + id3 if id3 else 0)
+                    vals = (
+                        meta["n_frames"] * 10 + meta["layer"],
+                        int(round(meta["duration_s"] * meta["sample_rate"])),
+                        meta["sample_rate"] * 10 + int(meta["vbr"]),
                     )
                 elif use_gif:
                     from .gif import encode_gif
@@ -1498,6 +2031,14 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert decoded.shape == (h, w, 3)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_bmpv:
+                    variant, w, h = _bmp_variant_spec(i)
+                    decoded = decode_real_media(
+                        _pack_bmp_variant(i), "image/bmp"
+                    )
+                    assert decoded.shape == (h, w, 3)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_wav:
                     n = 256 + (i * 31) % 256
                     rate = 8000 + 125 * (i % 8)
@@ -1548,10 +2089,14 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if (use_jpeg or use_jpeg420)
         else MP4_N_ITEMS
         if use_mp4
+        else MP3_N_ITEMS
+        if use_mp3
         else GIF_N_ITEMS
         if use_gif
         else ADPCM_N_ITEMS
         if use_adpcm
+        else BMPV_N_ITEMS
+        if use_bmpv
         else BMP_N_ITEMS
     )
     return spark.range(n_items).mapInPandas(
