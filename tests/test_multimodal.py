@@ -1122,3 +1122,56 @@ def test_mp3_metadata_probe():
     # garbage raises; decode (vs probe) stays behind the gate
     with pytest.raises(ValueError):
         probe_audio_metadata(b"\x00" * 64)
+
+
+def test_bmp_core_header_decodes():
+    """OS/2 BITMAPCOREHEADER BMPs (12-byte header, u16 dims, 3-byte
+    palette triples) decode: 24-bit and 8/4/1-bit palette shapes."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    def hdr(w, h, bpp, n_pal=0):
+        body_off = 14 + 12 + 3 * n_pal
+        return (
+            b"BM" + struct.pack("<IHHI", 0, 0, 0, body_off)
+            + struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        )
+
+    rng = np.random.default_rng(33)
+
+    # 24-bit: bottom-up padded BGR rows
+    rgb = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    rows = np.zeros((5, 12), dtype=np.uint8)
+    rows[:, :9] = rgb[::-1][:, :, ::-1].reshape(5, 9)
+    assert (decode_bmp(hdr(3, 5, 24) + rows.tobytes()) == rgb).all()
+
+    # 8-bit palette with RGB TRIPLES (not quads)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    stride = (6 + 3) & ~3
+    rows = np.zeros((4, stride), dtype=np.uint8)
+    rows[:, :6] = idx[::-1]
+    blob = hdr(6, 4, 8, 256) + pal.tobytes() + rows.tobytes()
+    assert (decode_bmp(blob) == pal[idx][:, :, ::-1]).all()
+
+    # 1-bit palette
+    pal1 = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    idx = rng.integers(0, 2, (3, 9), dtype=np.uint8)
+    stride = (9 + 31) // 32 * 4
+    rows = np.zeros((3, stride), dtype=np.uint8)
+    for y in range(3):
+        bits = np.zeros(stride * 8, dtype=np.uint8)
+        bits[:9] = idx[y]
+        rows[y] = np.packbits(bits)
+    blob = hdr(9, 3, 1, 2) + pal1.tobytes() + rows[::-1].tobytes()
+    assert (decode_bmp(blob) == pal1[idx][:, :, ::-1]).all()
+
+    # unsupported core bpp still gated
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr(2, 2, 16) + bytes(16))

@@ -584,9 +584,10 @@ def decode_bmp(payload: bytes):
     every common on-disk shape — 1/4/8-bit palette (uncompressed and
     RLE8/RLE4), 16-bit 555/565 via BI_BITFIELDS masks, 24-bit BGR,
     32-bit BGRX/BI_BITFIELDS — bottom-up or top-down rows, 4-byte row
-    padding. Returns an (H, W, 3) uint8 RGB array. Palette/bitfield
-    paths are numpy lookups; RLE decodes per-run (not per-pixel)
-    Python, bounded by the run count."""
+    padding; plus legacy OS/2 BITMAPCOREHEADER (u16 dims, 3-byte
+    palette triples). Returns an (H, W, 3) uint8 RGB array.
+    Palette/bitfield paths are numpy lookups; RLE decodes per-run
+    (not per-pixel) Python, bounded by the run count."""
     import struct
 
     import numpy as np
@@ -597,8 +598,41 @@ def decode_bmp(payload: bytes):
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
         "<IiiHHI", payload, 14
     )
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER: u16 dims, RGB triples
+        w, h, _planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+        if w == 0 or h == 0:
+            raise ValueError("BMP degenerate dimensions")
+        if bpp == 24:
+            row_size = (w * 3 + 3) & ~3
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=row_size * h, offset=off
+            ).reshape(h, row_size)
+            return arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+        if bpp in (1, 4, 8):
+            n = 1 << bpp
+            pal = (
+                np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=26)
+                .reshape(n, 3)[:, ::-1]
+                .copy()
+            )
+            stride = (w * bpp + 31) // 32 * 4
+            raw = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)
+            if bpp == 8:
+                idx = raw[:, :w]
+            else:
+                bits = np.unpackbits(raw, axis=1)[:, : w * bpp]
+                if bpp == 1:
+                    idx = bits
+                else:
+                    v = bits.reshape(h, w, 4)
+                    weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+                    idx = (v * weights).sum(axis=2).astype(np.uint8)
+            return pal[idx][::-1].copy()
+        raise NotImplementedError(f"BITMAPCOREHEADER bpp={bpp}")
     if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP")
+        raise NotImplementedError(f"BMP header size {hdr_size}")
     top_down = h < 0
     h = -h if top_down else h
     if w <= 0 or h <= 0:
