@@ -1175,3 +1175,36 @@ def test_bmp_core_header_decodes():
     # unsupported core bpp still gated
     with pytest.raises(NotImplementedError):
         decode_bmp(hdr(2, 2, 16) + bytes(16))
+
+
+def test_tiff_metadata_probe():
+    """probe_image_metadata reads TIFF IFD0 dims in both byte orders,
+    SHORT and LONG tag types."""
+    import struct
+
+    import pytest
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        probe_image_metadata,
+    )
+
+    def tiff(bo, w, h, typ):
+        fmt = {"II": "<", "MM": ">"}[bo]
+        entries = []
+        for tag, v in ((256, w), (257, h), (258, 16)):
+            if typ == 3:  # SHORT: value left-justified in the 4-byte slot
+                val = struct.pack(fmt + "H", v) + b"\x00\x00"
+            else:
+                val = struct.pack(fmt + "I", v)
+            entries.append(struct.pack(fmt + "HHI", tag, typ, 1) + val)
+        ifd = struct.pack(fmt + "H", len(entries)) + b"".join(entries) + bytes(4)
+        return (bo.encode() + struct.pack(fmt + "HI", 42, 8) + ifd)
+
+    m = probe_image_metadata(tiff("II", 640, 480, 3))
+    assert m == {"format": "tiff", "width": 640, "height": 480,
+                 "bit_depth": 16}
+    m = probe_image_metadata(tiff("MM", 123, 77, 4))
+    assert m["width"] == 123 and m["height"] == 77
+
+    with pytest.raises(ValueError):
+        probe_image_metadata(b"II\x00\x00" + bytes(16))  # bad magic

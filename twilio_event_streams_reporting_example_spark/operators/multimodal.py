@@ -1172,7 +1172,8 @@ def probe_image_metadata(payload: bytes) -> dict:
     format + pixel dimensions from the HEADER ONLY — no entropy
     decode, no inflate — for JPEG (marker walk to any SOFn), PNG
     (IHDR), BMP (BITMAPINFOHEADER), GIF (logical screen descriptor),
-    and WebP (VP8/VP8L/VP8X chunk headers). At 100 TB this is the
+    WebP (VP8/VP8L/VP8X chunk headers), and TIFF (IFD0 walk, both
+    byte orders, SHORT/LONG dims). At 100 TB this is the
     first pass a media corpus runs (dimension/format stats, size
     filters) and it must not pay decode cost. Raises ValueError for
     unrecognized payloads."""
@@ -1258,6 +1259,38 @@ def probe_image_metadata(payload: bytes) -> dict:
             (h,) = struct.unpack_from("<H", buf, 28)
             return {"format": "webp", "width": w & 0x3FFF, "height": h & 0x3FFF}
         raise ValueError(f"unknown WebP chunk {tag!r}")
+    if buf[:2] in (b"II", b"MM"):  # TIFF: IFD0 walk for dims
+        bo = {b"II": "<", b"MM": ">"}[bytes(buf[:2])]
+        if struct.unpack_from(bo + "H", buf, 2)[0] != 42:
+            raise ValueError("bad TIFF magic")
+        (ifd,) = struct.unpack_from(bo + "I", buf, 4)
+        if ifd + 2 > len(buf):
+            raise ValueError("TIFF IFD out of range")
+        (n,) = struct.unpack_from(bo + "H", buf, ifd)
+        dims = {}
+        bps = 1
+        for e in range(n):
+            off = ifd + 2 + 12 * e
+            if off + 12 > len(buf):
+                break
+            tag, typ, _cnt = struct.unpack_from(bo + "HHI", buf, off)
+            if tag in (256, 257, 258):  # width / length / bits-per-sample
+                if typ == 3:  # SHORT values sit in the value slot
+                    (v,) = struct.unpack_from(bo + "H", buf, off + 8)
+                elif typ == 4:
+                    (v,) = struct.unpack_from(bo + "I", buf, off + 8)
+                else:
+                    continue
+                if tag == 258:
+                    bps = v
+                else:
+                    dims[tag] = v
+        if 256 in dims and 257 in dims:
+            return {
+                "format": "tiff", "width": dims[256], "height": dims[257],
+                "bit_depth": bps,
+            }
+        raise ValueError("TIFF missing dimension tags")
     raise ValueError("unrecognized image container")
 
 
