@@ -1,0 +1,68 @@
+"""The committed data-at-rest media fixture stays in lockstep with the
+closed-form generators: stored payload bytes must equal the builder's
+output byte-for-byte, and each stored payload must decode to the
+closed-form oracle values. (The Spark-side certification is the
+`stored_payload_decode` section of `multimodal_media_ops`.)"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+    MEDIA_FIXTURE_PATH,
+    STORED_N_ITEMS,
+    _stored_payload_formula,
+    decode_real_media,
+    media_fixture_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def stored():
+    assert os.path.exists(MEDIA_FIXTURE_PATH), (
+        "fixture missing — run tools/build_media_fixture.py"
+    )
+    t = pq.read_table(MEDIA_FIXTURE_PATH)
+    return {
+        int(i): (str(k), bytes(p))
+        for i, k, p in zip(
+            t["item_id"].to_pylist(), t["kind"].to_pylist(),
+            t["payload"].to_pylist(),
+        )
+    }
+
+
+def test_stored_bytes_match_builder(stored):
+    rows = media_fixture_rows()
+    assert len(rows) == len(stored) == STORED_N_ITEMS
+    for j, kind, payload in rows:
+        skind, spayload = stored[j]
+        assert skind == kind, j
+        assert spayload == payload, (j, kind)
+
+
+def test_stored_payloads_decode_to_closed_form(stored):
+    for j, (kind, payload) in stored.items():
+        want = _stored_payload_formula(j)
+        if kind in ("bmp", "png"):
+            decoded = decode_real_media(payload, f"image/{kind}")
+            sums = decoded.astype(np.int64).sum(axis=(0, 1))
+            got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        else:
+            decoded, rate = decode_real_media(payload, "audio/wav")
+            n, ch = decoded.shape
+            sums = decoded.astype(np.int64).sum(axis=0)
+            m3 = (
+                n * 100000 + rate
+                if kind == "wav"
+                else n * 100000 + rate * 10 + ch
+            )
+            got = (int(sums[0]), int(sums[1]) if ch == 2 else 0, m3)
+        assert got == tuple(want), (j, kind)
+
+
+def test_fixture_covers_all_kinds(stored):
+    kinds = {k for k, _ in stored.values()}
+    assert kinds == {"bmp", "png", "wav", "ima", "ms"}

@@ -194,13 +194,15 @@ def test_wav_codec_roundtrip_layout_and_gates():
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     arr, rate = decode_wav(spliced)
     assert rate == 44100 and (arr == sig).all()
-    # gate: block codecs (ADPCM, format tag 2) are not silently wrong
-    # (float/8/24/32-bit PCM and G.711 now decode for real —
-    # test_wav_variant_roundtrips / test_wav_g711_decode cover them)
-    adpcm_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    # gate: still-compressed-in-RIFF codecs (MP3-in-RIFF, tag 0x55)
+    # are not silently wrong (float/8/24/32-bit PCM, G.711, and both
+    # IMA/MS ADPCM block codecs now decode for real —
+    # test_wav_variant_roundtrips / test_wav_g711_decode /
+    # test_adpcm.py / test_adpcm_ms.py cover them)
+    mp3_fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 1000, 1, 8)
     bad = (
         b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + adpcm_fmt
+        + b"fmt " + struct.pack("<I", 16) + mp3_fmt
         + b"data" + struct.pack("<I", 0)
     )
     with pytest.raises(NotImplementedError):
@@ -546,14 +548,15 @@ def test_wav_variant_roundtrips():
         arr, got_rate = decode_wav(blob)
         assert arr.dtype == want_dtype and got_rate == rate
         assert (arr == sig).all(), (want_dtype, bits)
-    # block codecs (ADPCM, format tag 2) stay behind the gate
-    # (G.711 mu/A-law now expand for real — test_wav_g711_decode)
+    # MS ADPCM (tag 2) now routes to the real block decoder — a data
+    # chunk that is not a whole number of blocks is a hard error, not
+    # a silent decode (full coverage in test_adpcm_ms.py)
     fmt_chunk = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
         + b"data" + struct.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
     # 24-bit emit demands int32 input; dtype/bits mismatch is an error
     with pytest.raises(ValueError):

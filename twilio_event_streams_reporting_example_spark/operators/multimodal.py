@@ -77,6 +77,45 @@ _BMP_ORACLE_ROWS = ",\n          ".join(
     for i in range(BMP_N_ITEMS)
 )
 
+def _build_gradient_image(i: int):
+    """(h, w, 3) uint8 gradient for synthetic image i — the generator
+    half of `_bmp_pixel_formula` (which only sums it), shared by the
+    bmp/png roundtrip kernels and the stored-payload fixture."""
+    import numpy as np
+
+    w = 16 + (i * 7) % 32
+    h = 16 + (i * 13) % 32
+    x = np.arange(w)
+    y = np.arange(h)
+    return np.stack(
+        [
+            np.broadcast_to(((i + x) % 256)[None, :], (h, w)),
+            np.broadcast_to(((i * 3 + y) % 256)[:, None], (h, w)),
+            (x[None, :] + y[:, None]) % 251,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _build_wav_signal(i: int):
+    """((n, 2) int16 stereo signal, rate) for synthetic clip i — the
+    generator half of `_wav_signal_formula`, shared by the
+    wav_roundtrip kernel and the stored-payload fixture."""
+    import numpy as np
+
+    n = 256 + (i * 31) % 256
+    rate = 8000 + 125 * (i % 8)
+    t = np.arange(n, dtype=np.int64)
+    sig = np.stack(
+        [
+            (i * 7 + t * t) % 4001 - 2000,
+            (i * 11 + 3 * t) % 4001 - 2000,
+        ],
+        axis=1,
+    ).astype(np.int16)
+    return sig, rate
+
+
 # -------- BMP variant decode certification (closed-form oracle) --------
 BMPV_N_ITEMS = 48
 
@@ -532,6 +571,276 @@ _ADPCM_ORACLE_ROWS = ",\n          ".join(
     )
     for i in range(ADPCM_N_ITEMS)
 )
+
+# -------- real MS ADPCM decode certification (closed-form oracle) --------
+ADPCM_MS_N_ITEMS = 42  # 42 items × per-channel (i + 3c) % 7 covers all
+#                        seven predictors in both mono and stereo layouts
+
+
+def _adpcm_ms_stream_spec(i: int):
+    """(channels, block_align, n_blocks, sample_rate) for the i-th
+    synthetic MS ADPCM stream."""
+    ch = 1 + i % 2
+    ba = 7 * ch + 4 * ch * (2 + i % 3)  # spb ∈ {18, 26, 34}
+    return ch, ba, 2 + (i // 2) % 3, 8000 + 100 * (i % 5)
+
+
+def _adpcm_ms_nibble(i: int, c: int, b: int, t: int) -> int:
+    return (i * 11 + c * 7 + b * 5 + t * 3 + (t * t) % 13) % 16
+
+
+def _adpcm_ms_pred(i: int, c: int) -> int:
+    return (i + c * 3) % 7
+
+
+def _adpcm_ms_delta0(i: int, c: int, b: int) -> int:
+    return 16 + (i * 13 + c * 19 + b * 23) % 500
+
+
+def _adpcm_ms_samp1(i: int, c: int, b: int) -> int:
+    return ((i * 89 + c * 41 + b * 31) % 4001) - 2000
+
+
+def _adpcm_ms_samp2(i: int, c: int, b: int) -> int:
+    return ((i * 67 + c * 37 + b * 53) % 4001) - 2000
+
+
+def _build_adpcm_payload(i: int) -> bytes:
+    """Real RIFF tag-0x11 container for IMA stream i, built closed-form
+    (headers + nibble bodies from the `_adpcm_*` formulas) — shared by
+    the in-gate `adpcm_roundtrip` kernel and the committed stored-
+    payload fixture."""
+    import struct as _struct
+
+    import numpy as np
+
+    ch, ba, n_blocks, rate = _adpcm_stream_spec(i)
+    spb = (ba // ch - 4) * 2 + 1
+    t = np.arange(spb - 1)
+    raw = bytearray()
+    for b in range(n_blocks):
+        nibs = np.stack(
+            [
+                (i * 7 + c * 5 + b * 13 + t * 3 + (t * t) % 11) % 16
+                for c in range(ch)
+            ]
+        ).astype(np.uint8)  # (ch, spb-1)
+        for c in range(ch):
+            raw += _struct.pack(
+                "<hBB", _adpcm_pred0(i, c, b), _adpcm_idx0(i, c, b), 0
+            )
+        # channel-interleaved 4-byte groups, low nibble first
+        g = nibs.reshape(ch, -1, 8)
+        packed = (g[..., 0::2] | (g[..., 1::2] << 4)).astype(np.uint8)
+        raw += packed.transpose(1, 0, 2).tobytes()
+    byte_rate = (rate * ba + spb - 1) // spb
+    fmtc = _struct.pack("<HHIIHHHH", 0x11, ch, rate, byte_rate, ba, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + _struct.pack("<I", len(raw)) + bytes(raw)
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _build_adpcm_ms_payload(i: int) -> bytes:
+    """Real RIFF tag-0x02 container for MS ADPCM stream i, built
+    closed-form (channel-grouped headers + HIGH-nibble-first bodies
+    from the `_adpcm_ms_*` formulas; coefficient pairs declared in the
+    fmt extension) — shared by the in-gate `adpcm_ms` kernel and the
+    committed stored-payload fixture."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .adpcm import MS_COEF1, MS_COEF2
+
+    ch, ba, n_blocks, rate = _adpcm_ms_stream_spec(i)
+    spb = (ba - 7 * ch) * 2 // ch + 2
+    t = np.arange(spb - 2)
+    raw = bytearray()
+    for b in range(n_blocks):
+        for c in range(ch):  # all bPredictor bytes
+            raw += bytes([_adpcm_ms_pred(i, c)])
+        for c in range(ch):  # all iDelta fields
+            raw += _struct.pack("<h", _adpcm_ms_delta0(i, c, b))
+        for c in range(ch):  # all iSamp1 fields
+            raw += _struct.pack("<h", _adpcm_ms_samp1(i, c, b))
+        for c in range(ch):  # all iSamp2 fields
+            raw += _struct.pack("<h", _adpcm_ms_samp2(i, c, b))
+        nibs = np.stack(
+            [
+                (i * 11 + c * 7 + b * 5 + t * 3 + (t * t) % 13) % 16
+                for c in range(ch)
+            ]
+        ).astype(np.uint8)  # (ch, spb-2)
+        # channel-alternating nibbles, HIGH nibble first
+        inter = nibs.T.reshape(-1)
+        raw += ((inter[0::2] << 4) | inter[1::2]).astype(np.uint8).tobytes()
+    byte_rate = (rate * ba + spb - 1) // spb
+    ext = _struct.pack("<HH", spb, 7) + b"".join(
+        _struct.pack("<hh", int(MS_COEF1[p]), int(MS_COEF2[p]))
+        for p in range(7)
+    )
+    fmtc = (
+        _struct.pack("<HHIIHHH", 0x02, ch, rate, byte_rate, ba, 4, len(ext))
+        + ext
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + _struct.pack("<I", len(raw)) + bytes(raw)
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _adpcm_ms_stream_formula(i: int):
+    """(sum_ch0, sum_ch1_or_0, n*100000 + rate*10 + ch) for MS ADPCM
+    stream i via the textbook SCALAR reference decode — the vectorized
+    block decoder in operators/adpcm.py is the system under test."""
+    from .adpcm import reference_decode_ms_nibbles
+
+    ch, ba, n_blocks, rate = _adpcm_ms_stream_spec(i)
+    spb = (ba - 7 * ch) * 2 // ch + 2
+    sums = [0, 0]
+    for c in range(ch):
+        for b in range(n_blocks):
+            nibs = [_adpcm_ms_nibble(i, c, b, t) for t in range(spb - 2)]
+            sums[c] += sum(
+                reference_decode_ms_nibbles(
+                    nibs,
+                    _adpcm_ms_pred(i, c),
+                    _adpcm_ms_delta0(i, c, b),
+                    _adpcm_ms_samp1(i, c, b),
+                    _adpcm_ms_samp2(i, c, b),
+                )
+            )
+    return sums[0], sums[1], n_blocks * spb * 100000 + rate * 10 + ch
+
+
+_ADPCM_MS_ORACLE_ROWS = ",\n          ".join(
+    "({i}, {a}, {b}, {m})".format(
+        i=i,
+        a=_adpcm_ms_stream_formula(i)[0],
+        b=_adpcm_ms_stream_formula(i)[1],
+        m=_adpcm_ms_stream_formula(i)[2],
+    )
+    for i in range(ADPCM_MS_N_ITEMS)
+)
+
+
+# -------- stored-payload fixture: real media bytes AT REST ---------------
+#
+# The other codec sections synthesize container bytes in-gate from
+# range(); this one exercises the north-star table layout for real: a
+# COMMITTED parquet file with a binary payload column, scanned and
+# decoded through the same mapInPandas kernels — data at rest, not
+# generated items. fixtures/media_payloads.parquet is written once by
+# tools/build_media_fixture.py from `media_fixture_rows()` below and
+# committed; tests/test_media_fixture.py pins stored bytes == builder
+# output so formula drift cannot silently diverge from the file.
+STORED_N_ITEMS = 50
+_STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
+
+MEDIA_FIXTURE_PATH = str(
+    __import__("pathlib").Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "media_payloads.parquet"
+)
+
+
+def media_fixture_rows() -> list:
+    """The committed fixture's exact content: (item_id, kind, payload)
+    for 50 items cycling five real container formats, each built from
+    the SAME closed-form generators the in-gate sections certify
+    (item_id j → kind j%5, formula index j//5)."""
+    rows = []
+    for j in range(STORED_N_ITEMS):
+        kind = _STORED_KINDS[j % 5]
+        i = j // 5
+        if kind == "bmp":
+            payload = encode_bmp(_build_gradient_image(i))
+        elif kind == "png":
+            payload = encode_png(_build_gradient_image(i))
+        elif kind == "wav":
+            sig, rate = _build_wav_signal(i)
+            payload = encode_wav(sig, rate)
+        elif kind == "ima":
+            payload = _build_adpcm_payload(i)
+        else:
+            payload = _build_adpcm_ms_payload(i)
+        rows.append((j, kind, payload))
+    return rows
+
+
+def _stored_payload_formula(j: int):
+    """(m1, m2, m3) the decode of stored item j must produce — pure
+    closed-form / independent-scalar-reference math, no codec."""
+    kind = _STORED_KINDS[j % 5]
+    i = j // 5
+    if kind in ("bmp", "png"):
+        _w, _h, r, g, b = _bmp_pixel_formula(i)
+        return r, g, b
+    if kind == "wav":
+        n, rate, s_l, s_r = _wav_signal_formula(i)
+        return s_l, s_r, n * 100000 + rate
+    if kind == "ima":
+        return _adpcm_stream_formula(i)
+    return _adpcm_ms_stream_formula(i)
+
+
+_STORED_ORACLE_ROWS = ",\n          ".join(
+    "({j}, {a}, {b}, {m})".format(
+        j=j,
+        a=_stored_payload_formula(j)[0],
+        b=_stored_payload_formula(j)[1],
+        m=_stored_payload_formula(j)[2],
+    )
+    for j in range(STORED_N_ITEMS)
+)
+
+
+def _stored_payload_rows(spark: SparkSession) -> DataFrame:
+    """Scan the committed binary-column fixture and decode every
+    payload through :func:`decode_real_media`'s signature dispatch —
+    the data-at-rest decode pass (scan → mapInPandas, shuffle-free).
+    At 100 TB this is the exact plan shape: parquet scan of (id, kind,
+    payload binary) fanned across executors, Arrow-batched decode,
+    O(1) features out per item."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, m1, m2, m3 = [], [], [], []
+            for j, kind, payload in zip(
+                pdf["item_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if kind in ("bmp", "png"):
+                    decoded = decode_real_media(payload, f"image/{kind}")
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                else:
+                    decoded, rate = decode_real_media(payload, "audio/wav")
+                    n, ch = decoded.shape
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n * 100000 + rate
+                        if kind == "wav"
+                        else n * 100000 + rate * 10 + ch,
+                    )
+                ids.append(int(j))
+                m1.append(vals[0])
+                m2.append(vals[1])
+                m3.append(vals[2])
+            yield pd.DataFrame({"k_id": ids, "m1": m1, "m2": m2, "m3": m3})
+
+    return spark.read.parquet(MEDIA_FIXTURE_PATH).mapInPandas(
+        kernel, "k_id long, m1 long, m2 long, m3 long"
+    )
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -1103,9 +1412,10 @@ def decode_wav(payload: bytes):
     (format tag 3 → float32/float64) — plus the G.711 telephony
     codecs (format 6 A-law, format 7 mu-law → expanded int16; what a
     call-recording corpus in this engine's own domain actually
-    contains) and 4-bit IMA ADPCM (format tag 0x11, block-vectorized
-    in operators/adpcm.py). Only non-IMA block codecs (MS ADPCM tag 2,
-    MP3-in-RIFF) stay behind the documented gate."""
+    contains) and both 4-bit block ADPCM codecs — IMA (format tag
+    0x11) and MS (format tag 0x02, incl. fmt-declared coefficient
+    pairs) — block-vectorized in operators/adpcm.py. Only
+    MP3-in-RIFF stays behind the documented gate."""
     import struct
 
     import numpy as np
@@ -1128,6 +1438,10 @@ def decode_wav(payload: bytes):
         from .adpcm import decode_wav_adpcm_payload
 
         return decode_wav_adpcm_payload(payload)
+    if audio_fmt == 0x02 and bits == 4:  # MS ADPCM block codec
+        from .adpcm import decode_wav_ms_payload
+
+        return decode_wav_ms_payload(payload)
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
         if block_align != ch or len(data) % block_align:
             raise ValueError("WAV data chunk size inconsistent with fmt")
@@ -1759,6 +2073,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           {_ADPCM_ORACLE_ROWS}
         ) AS t(i, a, b, m)
         UNION ALL
+        SELECT 'adpcm_ms' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_ADPCM_MS_ORACLE_ROWS}
+        ) AS t(i, a, b, m)
+        UNION ALL
+        SELECT 'stored_payload_decode' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_STORED_ORACLE_ROWS}
+        ) AS t(j, a, b, m)
+        UNION ALL
         SELECT 'format_rollup' AS section,
                ['fake/image','fake/audio','fake/video'][(doc_id % 3) + 1] AS k_str,
                CAST(NULL AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -1866,7 +2198,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containers, decoded back, per-channel sums certified against "
         "an independent textbook SCALAR reference decode; a wrong "
         "step-table entry, clamp, nibble order, or stereo interleave "
-        "breaks the hash."
+        "breaks the hash. `adpcm_ms`: the SAME certification for "
+        "Microsoft ADPCM (WAV tag 0x02, operators/adpcm.py) — the "
+        "other block codec legacy archives carry — covering all seven "
+        "spec predictors in mono and stereo, with the coefficient "
+        "pairs declared in the fmt extension so the declared-table "
+        "path is exercised; headers (bPredictor/iDelta/iSamp1/iSamp2) "
+        "and HIGH-nibble-first channel-alternating bodies are built "
+        "closed-form, decoded by the block-vectorized path, and "
+        "summed against an independent scalar reference decode. "
+        "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
+        "parquet fixture (fixtures/media_payloads.parquet) holding 50 "
+        "real container payloads in a binary column (BMP, PNG, PCM "
+        "WAV, IMA ADPCM, MS ADPCM) is scanned and decoded through the "
+        "same signature-dispatch kernel; the oracle is the same "
+        "closed-form math, so the certification covers bytes that "
+        "lived on disk, not just in-gate synthesis — exactly the "
+        "binary-column table layout a 100 TB media corpus uses."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1912,6 +2260,18 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("mp3_probe"))
         .unionByName(codec_rows("gif_roundtrip"))
         .unionByName(codec_rows("adpcm_roundtrip"))
+        .unionByName(codec_rows("adpcm_ms"))
+        .unionByName(
+            _stored_payload_rows(spark).select(
+                F.lit("stored_payload_decode").alias("section"),
+                F.lit(None).cast("string").alias("k_str"),
+                F.col("k_id"),
+                F.lit(None).cast("long").alias("idx"),
+                "m1",
+                "m2",
+                "m3",
+            )
+        )
     )
 
 
@@ -1937,6 +2297,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_mp3 = section == "mp3_probe"
     use_gif = section == "gif_roundtrip"
     use_adpcm = section == "adpcm_roundtrip"
+    use_adpcm_ms = section == "adpcm_ms"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2014,47 +2375,25 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert delays == [10 * (i % 5), 20]
                     sums = frames[..., :3].astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_adpcm_ms:
+                    ch, ba, n_blocks, rate = _adpcm_ms_stream_spec(i)
+                    spb = (ba - 7 * ch) * 2 // ch + 2
+                    decoded, got_rate = decode_real_media(
+                        _build_adpcm_ms_payload(i), "audio/wav"
+                    )
+                    assert decoded.shape == (n_blocks * spb, ch)
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n_blocks * spb * 100000 + got_rate * 10 + ch,
+                    )
                 elif use_adpcm:
-                    import struct as _struct
-
                     ch, ba, n_blocks, rate = _adpcm_stream_spec(i)
                     spb = (ba // ch - 4) * 2 + 1
-                    t = np.arange(spb - 1)
-                    raw = bytearray()
-                    for b in range(n_blocks):
-                        nibs = np.stack(
-                            [
-                                (i * 7 + c * 5 + b * 13 + t * 3 + (t * t) % 11)
-                                % 16
-                                for c in range(ch)
-                            ]
-                        ).astype(np.uint8)  # (ch, spb-1)
-                        for c in range(ch):
-                            raw += _struct.pack(
-                                "<hBB",
-                                _adpcm_pred0(i, c, b),
-                                _adpcm_idx0(i, c, b),
-                                0,
-                            )
-                        # channel-interleaved 4-byte groups, low nibble 1st
-                        g = nibs.reshape(ch, -1, 8)
-                        packed = (g[..., 0::2] | (g[..., 1::2] << 4)).astype(
-                            np.uint8
-                        )  # (ch, groups, 4)
-                        raw += packed.transpose(1, 0, 2).tobytes()
-                    byte_rate = (rate * ba + spb - 1) // spb
-                    fmtc = _struct.pack(
-                        "<HHIIHHHH", 0x11, ch, rate, byte_rate, ba, 4, 2, spb
+                    decoded, got_rate = decode_real_media(
+                        _build_adpcm_payload(i), "audio/wav"
                     )
-                    body = (
-                        b"WAVE"
-                        + b"fmt " + _struct.pack("<I", len(fmtc)) + fmtc
-                        + b"data" + _struct.pack("<I", len(raw)) + bytes(raw)
-                    )
-                    payload = (
-                        b"RIFF" + _struct.pack("<I", len(body)) + body
-                    )
-                    decoded, got_rate = decode_real_media(payload, "audio/wav")
                     assert decoded.shape == (n_blocks * spb, ch)
                     sums = decoded.astype(np.int64).sum(axis=0)
                     vals = (
@@ -2107,16 +2446,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_wav:
-                    n = 256 + (i * 31) % 256
-                    rate = 8000 + 125 * (i % 8)
-                    t = np.arange(n, dtype=np.int64)
-                    sig = np.stack(
-                        [
-                            (i * 7 + t * t) % 4001 - 2000,
-                            (i * 11 + 3 * t) % 4001 - 2000,
-                        ],
-                        axis=1,
-                    ).astype(np.int16)
+                    sig, rate = _build_wav_signal(i)
+                    n = sig.shape[0]
                     decoded, got_rate = decode_real_media(
                         encode_wav(sig, rate), "audio/wav"
                     )
@@ -2124,18 +2455,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     sums = decoded.astype(np.int64).sum(axis=0)
                     vals = (int(sums[0]), int(sums[1]), n * 100000 + got_rate)
                 else:
-                    w = 16 + (i * 7) % 32
-                    h = 16 + (i * 13) % 32
-                    x = np.arange(w)
-                    y = np.arange(h)
-                    img = np.stack(
-                        [
-                            np.broadcast_to(((i + x) % 256)[None, :], (h, w)),
-                            np.broadcast_to(((i * 3 + y) % 256)[:, None], (h, w)),
-                            (x[None, :] + y[:, None]) % 251,
-                        ],
-                        axis=2,
-                    ).astype(np.uint8)
+                    img = _build_gradient_image(i)
+                    h, w = img.shape[:2]
                     payload = encode_png(img) if use_png else encode_bmp(img)
                     decoded = decode_real_media(
                         payload, "image/png" if use_png else "image/bmp"
@@ -2162,6 +2483,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_gif
         else ADPCM_N_ITEMS
         if use_adpcm
+        else ADPCM_MS_N_ITEMS
+        if use_adpcm_ms
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS
