@@ -27,6 +27,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_probe() -> float:
+    """Single-core hardware calibration: a fixed pure-Python integer
+    workload, timed (round-9 lesson: a quiet-box rerun came out ~1.8x
+    slower than the committed record ACROSS THE BOARD — the round's
+    host was simply slower hardware, but nothing in the artifact could
+    prove it). Published as `cpu_probe_sec`; round-over-round, a probe
+    that moves with the totals says "different box", a flat probe with
+    one moved query says "regression". Runs before the Spark session
+    starts so nothing competes with it."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    assert s  # keep the loop un-optimizable and the linter quiet
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -39,6 +56,7 @@ def main() -> int:
     )
     from twilio_event_streams_reporting_example_spark.session import get_spark
 
+    cpu_probe_sec = _cpu_probe()
     spark = get_spark("bench")
 
     # Contention sentinel (round-6 lesson: the official artifact was
@@ -159,6 +177,7 @@ def main() -> int:
         "runs": all_runs,
         "sf": sf,
         "loadavg": {"start": load_start, "end": load_end},
+        "cpu_probe_sec": cpu_probe_sec,
         "rerun_outliers": rerun_outliers,
         "rerun_direction": rerun_direction,
     }

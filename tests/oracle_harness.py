@@ -69,7 +69,10 @@ def compare(spark, name: str, sf_dir: str) -> None:
     """Assert the Spark query matches its DuckDB oracle exactly."""
     from twilio_event_streams_reporting_example_spark.registry import all_queries
 
-    from twilio_event_streams_reporting_example_spark.registry import release_caches
+    from twilio_event_streams_reporting_example_spark.registry import (
+        release_caches,
+        resolve_oracle,
+    )
 
     spec = all_queries()[name]
     assert spec.oracle is not None, f"{name} has no oracle (rows-only check)"
@@ -79,7 +82,7 @@ def compare(spark, name: str, sf_dir: str) -> None:
         release_caches()  # result consumed — drop this query's tracked blocks
     con = duck_connection(sf_dir)
     try:
-        duck_pdf = con.sql(spec.oracle).df()
+        duck_pdf = con.sql(resolve_oracle(spec)).df()
     finally:
         con.close()
 

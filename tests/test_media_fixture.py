@@ -50,6 +50,15 @@ def test_stored_payloads_decode_to_closed_form(stored):
             decoded = decode_real_media(payload, f"image/{kind}")
             sums = decoded.astype(np.int64).sum(axis=(0, 1))
             got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        elif kind == "flac":
+            decoded, rate, bits = decode_real_media(payload, "audio/flac")
+            n, ch = decoded.shape
+            sums = decoded.astype(np.int64).sum(axis=0)
+            got = (
+                int(sums[0]),
+                int(sums[1]) if ch == 2 else 0,
+                n * 10_000_000 + rate * 100 + bits,
+            )
         else:
             decoded, rate = decode_real_media(payload, "audio/wav")
             n, ch = decoded.shape
@@ -65,4 +74,20 @@ def test_stored_payloads_decode_to_closed_form(stored):
 
 def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
-    assert kinds == {"bmp", "png", "wav", "ima", "ms"}
+    assert kinds == {"bmp", "png", "wav", "ima", "ms", "flac"}
+
+
+def test_preexisting_items_byte_stable(stored):
+    """Items 0-49 predate the FLAC append; their bytes are pinned by
+    round-8's committed fixture and must never shift when new kinds
+    are appended (md5 of the concatenation, recorded at append time)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for j in range(50):
+        h.update(stored[j][1])
+    assert h.hexdigest() == PRE_FLAC_MD5
+
+
+# recorded from the round-8 committed fixture before the FLAC append
+PRE_FLAC_MD5 = "cb04db721f7214e8ab025d8eb3b035df"

@@ -104,7 +104,16 @@ def main() -> int:
         # executor-side spool: the generator never touches the driver
         synthetic_events(spark, n_tasks).select("raw").write.text(indir)
 
-        def run(name: str, build):
+        def run(name: str, build, lag_probe: bool = False):
+            """One single-batch availableNow run for the round-over-round
+            throughput number; when ``lag_probe`` is set, a SECOND run of
+            the same pipeline at a bounded trigger (~15 micro-batches via
+            maxFilesPerTrigger) fills the pipeline's watermark-lag
+            percentiles — the single giant batch yields no watermark
+            trajectory, so lag was structurally null exactly where
+            throughput was measured (r8 VERDICT item 4). The probe's own
+            cadence stats are kept under ``lag_probe``; sec/events_per_sec
+            stay the comparable single-batch numbers."""
             ck = os.path.join(work, f"ck_{name}")
             raw = spark.readStream.format("text").load(indir)
             t0 = time.perf_counter()
@@ -118,12 +127,42 @@ def main() -> int:
             )
             q.awaitTermination()
             sec = round(time.perf_counter() - t0, 3)
-            pipelines[name] = {
+            rec = {
                 "n_events": n_events,
                 "sec": sec,
                 "events_per_sec": round(n_events / sec, 1),
                 **_progress_stats(q),
             }
+            if lag_probe:
+                n_files = len(
+                    [f for f in os.listdir(indir) if f.startswith("part-")]
+                )
+                ckp = os.path.join(work, f"ck_{name}_lagprobe")
+                rawp = (
+                    spark.readStream.format("text")
+                    .option("maxFilesPerTrigger", max(1, n_files // 15))
+                    .load(indir)
+                )
+                t0 = time.perf_counter()
+                qp = (
+                    build(parse_stream(rawp))
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ckp)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                qp.awaitTermination()
+                psec = round(time.perf_counter() - t0, 3)
+                pstats = _progress_stats(qp)
+                rec["watermark_lag_ms_p50"] = pstats["watermark_lag_ms_p50"]
+                rec["watermark_lag_ms_p95"] = pstats["watermark_lag_ms_p95"]
+                rec["lag_probe"] = {
+                    "sec": psec,
+                    "events_per_sec": round(n_events / psec, 1),
+                    **pstats,
+                }
+            pipelines[name] = rec
 
         def spool_sparse_touch(outdir: str, n_dormant: int, n_active: int,
                                n_batches: int) -> int:
@@ -267,46 +306,7 @@ def main() -> int:
         run(
             "lifecycle_bucketed",
             lambda ev: conversation_segments_stream(ev, buckets=1024),
-        )
-
-        def run_microbatched(name: str, build, files_per_trigger: int):
-            """Same spool, split into ~n_files/files_per_trigger micro-
-            batches: the single-batch availableNow runs above measure
-            pure throughput but yield no watermark trajectory; this
-            variant gives the HEADLINE stateful path real p50/p95
-            batch-duration and watermark-lag numbers (the r7 VERDICT
-            latency ask) at a realistic batch cadence."""
-            ck = os.path.join(work, f"ck_{name}")
-            raw = (
-                spark.readStream.format("text")
-                .option("maxFilesPerTrigger", files_per_trigger)
-                .load(indir)
-            )
-            t0 = time.perf_counter()
-            q = (
-                build(parse_stream(raw))
-                .writeStream.format("noop")
-                .option("checkpointLocation", ck)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            sec = round(time.perf_counter() - t0, 3)
-            pipelines[name] = {
-                "n_events": n_events,
-                "sec": sec,
-                "events_per_sec": round(n_events / sec, 1),
-                **_progress_stats(q),
-            }
-
-        n_spool_files = len(
-            [f for f in os.listdir(indir) if f.startswith("part-")]
-        )
-        run_microbatched(
-            "lifecycle_bucketed_microbatch",
-            lambda ev: conversation_segments_stream(ev, buckets=1024),
-            max(1, n_spool_files // 10),
+            lag_probe=True,
         )
         # same bucket keying on transformWithStateInPandas with per-task
         # MapState (RocksDB rewrites only touched tasks, not the shard
@@ -358,7 +358,7 @@ def main() -> int:
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, prev_provider)
-        run("hourly_window", hourly_event_counts_stream)
+        run("hourly_window", hourly_event_counts_stream, lag_probe=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -634,6 +634,118 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- 2. n-gram Jaccard
 
+# Minimum duplicated-span length in CHARACTERS for the exact
+# cross-document substring pass (the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" operator class; 40 chars
+# ≈ their 50-token bar scaled to the fixture's short documents).
+SPAN_MIN_CHARS = 40
+
+
+def duplicated_substring_spans(
+    docs: DataFrame, min_len: int = SPAN_MIN_CHARS
+) -> DataFrame:
+    """EXACT duplicated substrings ACROSS documents, merged to maximal
+    per-document spans: every length-``min_len`` character gram that
+    occurs in >= 2 distinct documents, with overlapping/adjacent hits
+    coalesced per document (gaps-and-islands). This is the
+    sub-document granularity the within-doc profile can't see — the
+    pass that finds boilerplate/license blocks and verbatim quotes a
+    near-dup pair filter leaves behind.
+
+    Plan: gram explode is scan→generate→project (no shuffle, full
+    whole-stage codegen); ONE groupBy on the gram text finds
+    cross-document grams; an equi-join back to positions is the
+    blocking step (hit rows exist only where a gram recurs); the merge
+    window partitions by doc_id and is bounded by document length.
+    Scale: gram rows = total corpus characters — at 100 TB group on
+    ``xxhash64(gram)`` instead of the 40-char string (collision
+    re-verify on the surviving islands) and raise the explode stride
+    to min_len/2 (any duplicate of length >= 1.5*min_len still shares
+    an aligned gram); both are key-width knobs on the same plan.
+    Output: (doc_id, span_start, span_end, n_grams), 1-based inclusive
+    character positions."""
+    n = min_len
+    grams = (
+        docs.filter(F.length("text") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (n - 1))
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.expr(f"substr(text, start, {n})").alias("g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "start")
+    w = W.partitionBy("doc_id").orderBy("start")
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            F.lag("start").over(w).isNull()
+            | (F.col("start") > F.lag("start").over(w) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + (n - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
+    """DuckDB mirror of :func:`duplicated_substring_spans`."""
+    n = min_len
+    return f"""
+        grams AS (
+          SELECT doc_id, CAST(s AS BIGINT) AS start,
+                 substr(text, CAST(s AS INTEGER), {n}) AS g
+          FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {n} + 2)) AS s
+            FROM documents WHERE length(text) >= {n}
+          )
+        ),
+        dupg AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, start FROM grams JOIN dupg USING (g)),
+        isl AS (
+          SELECT doc_id, start,
+                 CASE WHEN lag(start) OVER iw IS NULL
+                       OR start > lag(start) OVER iw + {n} THEN 1
+                      ELSE 0 END AS new_isl
+          FROM hits WINDOW iw AS (PARTITION BY doc_id ORDER BY start)
+        ),
+        spans AS (
+          SELECT doc_id, MIN(start) AS span_start,
+                 MAX(start) + {n} - 1 AS span_end,
+                 COUNT(*) AS n_grams
+          FROM (
+            SELECT doc_id, start,
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+                                      ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+          )
+          GROUP BY doc_id, island
+        )
+    """
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -646,19 +758,35 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM shingles a JOIN shingles b
             ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
-        )
+        ),
+        {_sql_dup_spans()}
         SELECT
-          p.doc_a, p.doc_b, p.inter,
-          sa.n_sh + sb.n_sh - p.inter AS uni
+          'jaccard_pairs' AS section,
+          p.doc_a AS k1, p.doc_b AS k2, p.inter AS m1,
+          sa.n_sh + sb.n_sh - p.inter AS m2
         FROM pairs p
         JOIN sizes sa ON p.doc_a = sa.doc_id
         JOIN sizes sb ON p.doc_b = sb.doc_id
         WHERE p.inter * 100 >= (sa.n_sh + sb.n_sh - p.inter) * {JACCARD_MIN_PCT}
+        UNION ALL
+        SELECT 'dup_spans' AS section,
+               doc_id AS k1, span_start AS k2, span_end AS m1,
+               CAST(n_grams AS BIGINT) AS m2
+        FROM spans
     """,
     doc=(
-        "n-gram Jaccard near-dup: shingle equi-join is the blocking step "
-        "(pairs only exist where a shingle collides); integer inter/union "
-        "math keeps the threshold exact."
+        "Sub-document duplication, union-tagged. `jaccard_pairs`: n-gram "
+        "Jaccard near-dup — shingle equi-join is the blocking step (pairs "
+        "only exist where a shingle collides); integer inter/union math "
+        "keeps the threshold exact (k1/k2=doc pair, m1/m2=inter/union). "
+        "`dup_spans`: EXACT cross-document duplicated substrings (the Lee "
+        "et al. 2021 'Deduplicating Training Data' operator class) — "
+        "every 40-char gram occurring in >=2 distinct documents, merged "
+        "into maximal per-doc spans via a gaps-and-islands window "
+        "(k1=doc_id, k2=span_start, m1=span_end, m2=grams merged). "
+        "Together they answer both near-dup questions a corpus pipeline "
+        "asks: which documents overlap, and exactly WHERE the verbatim "
+        "overlap lives (the spans are what span-removal dedup deletes)."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,13 +803,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    pair_rows = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("uni") * JACCARD_MIN_PCT)
-        .select("doc_a", "doc_b", "inter", "uni")
+        .select(
+            F.lit("jaccard_pairs").alias("section"),
+            F.col("doc_a").alias("k1"),
+            F.col("doc_b").alias("k2"),
+            F.col("inter").alias("m1"),
+            F.col("uni").alias("m2"),
+        )
     )
+    span_rows = duplicated_substring_spans(docs).select(
+        F.lit("dup_spans").alias("section"),
+        F.col("doc_id").alias("k1"),
+        F.col("span_start").alias("k2"),
+        F.col("span_end").alias("m1"),
+        F.col("n_grams").alias("m2"),
+    )
+    return pair_rows.unionByName(span_rows)
 
 
 # --------------------------------------------------------- 3. MinHash + LSH

@@ -13,9 +13,12 @@ BITMAPINFOHEADER shape (1/4/8-bit palette incl. RLE8/RLE4, 16-bit
 8-bit RGB PNG (stdlib zlib + numpy unfiltering, all five scanline
 filters), baseline JPEG including 4:2:0/4:2:2/4:4:0 chroma
 subsampling, grayscale, and restart markers (operators/jpeg.py —
-full entropy decode + IDCT), and every uncompressed RIFF/WAVE
-variant (PCM-8/16/24/32 and IEEE float32/64 — chunk walk + numpy) —
-certified end-to-end by encode→decode→closed-form-oracle sections of
+full entropy decode + IDCT), every uncompressed RIFF/WAVE
+variant (PCM-8/16/24/32 and IEEE float32/64 — chunk walk + numpy),
+and LOSSLESS compressed audio: FLAC (operators/flac.py — full frame
+decode, fixed + LPC predictors, Rice partitions, all stereo
+decorrelations, CRC + MD5 verified) — certified end-to-end by
+encode→decode→closed-form-oracle sections of
 ``multimodal_media_ops``. Video containers get a REAL metadata probe
 (:func:`probe_video_metadata` — ISO-BMFF box walk: brand, duration,
 track dims, handler, codec fourcc) without frame decode. For the
@@ -40,6 +43,7 @@ Scale notes:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -67,7 +71,9 @@ def _bmp_pixel_formula(i: int):
     return w, h, r_sum, g_sum, b_sum
 
 
-_BMP_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _bmp_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {r}, {g}, {b})".format(
         i=i,
         r=_bmp_pixel_formula(i)[2],
@@ -259,7 +265,9 @@ def _bmp_variant_sums(i: int):
     return int(s[0]), int(s[1]), int(s[2])
 
 
-_BMPV_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _bmpv_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {r}, {g}, {b})".format(
         i=i,
         r=_bmp_variant_sums(i)[0],
@@ -284,7 +292,9 @@ def _wav_signal_formula(i: int):
     return n, rate, s_l, s_r
 
 
-_WAV_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _wav_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {l}, {r}, {m})".format(
         i=i,
         l=_wav_signal_formula(i)[2],
@@ -338,7 +348,9 @@ def _jpeg_flat_formula(i: int):
     return w, h, rs, gs, bs
 
 
-_JPEG_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _jpeg_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {r}, {g}, {b})".format(
         i=i,
         r=_jpeg_flat_formula(i)[2],
@@ -380,7 +392,9 @@ def _jpeg420_flat_formula(i: int):
     return w, h, rs, gs, bs
 
 
-_JPEG420_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _jpeg420_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {r}, {g}, {b})".format(
         i=i,
         r=_jpeg420_flat_formula(i)[2],
@@ -402,7 +416,9 @@ def _mp4_probe_formula(i: int):
     return 1000 + 37 * i, 160 + 8 * (i % 5), 90 + 6 * (i % 7)
 
 
-_MP4_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _mp4_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {d}, {w}, {h})".format(
         i=i,
         d=_mp4_probe_formula(i)[0],
@@ -451,7 +467,9 @@ def _mp3_probe_formula(i: int):
     return n * 10 + layer, n * spf, sr * 10 + vbr
 
 
-_MP3PROBE_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _mp3probe_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {a}, {b}, {c})".format(
         i=i,
         a=_mp3_probe_formula(i)[0],
@@ -508,7 +526,9 @@ def _gif_frames_formula(i: int):
     return r, g, b
 
 
-_GIF_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _gif_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {r}, {g}, {b})".format(
         i=i,
         r=_gif_frames_formula(i)[0],
@@ -562,7 +582,9 @@ def _adpcm_stream_formula(i: int):
     return sums[0], sums[1], n_blocks * spb * 100000 + rate * 10 + ch
 
 
-_ADPCM_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _adpcm_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {a}, {b}, {m})".format(
         i=i,
         a=_adpcm_stream_formula(i)[0],
@@ -718,7 +740,9 @@ def _adpcm_ms_stream_formula(i: int):
     return sums[0], sums[1], n_blocks * spb * 100000 + rate * 10 + ch
 
 
-_ADPCM_MS_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _adpcm_ms_oracle_rows() -> str:
+    return ",\n          ".join(
     "({i}, {a}, {b}, {m})".format(
         i=i,
         a=_adpcm_ms_stream_formula(i)[0],
@@ -727,6 +751,190 @@ _ADPCM_MS_ORACLE_ROWS = ",\n          ".join(
     )
     for i in range(ADPCM_MS_N_ITEMS)
 )
+
+
+# -------- real FLAC decode certification (closed-form oracle) -----------
+FLAC_N_ITEMS = 48
+
+
+def _flac_stream_spec(i: int):
+    """(channels, bits, block_size, n_samples, rate, stereo, mode,
+    partition_order, escape, scale) for synthetic stream i — 48 items
+    cycle every subframe type (constant/verbatim/fixed 0-4/LPC/auto),
+    every stereo decorrelation (independent/left-side/right-side/
+    mid-side), 8/16/24-bit depths, exact + end-of-header blocksize
+    codes, table + STREAMINFO-coded sample rates, Rice partition
+    orders 0-2, escape partitions, wasted bits (scale=4 ⇒ two shared
+    low zero bits), and a partial final block (n is never a blocksize
+    multiple)."""
+    channels = 1 if i % 4 == 0 else 2
+    bits = (8, 16, 24)[i % 3]
+    block = (192, 256, 300, 512)[i % 4]
+    n = block * 2 + 8 + (i * 37) % (block - 8)
+    rate = (8000, 44100, 48000, 12345, 32000, 96000)[i % 6]
+    stereo = ("independent", "left_side", "right_side", "mid_side")[
+        (i // 4) % 4
+    ]
+    mode = ("auto", "constant", "verbatim", "fixed0", "fixed1", "fixed2",
+            "fixed3", "fixed4", "lpc")[i % 9]
+    po = i % 3
+    escape = i % 5 == 0
+    scale = 4 if i % 7 == 0 else 1
+    return channels, bits, block, n, rate, stereo, mode, po, escape, scale
+
+
+def _flac_lpc_spec(i: int):
+    """Deterministic LPC parameters for item i: any integer coefficient
+    set is valid FLAC (encoder computes residuals with the same
+    shifted-dot-product integer arithmetic the decoder inverts), so
+    formula-driven coefficients certify the LPC decode path without a
+    Levinson-Durbin dependency."""
+    order = 1 + i % 4
+    return (order, 10 + i % 5, 3 + i % 4,
+            [((i + 7 * j) % 31) - 15 for j in range(order)])
+
+
+def _flac_sample(i: int, c: int, t: int) -> int:
+    """Closed-form sample value — pure integer math shared by the
+    in-gate generator and the DuckDB oracle (FLAC is lossless, so the
+    decoded samples must equal these EXACTLY)."""
+    a = (25, 1800, 40000)[i % 3]
+    mode = ("auto", "constant", "verbatim", "fixed0", "fixed1", "fixed2",
+            "fixed3", "fixed4", "lpc")[i % 9]
+    scale = 4 if i % 7 == 0 else 1
+    if mode == "constant":
+        return ((i * 13 + c * 5) % (2 * a + 1) - a) * scale
+    return ((i * 7 + (c + 1) * 3 * t + t * t) % (2 * a + 1) - a) * scale
+
+
+def _flac_stream_formula(i: int):
+    """(sum_ch0, sum_ch1, n*1e7 + rate*100 + bits) — the oracle side."""
+    ch, bits, _block, n, rate, *_ = _flac_stream_spec(i)
+    s0 = sum(_flac_sample(i, 0, t) for t in range(n))
+    s1 = sum(_flac_sample(i, 1, t) for t in range(n)) if ch == 2 else 0
+    return s0, s1, n * 10_000_000 + rate * 100 + bits
+
+
+@_lru_cache(maxsize=1)
+def _flac_oracle_rows() -> str:
+    return ",\n          ".join(
+    "({i}, {a}, {b}, {m})".format(
+        i=i,
+        a=_flac_stream_formula(i)[0],
+        b=_flac_stream_formula(i)[1],
+        m=_flac_stream_formula(i)[2],
+    )
+    for i in range(FLAC_N_ITEMS)
+)
+
+
+# ------ AIFF + Sun AU decode certification (closed-form oracle) --------
+AIFFAU_N_ITEMS = 48
+
+
+def _aiffau_spec(i: int):
+    """(kind, bits, channels, n_samples, rate) for synthetic clip i —
+    even items are AIFF, odd items AU; 8/16/24/32-bit big-endian PCM,
+    mono + stereo, five sample rates (44100/48000 hit the 80-bit
+    extended-float encode path with a non-power-of-two mantissa)."""
+    kind = "aiff" if i % 2 == 0 else "au"
+    bits = (8, 16, 24, 32)[(i // 2) % 4]
+    ch = 1 if i % 3 == 0 else 2
+    n = 200 + (i * 29) % 300
+    rate = (8000, 11025, 22050, 44100, 48000)[i % 5]
+    return kind, bits, ch, n, rate
+
+
+def _aiffau_sample(i: int, c: int, t: int) -> int:
+    """Closed-form PCM sample — base ±100 pattern scaled to the item's
+    bit depth (pure integer math, mirrored by the DuckDB oracle)."""
+    _kind, bits, _ch, _n, _rate = _aiffau_spec(i)
+    return (((i * 7 + (c + 1) * 3 * t + t * t) % 201) - 100) * (
+        1 << (bits - 8)
+    )
+
+
+def _aiffau_formula(i: int):
+    """(sum_ch0, sum_ch1, n*1e7 + rate*100 + bits) — the oracle side."""
+    _kind, bits, ch, n, rate = _aiffau_spec(i)
+    s0 = sum(_aiffau_sample(i, 0, t) for t in range(n))
+    s1 = sum(_aiffau_sample(i, 1, t) for t in range(n)) if ch == 2 else 0
+    return s0, s1, n * 10_000_000 + rate * 100 + bits
+
+
+@_lru_cache(maxsize=1)
+def _aiffau_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {a}, {b}, {m})".format(
+            i=i,
+            a=_aiffau_formula(i)[0],
+            b=_aiffau_formula(i)[1],
+            m=_aiffau_formula(i)[2],
+        )
+        for i in range(AIFFAU_N_ITEMS)
+    )
+
+
+def _aiffau_item(i: int):
+    """(payload bytes, signal array) for clip spec i."""
+    import numpy as np
+
+    from .aiff import encode_aiff, encode_au
+
+    kind, bits, ch, n, rate = _aiffau_spec(i)
+    t = np.arange(n, dtype=np.int64)
+    sig = np.stack(
+        [
+            (((i * 7 + (c + 1) * 3 * t + t * t) % 201) - 100)
+            * (1 << (bits - 8))
+            for c in range(ch)
+        ],
+        axis=1,
+    )
+    if kind == "aiff":
+        return encode_aiff(sig, rate, bits=bits), sig
+    return encode_au(sig, rate, encoding={8: 2, 16: 3, 24: 4, 32: 5}[bits]), sig
+
+
+def _flac_item(i: int):
+    """(payload bytes, signal array) for stream spec i — the real FLAC
+    container built from the `_flac_sample` closed form; shared by the
+    in-gate `flac_roundtrip` kernel and the stored-payload fixture."""
+    import numpy as np
+
+    from .flac import encode_flac
+
+    ch, bits, block, n, rate, stereo, mode, po, escape, scale = (
+        _flac_stream_spec(i)
+    )
+    a = (25, 1800, 40000)[i % 3]
+    t = np.arange(n, dtype=np.int64)
+    if mode == "constant":
+        sig = np.stack(
+            [
+                np.full(
+                    n, ((i * 13 + c * 5) % (2 * a + 1) - a) * scale,
+                    dtype=np.int64,
+                )
+                for c in range(ch)
+            ],
+            axis=1,
+        )
+    else:
+        sig = np.stack(
+            [
+                ((i * 7 + (c + 1) * 3 * t + t * t) % (2 * a + 1) - a) * scale
+                for c in range(ch)
+            ],
+            axis=1,
+        )
+    payload = encode_flac(
+        sig, rate, bits=bits, block_size=block, stereo=stereo,
+        subframe_mode=mode, partition_order=po,
+        lpc_spec=_flac_lpc_spec(i) if mode == "lpc" else None,
+        escape_parts=frozenset([1]) if escape else frozenset(),
+    )
+    return payload, sig
 
 
 # -------- stored-payload fixture: real media bytes AT REST ---------------
@@ -739,8 +947,9 @@ _ADPCM_MS_ORACLE_ROWS = ",\n          ".join(
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 50
+STORED_N_ITEMS = 60  # 0-49: five kinds cycling; 50-59: appended FLAC
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
+_STORED_FLAC_FROM = 50  # items >= this are FLAC (formula index j - 50)
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -750,12 +959,17 @@ MEDIA_FIXTURE_PATH = str(
 
 
 def media_fixture_rows() -> list:
-    """The committed fixture's exact content: (item_id, kind, payload)
-    for 50 items cycling five real container formats, each built from
-    the SAME closed-form generators the in-gate sections certify
-    (item_id j → kind j%5, formula index j//5)."""
+    """The committed fixture's exact content: (item_id, kind, payload).
+    Items 0-49 cycle five real container formats (item_id j → kind
+    j%5, formula index j//5) and are byte-stable across rounds; items
+    50-59 are APPENDED FLAC containers (formula index j-50) so the
+    lossless codec is certified on data at rest too without disturbing
+    the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
+        if j >= _STORED_FLAC_FROM:
+            rows.append((j, "flac", _flac_item(j - _STORED_FLAC_FROM)[0]))
+            continue
         kind = _STORED_KINDS[j % 5]
         i = j // 5
         if kind == "bmp":
@@ -776,6 +990,8 @@ def media_fixture_rows() -> list:
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_FLAC_FROM:
+        return _flac_stream_formula(j - _STORED_FLAC_FROM)
     kind = _STORED_KINDS[j % 5]
     i = j // 5
     if kind in ("bmp", "png"):
@@ -789,7 +1005,9 @@ def _stored_payload_formula(j: int):
     return _adpcm_ms_stream_formula(i)
 
 
-_STORED_ORACLE_ROWS = ",\n          ".join(
+@_lru_cache(maxsize=1)
+def _stored_oracle_rows() -> str:
+    return ",\n          ".join(
     "({j}, {a}, {b}, {m})".format(
         j=j,
         a=_stored_payload_formula(j)[0],
@@ -821,6 +1039,17 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                     decoded = decode_real_media(payload, f"image/{kind}")
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif kind == "flac":
+                    decoded, rate, bits = decode_real_media(
+                        payload, "audio/flac"
+                    )
+                    n, ch = decoded.shape
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n * 10_000_000 + rate * 100 + bits,
+                    )
                 else:
                     decoded, rate = decode_real_media(payload, "audio/wav")
                     n, ch = decoded.shape
@@ -1750,6 +1979,18 @@ def decode_real_media(payload: bytes, fmt: str):
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if bytes(payload[:4]) == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
+        from .aiff import decode_aiff
+
+        return decode_aiff(payload)
+    if bytes(payload[:4]) == b".snd":
+        from .aiff import decode_au
+
+        return decode_au(payload)
     try:
         import av  # noqa: F401
     except ImportError as e:
@@ -1971,16 +2212,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(payload)
 
 
-@register(
-    "multimodal_media_ops",
-    oracle=f"""
+def _media_ops_oracle() -> str:
+    """Deferred oracle builder: rendering every closed-form VALUES
+    row costs ~0.9 s of pure Python. Only the driver-side
+    correctness pass reads the SQL, so it is built (and memoized via
+    the per-section row caches) on first oracle_sql() access instead
+    of at import — executor python workers never pay it."""
+    return f"""
         SELECT 'bmp_roundtrip' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_BMP_ORACLE_ROWS}
+          {_bmp_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'bmp_variants' AS section,
@@ -1989,7 +2234,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_BMPV_ORACLE_ROWS}
+          {_bmpv_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'png_roundtrip' AS section,
@@ -1998,7 +2243,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_BMP_ORACLE_ROWS}
+          {_bmp_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'wav_roundtrip' AS section,
@@ -2007,7 +2252,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l AS BIGINT) AS m1, CAST(r AS BIGINT) AS m2,
                CAST(m AS BIGINT) AS m3
         FROM (VALUES
-          {_WAV_ORACLE_ROWS}
+          {_wav_oracle_rows()}
         ) AS t(i, l, r, m)
         UNION ALL
         SELECT 'jpeg_roundtrip' AS section,
@@ -2016,7 +2261,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_JPEG_ORACLE_ROWS}
+          {_jpeg_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'jpeg420_roundtrip' AS section,
@@ -2025,7 +2270,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_JPEG420_ORACLE_ROWS}
+          {_jpeg420_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'mp4_probe' AS section,
@@ -2034,7 +2279,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(d AS BIGINT) AS m1, CAST(w AS BIGINT) AS m2,
                CAST(h AS BIGINT) AS m3
         FROM (VALUES
-          {_MP4_ORACLE_ROWS}
+          {_mp4_oracle_rows()}
         ) AS t(i, d, w, h)
         UNION ALL
         SELECT 'mp3_probe' AS section,
@@ -2043,7 +2288,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
                CAST(c AS BIGINT) AS m3
         FROM (VALUES
-          {_MP3PROBE_ORACLE_ROWS}
+          {_mp3probe_oracle_rows()}
         ) AS t(i, a, b, c)
         UNION ALL
         SELECT 'jpeg420_progressive' AS section,
@@ -2052,7 +2297,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_JPEG420_ORACLE_ROWS}
+          {_jpeg420_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'gif_roundtrip' AS section,
@@ -2061,7 +2306,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
                CAST(b AS BIGINT) AS m3
         FROM (VALUES
-          {_GIF_ORACLE_ROWS}
+          {_gif_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
         SELECT 'adpcm_roundtrip' AS section,
@@ -2070,7 +2315,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
                CAST(m AS BIGINT) AS m3
         FROM (VALUES
-          {_ADPCM_ORACLE_ROWS}
+          {_adpcm_oracle_rows()}
         ) AS t(i, a, b, m)
         UNION ALL
         SELECT 'adpcm_ms' AS section,
@@ -2079,7 +2324,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
                CAST(m AS BIGINT) AS m3
         FROM (VALUES
-          {_ADPCM_MS_ORACLE_ROWS}
+          {_adpcm_ms_oracle_rows()}
+        ) AS t(i, a, b, m)
+        UNION ALL
+        SELECT 'flac_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_flac_oracle_rows()}
+        ) AS t(i, a, b, m)
+        UNION ALL
+        SELECT 'aiff_au_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_aiffau_oracle_rows()}
         ) AS t(i, a, b, m)
         UNION ALL
         SELECT 'stored_payload_decode' AS section,
@@ -2088,7 +2351,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
                CAST(m AS BIGINT) AS m3
         FROM (VALUES
-          {_STORED_ORACLE_ROWS}
+          {_stored_oracle_rows()}
         ) AS t(j, a, b, m)
         UNION ALL
         SELECT 'format_rollup' AS section,
@@ -2109,7 +2372,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
         FROM documents
         CROSS JOIN (SELECT unnest(range({(32 + FRAME_STRIDE - 1) // FRAME_STRIDE})) AS j) s
-    """,
+    """
+
+
+@register(
+    "multimodal_media_ops",
+    oracle=_media_ops_oracle,
     doc=(
         "The two media-pipeline shapes beyond the per-item profile, "
         "union-tagged by `section`. `format_rollup`: per-modality storage "
@@ -2207,10 +2475,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and HIGH-nibble-first channel-alternating bodies are built "
         "closed-form, decoded by the block-vectorized path, and "
         "summed against an independent scalar reference decode. "
+        "`flac_roundtrip`: REAL dependency-free LOSSLESS audio decode "
+        "(operators/flac.py, written from RFC 9639 / the xiph FLAC "
+        "format spec) — 48 closed-form integer signals encoded to real "
+        "FLAC streams cycling every subframe type (constant, verbatim, "
+        "fixed orders 0-4, LPC with formula-driven quantized "
+        "coefficients), all four stereo decorrelations (independent, "
+        "left-side, right-side, mid-side — the side channel at "
+        "bits+1), 8/16/24-bit depths, exact and end-of-header "
+        "blocksize codes, table and STREAMINFO-coded sample rates, "
+        "Rice partition orders 0-2 with escape partitions, wasted "
+        "bits, UTF-8-coded frame numbers, and partial final blocks; "
+        "the kernel asserts BIT-EXACT equality with the generated "
+        "signal (lossless), decode verifies CRC-8/CRC-16 and the "
+        "STREAMINFO MD5, and the oracle recomputes the channel sums "
+        "from the same closed form — a wrong Rice bit, CRC table, "
+        "stereo reconstruction, or predictor shift breaks the hash. "
+        "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
+        "audio archives carry next to RIFF (operators/aiff.py) — 48 "
+        "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
+        "chunks, sample rate as an 80-bit IEEE EXTENDED float, "
+        "word-aligned chunks) and Sun AU (.snd header) containers at "
+        "8/16/24/32-bit big-endian PCM, mono and stereo, decoded back "
+        "bit-exact; a wrong extended-float bias, sign extension, or "
+        "byte order breaks the hash (AU G.711 µ-law/A-law decode is "
+        "covered by the spec-vector tests against the published "
+        "tables). "
         "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
-        "parquet fixture (fixtures/media_payloads.parquet) holding 50 "
+        "parquet fixture (fixtures/media_payloads.parquet) holding 60 "
         "real container payloads in a binary column (BMP, PNG, PCM "
-        "WAV, IMA ADPCM, MS ADPCM) is scanned and decoded through the "
+        "WAV, IMA ADPCM, MS ADPCM, and — appended without disturbing "
+        "the earlier items' pinned bytes — FLAC) is scanned and "
+        "decoded through the "
         "same signature-dispatch kernel; the oracle is the same "
         "closed-form math, so the certification covers bytes that "
         "lived on disk, not just in-gate synthesis — exactly the "
@@ -2261,6 +2557,8 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("gif_roundtrip"))
         .unionByName(codec_rows("adpcm_roundtrip"))
         .unionByName(codec_rows("adpcm_ms"))
+        .unionByName(codec_rows("flac_roundtrip"))
+        .unionByName(codec_rows("aiff_au_roundtrip"))
         .unionByName(
             _stored_payload_rows(spark).select(
                 F.lit("stored_payload_decode").alias("section"),
@@ -2298,6 +2596,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_gif = section == "gif_roundtrip"
     use_adpcm = section == "adpcm_roundtrip"
     use_adpcm_ms = section == "adpcm_ms"
+    use_flac = section == "flac_roundtrip"
+    use_aiffau = section == "aiff_au_roundtrip"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2375,6 +2675,42 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert delays == [10 * (i % 5), 20]
                     sums = frames[..., :3].astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_aiffau:
+                    kind, bits, ch, n, rate = _aiffau_spec(i)
+                    payload, sig = _aiffau_item(i)
+                    decoded, got_rate, third = decode_real_media(
+                        payload, f"audio/{kind}"
+                    )
+                    if kind == "aiff":
+                        assert third == bits
+                    else:
+                        assert third == {8: "int8", 16: "int16",
+                                         24: "int24", 32: "int32"}[bits]
+                    assert decoded.shape == (n, ch) and got_rate == rate
+                    # big-endian PCM is lossless ⇒ bit-exact round trip
+                    assert np.array_equal(decoded, sig)
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n * 10_000_000 + rate * 100 + bits,
+                    )
+                elif use_flac:
+                    ch, bits, _block, n, rate, *_rest = _flac_stream_spec(i)
+                    payload, sig = _flac_item(i)
+                    decoded, got_rate, got_bits = decode_real_media(
+                        payload, "audio/flac"
+                    )
+                    assert decoded.shape == (n, ch)
+                    assert got_rate == rate and got_bits == bits
+                    # lossless ⇒ bit-exact round trip, not just sums
+                    assert np.array_equal(decoded, sig)
+                    sums = decoded.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n * 10_000_000 + rate * 100 + bits,
+                    )
                 elif use_adpcm_ms:
                     ch, ba, n_blocks, rate = _adpcm_ms_stream_spec(i)
                     spb = (ba - 7 * ch) * 2 // ch + 2
@@ -2485,6 +2821,10 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_adpcm
         else ADPCM_MS_N_ITEMS
         if use_adpcm_ms
+        else FLAC_N_ITEMS
+        if use_flac
+        else AIFFAU_N_ITEMS
+        if use_aiffau
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS

@@ -25,7 +25,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    # DuckDB SQL; None → driver does a rows-only check. A zero-arg
+    # callable defers building the SQL text until oracle_sql() asks —
+    # the media sections' closed-form VALUES rows cost ~0.9s of pure
+    # Python to render, which every EXECUTOR python worker would
+    # otherwise pay at import even though only the driver-side
+    # correctness pass ever reads the SQL.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     bench: bool = True  # False: correctness-gated harness (streaming /
     #                     materialization workflows), not a batch query
@@ -214,8 +220,16 @@ def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in all_queries().items()}
 
 
+def resolve_oracle(spec: QuerySpec) -> str | None:
+    return spec.oracle() if callable(spec.oracle) else spec.oracle
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    return {
+        name: resolve_oracle(spec)
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }
 
 
 _LOADED = False
