@@ -1,0 +1,100 @@
+"""Baseline TIFF codec (operators/tiff.py): hand-assembled IFD spec
+vector, both byte orders, strip assembly, photometric classes, and
+the left-justified inline-value rule."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from twilio_event_streams_reporting_example_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _entry(e, tag, typ, cnt, field4):
+    return struct.pack(e + "HHI", tag, typ, cnt) + field4
+
+
+def test_hand_assembled_little_endian_tiff():
+    """2×2 BlackIsZero gray [10 20 / 30 40], every byte placed by hand
+    from the TIFF 6.0 field tables: header, strip at offset 8, IFD at
+    12 with 9 ascending-tag entries."""
+    e = "<"
+    strip = bytes([10, 20, 30, 40])
+    entries = [
+        _entry(e, 256, 3, 1, struct.pack("<HH", 2, 0)),   # width
+        _entry(e, 257, 3, 1, struct.pack("<HH", 2, 0)),   # height
+        _entry(e, 258, 3, 1, struct.pack("<HH", 8, 0)),   # bits
+        _entry(e, 259, 3, 1, struct.pack("<HH", 1, 0)),   # compression
+        _entry(e, 262, 3, 1, struct.pack("<HH", 1, 0)),   # BlackIsZero
+        _entry(e, 273, 4, 1, struct.pack("<I", 8)),       # strip offset
+        _entry(e, 277, 3, 1, struct.pack("<HH", 1, 0)),   # samples
+        _entry(e, 278, 3, 1, struct.pack("<HH", 2, 0)),   # rows/strip
+        _entry(e, 279, 4, 1, struct.pack("<I", 4)),       # strip bytes
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    payload = b"II*\x00" + struct.pack("<I", 12) + strip + ifd
+    out = decode_tiff(payload)
+    assert out.shape == (2, 2, 3)
+    assert out[:, :, 0].reshape(-1).tolist() == [10, 20, 30, 40]
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_big_endian_inline_short_is_left_justified():
+    """Under MM, an inline SHORT lives in the FIRST two bytes of the
+    4-byte value field — the classic trap. Hand-build one MM IFD."""
+    e = ">"
+    strip = bytes([7])
+    entries = [
+        _entry(e, 256, 3, 1, b"\x00\x01\x00\x00"),  # width 1, left-just
+        _entry(e, 257, 3, 1, b"\x00\x01\x00\x00"),  # height 1
+        _entry(e, 258, 3, 1, b"\x00\x08\x00\x00"),  # 8 bits
+        _entry(e, 259, 3, 1, b"\x00\x01\x00\x00"),  # uncompressed
+        _entry(e, 262, 3, 1, b"\x00\x01\x00\x00"),  # BlackIsZero
+        _entry(e, 273, 4, 1, struct.pack(">I", 8)),
+        _entry(e, 277, 3, 1, b"\x00\x01\x00\x00"),
+        _entry(e, 278, 3, 1, b"\x00\x01\x00\x00"),
+        _entry(e, 279, 4, 1, struct.pack(">I", 1)),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    payload = b"MM\x00*" + struct.pack(">I", 9) + strip + ifd
+    out = decode_tiff(payload)
+    assert out.shape == (1, 1, 3) and out[0, 0, 0] == 7
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("rps", [None, 1, 5, 100])
+def test_rgb_multistrip_roundtrip(big_endian, rps):
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(21, 13, 3)).astype(np.uint8)
+    out = decode_tiff(
+        encode_tiff(img, 2, big_endian=big_endian, rows_per_strip=rps)
+    )
+    assert np.array_equal(out, img)
+
+
+def test_whiteiszero_inverts():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_tiff(encode_tiff(g, 0))
+    assert np.array_equal(out[:, :, 0], 255 - g)
+
+
+def test_palette_uses_high_byte_of_colormap():
+    cm = np.zeros((3, 256), dtype=np.uint16)
+    cm[0, 5] = 0xABCD  # red channel of index 5 → high byte 0xAB
+    idx = np.full((2, 2), 5, dtype=np.uint8)
+    out = decode_tiff(encode_tiff(idx, 3, colormap=cm))
+    assert (out[:, :, 0] == 0xAB).all() and (out[:, :, 1] == 0).all()
+
+
+def test_compressed_tiff_is_rejected_clearly():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, 2))
+    # flip the Compression entry's value from 1 to 5 (LZW) in-place
+    i = payload.find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0
+    payload[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression 5"):
+        decode_tiff(bytes(payload))

@@ -65,6 +65,7 @@ def main() -> int:
 
         durs: list[float] = []
         lags: list[float] = []
+        maxes: list[float] = []
         for p in q.recentProgress:
             if not isinstance(p, dict):  # StreamingQueryProgress object
                 p = json.loads(p.json)
@@ -82,6 +83,7 @@ def main() -> int:
                     # watermark — a meaningless ~56-year lag; skip it
                     if wm.timestamp() > 0:
                         lags.append((mx - wm).total_seconds() * 1000.0)
+                        maxes.append(mx.timestamp() * 1000.0)
                 except ValueError:
                     pass
 
@@ -91,12 +93,27 @@ def main() -> int:
             xs = sorted(xs)
             return round(xs[min(len(xs) - 1, int(f * len(xs)))], 1)
 
+        # Lag in units of per-batch EVENT-TIME span: a synthetic replay
+        # compresses days of event time into seconds of wall clock, so
+        # raw ms lag scales with the generator's timestamp spacing, not
+        # with the engine. Normalized, p50 ≈ 1 batch-span is the
+        # availableNow ideal (batch k's watermark derives from batch
+        # k-1's max); a growing value means the watermark is falling
+        # behind the replay.
+        span = (
+            (maxes[-1] - maxes[0]) / (len(maxes) - 1)
+            if len(maxes) >= 2
+            else None
+        )
+        lag_norm = [lag / span for lag in lags] if span else []
         return {
             "n_batches": len(durs),
             "batch_ms_p50": pct(durs, 0.5),
             "batch_ms_p95": pct(durs, 0.95),
             "watermark_lag_ms_p50": pct(lags, 0.5),
             "watermark_lag_ms_p95": pct(lags, 0.95),
+            "watermark_lag_batches_p50": pct(lag_norm, 0.5),
+            "watermark_lag_batches_p95": pct(lag_norm, 0.95),
         }
 
     try:
@@ -104,11 +121,39 @@ def main() -> int:
         # executor-side spool: the generator never touches the driver
         synthetic_events(spark, n_tasks).select("raw").write.text(indir)
 
+        ordered_dir: list = []  # lazy one-shot time-ordered spool
+
+        def _ordered_spool() -> str:
+            """Time-ordered 16-file spool for the lag probes: event time
+            is monotone in arrival_idx, so a range repartition + per-file
+            ascending mtimes makes the file source replay micro-batches
+            in EVENT-TIME order (maxFilesPerTrigger=1 → 16 batches). The
+            original unordered spool made watermark lag meaningless —
+            batches mixed old and new files, so max(eventTime) −
+            watermark swung hugely negative/positive."""
+            if not ordered_dir:
+                d = os.path.join(work, "in_ordered")
+                (
+                    synthetic_events(spark, n_tasks)
+                    .repartitionByRange(16, "arrival_idx")
+                    .sortWithinPartitions("arrival_idx")
+                    .select("raw")
+                    .write.text(d)
+                )
+                parts = sorted(
+                    f for f in os.listdir(d) if f.startswith("part-")
+                )
+                for k, fn in enumerate(parts):
+                    mt = 1_700_000_000 + k * 10
+                    os.utime(os.path.join(d, fn), (mt, mt))
+                ordered_dir.append(d)
+            return ordered_dir[0]
+
         def run(name: str, build, lag_probe: bool = False):
             """One single-batch availableNow run for the round-over-round
             throughput number; when ``lag_probe`` is set, a SECOND run of
-            the same pipeline at a bounded trigger (~15 micro-batches via
-            maxFilesPerTrigger) fills the pipeline's watermark-lag
+            the same pipeline over the TIME-ORDERED spool (16 event-time-
+            ordered micro-batches) fills the pipeline's watermark-lag
             percentiles — the single giant batch yields no watermark
             trajectory, so lag was structurally null exactly where
             throughput was measured (r8 VERDICT item 4). The probe's own
@@ -134,14 +179,11 @@ def main() -> int:
                 **_progress_stats(q),
             }
             if lag_probe:
-                n_files = len(
-                    [f for f in os.listdir(indir) if f.startswith("part-")]
-                )
                 ckp = os.path.join(work, f"ck_{name}_lagprobe")
                 rawp = (
                     spark.readStream.format("text")
-                    .option("maxFilesPerTrigger", max(1, n_files // 15))
-                    .load(indir)
+                    .option("maxFilesPerTrigger", 1)
+                    .load(_ordered_spool())
                 )
                 t0 = time.perf_counter()
                 qp = (
@@ -155,8 +197,11 @@ def main() -> int:
                 qp.awaitTermination()
                 psec = round(time.perf_counter() - t0, 3)
                 pstats = _progress_stats(qp)
-                rec["watermark_lag_ms_p50"] = pstats["watermark_lag_ms_p50"]
-                rec["watermark_lag_ms_p95"] = pstats["watermark_lag_ms_p95"]
+                for k in (
+                    "watermark_lag_ms_p50", "watermark_lag_ms_p95",
+                    "watermark_lag_batches_p50", "watermark_lag_batches_p95",
+                ):
+                    rec[k] = pstats[k]
                 rec["lag_probe"] = {
                     "sec": psec,
                     "events_per_sec": round(n_events / psec, 1),

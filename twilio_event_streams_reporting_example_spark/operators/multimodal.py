@@ -828,6 +828,99 @@ def _flac_oracle_rows() -> str:
 )
 
 
+# ------ baseline TIFF decode certification (closed-form oracle) --------
+TIFF_N_ITEMS = 48
+
+
+def _tiff_item_spec(i: int):
+    """(photometric, big_endian, rows_per_strip, w, h) for synthetic
+    TIFF i — cycles RGB / BlackIsZero / WhiteIsZero / Palette, both
+    byte orders (the MM inline-value left-justification trap), and
+    single- vs multi-strip layouts."""
+    photometric = (2, 1, 0, 3)[i % 4]
+    big_endian = bool((i // 4) % 2)
+    rps = (0, 3, 7, 16)[(i // 8) % 4]  # 0 → single strip (full height)
+    w = 16 + (i * 7) % 32
+    h = 16 + (i * 13) % 32
+    return photometric, big_endian, rps, w, h
+
+
+def _tiff_gray(i: int, x: int, y: int) -> int:
+    return (i * 5 + 3 * x + y * y) % 256
+
+
+def _tiff_pal_idx(i: int, x: int, y: int) -> int:
+    return (i + x + 2 * y) % 256
+
+
+def _tiff_pal_entry(i: int, c: int, v: int) -> int:
+    return (v * (7 + 2 * c) + i * 11) % 65536
+
+
+def _tiff_item_formula(i: int):
+    """Decoded-RGB channel sums for TIFF i — pure integer math."""
+    photometric, _be, _rps, w, h = _tiff_item_spec(i)
+    if photometric == 2:
+        return _bmp_pixel_formula(i)[2:5]
+    if photometric in (0, 1):
+        s = sum(_tiff_gray(i, x, y) for x in range(w) for y in range(h))
+        if photometric == 0:
+            s = w * h * 255 - s
+        return s, s, s
+    sums = [0, 0, 0]
+    for c in range(3):
+        sums[c] = sum(
+            _tiff_pal_entry(i, c, _tiff_pal_idx(i, x, y)) >> 8
+            for x in range(w)
+            for y in range(h)
+        )
+    return sums[0], sums[1], sums[2]
+
+
+@_lru_cache(maxsize=1)
+def _tiff_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_tiff_item_formula(i)[0],
+            g=_tiff_item_formula(i)[1],
+            b=_tiff_item_formula(i)[2],
+        )
+        for i in range(TIFF_N_ITEMS)
+    )
+
+
+def _tiff_item(i: int):
+    """(payload bytes, expected decoded RGB array) for TIFF spec i."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    photometric, be, rps, w, h = _tiff_item_spec(i)
+    x = np.arange(w)
+    y = np.arange(h)
+    kw = {"big_endian": be, "rows_per_strip": rps or None}
+    if photometric == 2:
+        img = _build_gradient_image(i)
+        return encode_tiff(img, 2, **kw), img
+    if photometric in (0, 1):
+        g = ((i * 5 + 3 * x[None, :] + y[:, None] ** 2) % 256).astype(
+            np.uint8
+        )
+        expect = 255 - g if photometric == 0 else g
+        expect = np.stack([expect] * 3, axis=-1)
+        return encode_tiff(g, photometric, **kw), expect
+    idx = ((i + x[None, :] + 2 * y[:, None]) % 256).astype(np.uint8)
+    v = np.arange(256)
+    cm = np.stack(
+        [(v * (7 + 2 * c) + i * 11) % 65536 for c in range(3)]
+    ).astype(np.uint16)
+    expect = np.stack(
+        [(cm[c] >> 8).astype(np.uint8)[idx] for c in range(3)], axis=-1
+    )
+    return encode_tiff(idx, 3, colormap=cm, **kw), expect
+
+
 # ------ AIFF + Sun AU decode certification (closed-form oracle) --------
 AIFFAU_N_ITEMS = 48
 
@@ -1016,6 +1109,222 @@ def _stored_oracle_rows() -> str:
     )
     for j in range(STORED_N_ITEMS)
 )
+
+
+# ------- vision preprocess over the stored fixture (oracle) -------------
+#
+# The standard vision-pipeline preprocess a multimodal corpus runs
+# after decode: center-crop to square → nearest resize to a fixed
+# patch → integer BT.601 grayscale. All-integer math so the oracle is
+# exact; certified over the committed fixture's BMP/PNG payloads.
+_PREPROC_PATCH = 16  # output patch side
+
+
+def _image_preproc_formula(j: int):
+    """(gray patch sum, center gray, s*1e6 + w*1000 + h) for stored
+    image item j — pure closed-form pixel math (R=(i+x)%256,
+    G=(i*3+y)%256, B=(x+y)%251), crop/resize/gray recomputed
+    independently of the codecs."""
+    i = j // 5
+    w = 16 + (i * 7) % 32
+    h = 16 + (i * 13) % 32
+    s = min(w, h)
+    x0, y0 = (w - s) // 2, (h - s) // 2
+    p = _PREPROC_PATCH
+
+    def gray(v: int, u: int) -> int:
+        sx = x0 + u * s // p
+        sy = y0 + v * s // p
+        r = (i + sx) % 256
+        g = (i * 3 + sy) % 256
+        b = (sx + sy) % 251
+        return (77 * r + 150 * g + 29 * b) >> 8
+
+    total = sum(gray(v, u) for v in range(p) for u in range(p))
+    return total, gray(p // 2, p // 2), s * 1_000_000 + w * 1000 + h
+
+
+def _image_item_ids() -> list:
+    return [
+        j
+        for j in range(min(STORED_N_ITEMS, _STORED_FLAC_FROM))
+        if _STORED_KINDS[j % 5] in ("bmp", "png")
+    ]
+
+
+@_lru_cache(maxsize=1)
+def _image_preproc_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({j}, {a}, {b}, {m})".format(
+            j=j,
+            a=_image_preproc_formula(j)[0],
+            b=_image_preproc_formula(j)[1],
+            m=_image_preproc_formula(j)[2],
+        )
+        for j in _image_item_ids()
+    )
+
+
+def _stored_image_preproc_rows(spark: SparkSession) -> DataFrame:
+    """Decode every stored IMAGE payload and run the vision preprocess
+    (center-crop → nearest 16×16 → integer BT.601 gray), reducing to
+    m1 = patch gray sum, m2 = center gray, m3 = crop side + dims.
+    Scan → mapInPandas, shuffle-free: decode and preprocess compose
+    into one kernel, the shape a 100 TB vision corpus uses so pixels
+    are touched exactly once."""
+    p = _PREPROC_PATCH
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, m1, m2, m3 = [], [], [], []
+            for j, kind, payload in zip(
+                pdf["item_id"], pdf["kind"], pdf["payload"]
+            ):
+                if str(kind) not in ("bmp", "png"):
+                    continue
+                img = decode_real_media(bytes(payload), f"image/{kind}")
+                h, w = img.shape[:2]
+                s = min(w, h)
+                x0, y0 = (w - s) // 2, (h - s) // 2
+                crop = img[y0 : y0 + s, x0 : x0 + s]
+                idx = np.arange(p) * s // p  # nearest (floor) sampling
+                patch = crop[idx][:, idx].astype(np.int64)
+                gray = (
+                    77 * patch[..., 0] + 150 * patch[..., 1]
+                    + 29 * patch[..., 2]
+                ) >> 8
+                ids.append(int(j))
+                m1.append(int(gray.sum()))
+                m2.append(int(gray[p // 2, p // 2]))
+                m3.append(s * 1_000_000 + w * 1000 + h)
+            yield pd.DataFrame({"k_id": ids, "m1": m1, "m2": m2, "m3": m3})
+
+    return spark.read.parquet(MEDIA_FIXTURE_PATH).mapInPandas(
+        kernel, "k_id long, m1 long, m2 long, m3 long"
+    )
+
+
+# ------- derived audio features over the stored fixture (oracle) --------
+#
+# The pass a real audio corpus runs AFTER decode: per-clip quality
+# features (energy, zero-crossing rate, peak) that drive
+# silence/clipping filters. Certified over the same committed fixture
+# payloads, with the oracle streams computed INDEPENDENTLY of the
+# production codecs (closed forms for PCM/FLAC, the textbook scalar
+# reference decoders for the ADPCM families).
+_AUDIO_KINDS = ("wav", "ima", "ms", "flac")
+
+
+def _stored_audio_stream_ch0(j: int) -> list:
+    """Channel-0 sample stream of stored audio item j — oracle side,
+    no production codec involved."""
+    if j >= _STORED_FLAC_FROM:
+        i = j - _STORED_FLAC_FROM
+        n = _flac_stream_spec(i)[3]
+        return [_flac_sample(i, 0, t) for t in range(n)]
+    kind = _STORED_KINDS[j % 5]
+    i = j // 5
+    if kind == "wav":
+        n = 256 + (i * 31) % 256
+        return [((i * 7 + t * t) % 4001) - 2000 for t in range(n)]
+    if kind == "ima":
+        from .adpcm import reference_decode_nibbles
+
+        ch, ba, n_blocks, _rate = _adpcm_stream_spec(i)
+        spb = (ba // ch - 4) * 2 + 1
+        out: list = []
+        for b in range(n_blocks):
+            nibs = [_adpcm_nibble(i, 0, b, t) for t in range(spb - 1)]
+            out += reference_decode_nibbles(
+                nibs, _adpcm_pred0(i, 0, b), _adpcm_idx0(i, 0, b)
+            )
+        return out
+    if kind == "ms":
+        from .adpcm import reference_decode_ms_nibbles
+
+        ch, ba, n_blocks, _rate = _adpcm_ms_stream_spec(i)
+        spb = (ba - 7 * ch) * 2 // ch + 2
+        out = []
+        for b in range(n_blocks):
+            nibs = [_adpcm_ms_nibble(i, 0, b, t) for t in range(spb - 2)]
+            out += reference_decode_ms_nibbles(
+                nibs,
+                _adpcm_ms_pred(i, 0),
+                _adpcm_ms_delta0(i, 0, b),
+                _adpcm_ms_samp1(i, 0, b),
+                _adpcm_ms_samp2(i, 0, b),
+            )
+        return out
+    raise ValueError(f"item {j} is not audio")
+
+
+def _audio_feat_formula(j: int):
+    """(sum|x|, zero_crossings, peak|x|) of stored audio item j's
+    channel 0 — pure integer features, independent stream."""
+    x = _stored_audio_stream_ch0(j)
+    sumabs = sum(abs(v) for v in x)
+    zc = sum(1 for a, b in zip(x, x[1:]) if a * b < 0)
+    peak = max(abs(v) for v in x) if x else 0
+    return sumabs, zc, peak
+
+
+def _audio_item_ids() -> list:
+    return [
+        j
+        for j in range(STORED_N_ITEMS)
+        if j >= _STORED_FLAC_FROM or _STORED_KINDS[j % 5] in _AUDIO_KINDS
+    ]
+
+
+@_lru_cache(maxsize=1)
+def _audio_feat_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({j}, {a}, {b}, {m})".format(
+            j=j,
+            a=_audio_feat_formula(j)[0],
+            b=_audio_feat_formula(j)[1],
+            m=_audio_feat_formula(j)[2],
+        )
+        for j in _audio_item_ids()
+    )
+
+
+def _stored_audio_feature_rows(spark: SparkSession) -> DataFrame:
+    """Decode every stored AUDIO payload and reduce to per-clip quality
+    features: m1 = sum|ch0|, m2 = ch0 zero crossings, m3 = peak |ch0|.
+    Same shuffle-free scan→mapInPandas shape as the decode pass —
+    feature extraction composes into the one kernel a 100 TB corpus
+    would run (decode amortized, never re-read)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, m1, m2, m3 = [], [], [], []
+            for j, kind, payload in zip(
+                pdf["item_id"], pdf["kind"], pdf["payload"]
+            ):
+                if str(kind) not in _AUDIO_KINDS:
+                    continue
+                payload = bytes(payload)
+                if kind == "flac":
+                    decoded, _rate, _bits = decode_real_media(
+                        payload, "audio/flac"
+                    )
+                else:
+                    decoded, _rate = decode_real_media(payload, "audio/wav")
+                x = decoded[:, 0].astype(np.int64)
+                ids.append(int(j))
+                m1.append(int(np.abs(x).sum()))
+                m2.append(int(((x[:-1] * x[1:]) < 0).sum()))
+                m3.append(int(np.abs(x).max()) if x.size else 0)
+            yield pd.DataFrame({"k_id": ids, "m1": m1, "m2": m2, "m3": m3})
+
+    return spark.read.parquet(MEDIA_FIXTURE_PATH).mapInPandas(
+        kernel, "k_id long, m1 long, m2 long, m3 long"
+    )
 
 
 def _stored_payload_rows(spark: SparkSession) -> DataFrame:
@@ -1956,15 +2265,20 @@ def decode_real_media(payload: bytes, fmt: str):
     decode, Huffman tables read from the stream, dequant + IDCT +
     JFIF color transform; and :func:`decode_wav` — RIFF chunk walk +
     numpy frombuffer; :func:`.gif.decode_gif` — LZW + interlace +
-    animation compositing, returning a composited RGBA frame stack)
+    animation compositing, returning a composited RGBA frame stack;
+    :func:`.flac.decode_flac` — full lossless FLAC frame decode, CRC
+    + MD5 verified; :func:`.aiff.decode_aiff` / :func:`.aiff.decode_au`
+    — the big-endian AIFF/AU container families)
     — certified end-to-end by the `bmp_roundtrip` / `png_roundtrip` /
     `jpeg_roundtrip` / `wav_roundtrip` / `gif_roundtrip` /
-    `adpcm_roundtrip` sections of `multimodal_media_ops` (encode →
-    decode → pixel/sample sums vs a closed-form oracle). The
-    remaining containers (compressed
-    audio/video) need libav, which this environment does not ship;
-    the import gate keeps the pipeline importable and a cluster image
-    with codecs swaps the real implementation in."""
+    `adpcm_roundtrip` / `flac_roundtrip` / `aiff_au_roundtrip`
+    sections of `multimodal_media_ops` (encode → decode →
+    pixel/sample sums vs a closed-form oracle; the lossless formats
+    additionally assert bit-exact equality in-kernel). The
+    remaining containers (transform-coded LOSSY bitstreams: MP3/AAC
+    granules, video frames) need libav, which this environment does
+    not ship; the import gate keeps the pipeline importable and a
+    cluster image with codecs swaps the real implementation in."""
     if bytes(payload[:2]) == b"BM":
         return decode_bmp(payload)
     if bytes(payload[:8]) == _PNG_SIG:
@@ -1983,6 +2297,10 @@ def decode_real_media(payload: bytes, fmt: str):
         from .flac import decode_flac
 
         return decode_flac(payload)
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
         from .aiff import decode_aiff
 
@@ -2086,7 +2404,12 @@ def probe_audio_metadata(payload: bytes) -> dict:
     still requires a codec runtime and stays behind
     :func:`decode_real_media`'s documented gate. Tolerates trailing
     junk (e.g. an ID3v1 tag) after the last frame. Raises ValueError
-    when no frame sync is found."""
+    when no frame sync is found. FLAC payloads route to the O(header)
+    STREAMINFO probe (operators/flac.py — same no-decode contract)."""
+    if bytes(payload[:4]) == b"fLaC":
+        from .flac import probe_flac_metadata
+
+        return probe_flac_metadata(bytes(payload))
     buf = bytes(payload)
     pos = 0
     id3_bytes = 0
@@ -2345,6 +2668,33 @@ def _media_ops_oracle() -> str:
           {_aiffau_oracle_rows()}
         ) AS t(i, a, b, m)
         UNION ALL
+        SELECT 'tiff_roundtrip' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_tiff_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
+        SELECT 'image_preprocess' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_image_preproc_oracle_rows()}
+        ) AS t(j, a, b, m)
+        UNION ALL
+        SELECT 'audio_features' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_audio_feat_oracle_rows()}
+        ) AS t(j, a, b, m)
+        UNION ALL
         SELECT 'stored_payload_decode' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -2491,6 +2841,14 @@ def _media_ops_oracle() -> str:
         "STREAMINFO MD5, and the oracle recomputes the channel sums "
         "from the same closed form — a wrong Rice bit, CRC table, "
         "stereo reconstruction, or predictor shift breaks the hash. "
+        "`tiff_roundtrip`: REAL baseline TIFF 6.0 decode "
+        "(operators/tiff.py — IFD walk honoring the left-justified "
+        "inline-value rule under BOTH byte orders, multi-strip "
+        "assembly, photometric 0/1/2/3 incl. the 16-bit ColorMap) — "
+        "48 closed-form images through II and MM containers with "
+        "varying RowsPerStrip, decoded back bit-exact (uncompressed); "
+        "a wrong endian read, strip offset, WhiteIsZero inversion, or "
+        "palette scale breaks the hash. "
         "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
         "audio archives carry next to RIFF (operators/aiff.py) — 48 "
         "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
@@ -2510,7 +2868,25 @@ def _media_ops_oracle() -> str:
         "same signature-dispatch kernel; the oracle is the same "
         "closed-form math, so the certification covers bytes that "
         "lived on disk, not just in-gate synthesis — exactly the "
-        "binary-column table layout a 100 TB media corpus uses."
+        "binary-column table layout a 100 TB media corpus uses. "
+        "`audio_features`: the DERIVED-FEATURE pass a real audio "
+        "corpus runs after decode — every stored audio payload (PCM "
+        "WAV, IMA/MS ADPCM, FLAC) reduces to integer quality features "
+        "(m1 = channel-0 energy sum|x|, m2 = zero crossings, m3 = "
+        "peak |x|) in the same shuffle-free scan→mapInPandas kernel "
+        "shape; the oracle recomputes the features from INDEPENDENT "
+        "streams (closed forms for PCM/FLAC, the textbook scalar "
+        "reference decoders for ADPCM), so the certification covers "
+        "decode AND the feature math a silence/clipping filter "
+        "depends on. "
+        "`image_preprocess`: the matching VISION preprocess pass — "
+        "every stored BMP/PNG payload decodes and runs center-crop → "
+        "nearest 16×16 resize → integer BT.601 grayscale "
+        "((77R+150G+29B)>>8) in one kernel (m1 = patch gray sum, m2 = "
+        "center gray, m3 = crop side + dims), all-integer so the "
+        "closed-form pixel oracle is exact; pixels are touched once — "
+        "decode and preprocess compose in the same Arrow batch, the "
+        "shape a 100 TB vision corpus uses."
     ),
 )
 def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2559,6 +2935,29 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("adpcm_ms"))
         .unionByName(codec_rows("flac_roundtrip"))
         .unionByName(codec_rows("aiff_au_roundtrip"))
+        .unionByName(codec_rows("tiff_roundtrip"))
+        .unionByName(
+            _stored_audio_feature_rows(spark).select(
+                F.lit("audio_features").alias("section"),
+                F.lit(None).cast("string").alias("k_str"),
+                F.col("k_id"),
+                F.lit(None).cast("long").alias("idx"),
+                "m1",
+                "m2",
+                "m3",
+            )
+        )
+        .unionByName(
+            _stored_image_preproc_rows(spark).select(
+                F.lit("image_preprocess").alias("section"),
+                F.lit(None).cast("string").alias("k_str"),
+                F.col("k_id"),
+                F.lit(None).cast("long").alias("idx"),
+                "m1",
+                "m2",
+                "m3",
+            )
+        )
         .unionByName(
             _stored_payload_rows(spark).select(
                 F.lit("stored_payload_decode").alias("section"),
@@ -2598,6 +2997,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_adpcm_ms = section == "adpcm_ms"
     use_flac = section == "flac_roundtrip"
     use_aiffau = section == "aiff_au_roundtrip"
+    use_tiff = section == "tiff_roundtrip"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2674,6 +3074,14 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert (frames[..., 3] == 255).all()
                     assert delays == [10 * (i % 5), 20]
                     sums = frames[..., :3].astype(np.int64).sum(axis=(0, 1, 2))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_tiff:
+                    payload, expect = _tiff_item(i)
+                    decoded = decode_real_media(payload, "image/tiff")
+                    assert decoded.shape == expect.shape
+                    # uncompressed ⇒ bit-exact round trip
+                    assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_aiffau:
                     kind, bits, ch, n, rate = _aiffau_spec(i)
@@ -2825,6 +3233,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_flac
         else AIFFAU_N_ITEMS
         if use_aiffau
+        else TIFF_N_ITEMS
+        if use_tiff
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS
