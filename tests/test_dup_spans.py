@@ -65,3 +65,74 @@ def test_identical_documents_span_full_text(spark):
     n = len(text)
     got = _spans(spark, rows, 10)
     assert got == [(1, 1, n, n - 9), (2, 1, n, n - 9)]
+
+
+def _selected(g: str) -> bool:
+    """The content-keyed selection rule, recomputed independently:
+    md5 bucket 0 of SPAN_SAMPLE_MOD."""
+    import hashlib
+
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        SPAN_SAMPLE_MOD,
+    )
+
+    return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % SPAN_SAMPLE_MOD == 0
+
+
+def _sampled_spans(spark, rows, min_len):
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        sampled_substring_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampled_substring_spans(df, min_len=min_len).collect()
+    return sorted((r.doc_id, r.span_start, r.span_end, r.n_grams) for r in out)
+
+
+def test_sampled_selection_is_content_keyed_not_positional(spark):
+    """A long shared block planted at DIFFERENT offsets in two docs —
+    the phase case a positional stride would miss. Content-keyed
+    selection picks the same grams of the block in both copies, so
+    both docs get a span; expected hits recomputed with hashlib."""
+    import string
+
+    block = (string.ascii_letters + string.digits + ".,;:!?-_ ") * 8  # ~570
+    rows = [
+        (1, "unique-prefix-one///" + block + "###tail-a"),
+        (2, "x" + block + "@@@different-tail-entirely"),
+    ]
+    L = 40
+    got = _sampled_spans(spark, rows, L)
+    # independent expectation: selected shared grams exist
+    shared_hits_1 = [
+        p + 21 for p in range(len(block) - L + 1) if _selected(block[p : p + L])
+    ]
+    assert shared_hits_1, "test corpus must select at least one gram"
+    assert {d for d, *_ in got} == {1, 2}
+    # every span lies inside the planted block's footprint in each doc
+    for d, s, e, n in got:
+        off = 21 if d == 1 else 2  # 1-based block start per doc
+        assert s >= off and e <= off + len(block) - 1, (d, s, e)
+
+
+def test_sampled_misses_only_unselected_short_blocks(spark):
+    """A shared block whose grams are ALL unselected is invisible to
+    the sampled pass (the documented coverage trade) while the exact
+    pass still finds it — pin the relationship on a crafted corpus."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    base = "The quick brown fox jumps over the lazy dog 0123456789"  # 55
+    L = 40
+    grams = [base[p : p + L] for p in range(len(base) - L + 1)]
+    if any(_selected(g) for g in grams):
+        # corpus-dependent: if a gram IS selected, both passes agree —
+        # assert that instead (still pins determinism)
+        rows = [(1, base + "-suffix-one"), (2, "pre//" + base)]
+        assert _sampled_spans(spark, rows, L)
+        return
+    rows = [(1, base + "-suffix-one"), (2, "pre//" + base)]
+    assert _sampled_spans(spark, rows, L) == []
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicated_substring_spans(df, min_len=L).count() > 0

@@ -19,6 +19,7 @@ engines, so every query here has a strict value-hash oracle.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _dedup_lru_cache
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -641,31 +642,23 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_MIN_CHARS = 40
 
 
-def duplicated_substring_spans(
-    docs: DataFrame, min_len: int = SPAN_MIN_CHARS
-) -> DataFrame:
-    """EXACT duplicated substrings ACROSS documents, merged to maximal
-    per-document spans: every length-``min_len`` character gram that
-    occurs in >= 2 distinct documents, with overlapping/adjacent hits
-    coalesced per document (gaps-and-islands). This is the
-    sub-document granularity the within-doc profile can't see — the
-    pass that finds boilerplate/license blocks and verbatim quotes a
-    near-dup pair filter leaves behind.
+# Content-keyed gram sampling for the scale path: keep a gram iff
+# md5(gram) lands in bucket 0 of SPAN_SAMPLE_MOD — selection depends
+# ONLY on gram CONTENT, so two copies of a block at DIFFERENT offsets
+# in different documents select the same grams. (A positional stride
+# would not: the copies' grams sit at different phases, so stride-
+# aligned windows read different text — the classic reason exact-dup
+# fingerprinting uses content-defined selection, à la winnowing.)
+SPAN_SAMPLE_MOD = 8  # keep ~1/8 of grams
+SPAN_SAMPLE_GAP = 8 * SPAN_SAMPLE_MOD  # island gap tolerance (chars)
 
-    Plan: gram explode is scan→generate→project (no shuffle, full
-    whole-stage codegen); ONE groupBy on the gram text finds
-    cross-document grams; an equi-join back to positions is the
-    blocking step (hit rows exist only where a gram recurs); the merge
-    window partitions by doc_id and is bounded by document length.
-    Scale: gram rows = total corpus characters — at 100 TB group on
-    ``xxhash64(gram)`` instead of the 40-char string (collision
-    re-verify on the surviving islands) and raise the explode stride
-    to min_len/2 (any duplicate of length >= 1.5*min_len still shares
-    an aligned gram); both are key-width knobs on the same plan.
-    Output: (doc_id, span_start, span_end, n_grams), 1-based inclusive
-    character positions."""
+
+def _span_grams(docs: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, start, g): every length-``min_len`` character gram with
+    its 1-based position — scan→generate→project, no shuffle, full
+    whole-stage codegen."""
     n = min_len
-    grams = (
+    return (
         docs.filter(F.length("text") >= n)
         .select(
             "doc_id",
@@ -680,26 +673,65 @@ def duplicated_substring_spans(
             F.expr(f"substr(text, start, {n})").alias("g"),
         )
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "start")
+
+
+def _merge_hit_islands(hits: DataFrame, gap: int) -> DataFrame:
+    """Gaps-and-islands merge of gram hits into maximal per-document
+    spans: hits whose starts are within ``gap`` coalesce. The window
+    partitions by doc_id — bounded by document length, never corpus
+    size."""
     w = W.partitionBy("doc_id").orderBy("start")
     isl = hits.withColumn(
         "new_isl",
         F.when(
             F.lag("start").over(w).isNull()
-            | (F.col("start") > F.lag("start").over(w) + n),
+            | (F.col("start") > F.lag("start").over(w) + gap),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    grp = isl.withColumn(
+    return isl.withColumn(
         "island",
         F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame, min_len: int = SPAN_MIN_CHARS,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT duplicated substrings ACROSS documents, merged to maximal
+    per-document spans: every length-``min_len`` character gram that
+    occurs in >= 2 distinct documents, with overlapping/adjacent hits
+    coalesced per document (gaps-and-islands). This is the
+    sub-document granularity the within-doc profile can't see — the
+    pass that finds boilerplate/license blocks and verbatim quotes a
+    near-dup pair filter leaves behind.
+
+    Plan: gram explode is scan→generate→project (no shuffle); ONE
+    groupBy on the gram text finds cross-document grams; an equi-join
+    back to positions is the blocking step (hit rows exist only where
+    a gram recurs); the merge window partitions by doc_id and is
+    bounded by document length. The exhaustive stride-1 pass shuffles
+    one row per corpus character — exact, and the right tool up to
+    TB-scale; beyond that use :func:`sampled_substring_spans`, the
+    SAME plan over a content-keyed 1/``SPAN_SAMPLE_MOD`` gram sample
+    (selection by gram hash, so unaligned copies still collide —
+    a positional stride would lose them to phase mismatch).
+    Output: (doc_id, span_start, span_end, n_grams), 1-based inclusive
+    character positions."""
+    n = min_len
+    if grams is None:
+        grams = _span_grams(docs, n)
+    # ">= 2 distinct docs" as min != max: no distinct-aggregation state,
+    # one partial-aggregated min/max pair per gram
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "start")
+    grp = _merge_hit_islands(hits, n)
     return grp.groupBy("doc_id", "island").agg(
         F.min("start").alias("span_start"),
         (F.max("start") + (n - 1)).cast("long").alias("span_end"),
@@ -707,9 +739,212 @@ def duplicated_substring_spans(
     ).select("doc_id", "span_start", "span_end", "n_grams")
 
 
-def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
-    """DuckDB mirror of :func:`duplicated_substring_spans`."""
+def sampled_substring_spans(
+    docs: DataFrame, min_len: int = SPAN_MIN_CHARS,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """The 100 TB form of :func:`duplicated_substring_spans`: the same
+    block-on-gram / merge-on-window plan over a CONTENT-KEYED
+    1/``SPAN_SAMPLE_MOD`` sample of grams (keep iff the md5 bucket of
+    the gram text is 0). Selection depends only on gram content, so a
+    duplicated block selects the SAME grams in every copy regardless
+    of offset — the shuffle shrinks 8× while any duplicate span long
+    enough to contain a selected gram is still found; span bounds are
+    approximate to the sampling pitch, so islands merge with a
+    ``SPAN_SAMPLE_GAP`` tolerance. Deterministic (md5), hence
+    oracle-certifiable: the exact same selection runs in DuckDB."""
     n = min_len
+    if grams is None:
+        grams = _span_grams(docs, n)
+    sampled = grams.filter(
+        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+        % SPAN_SAMPLE_MOD
+        == 0
+    )
+    dup = (
+        sampled.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    hits = sampled.join(dup, "g").select("doc_id", "start")
+    grp = _merge_hit_islands(hits, n + SPAN_SAMPLE_GAP)
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + (n - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+# ---- in-gate scale proof for the sampled span pass ---------------------
+#
+# 5k generated docs (~1.6M grams), 500 planted PAIRS sharing a
+# 204-char block at DIFFERENT offsets (even doc: prefix 60 chars, odd:
+# 96) — the phase case that breaks positional striding. Filler units
+# embed the doc id in every 12 chars, so any 40-gram outside a block
+# is unique to its document and the cross-doc hit set is EXACTLY the
+# planted blocks. The oracle is a pure-Python simulation of the same
+# md5 selection + island merge, reduced to closed-form summary rows.
+SPANS_SCALE_DOCS = 5_000
+SPANS_SCALE_PAIRS = 500
+_SPANS_BLOCK_UNITS = 17  # 17 × 12-char units = 204-char planted block
+
+
+def _spans_scale_docs(spark: SparkSession) -> DataFrame:
+    d = F.col("id")
+    k = F.floor(d / 2)
+
+    def filler(start: int, count: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(start), F.lit(start + count - 1)),
+                lambda p: F.format_string("%08x%04x", d, p),
+            ),
+            "",
+        )
+
+    block = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_SPANS_BLOCK_UNITS - 1)),
+            lambda t: F.format_string("B%07x%04x", k, t),
+        ),
+        "",
+    )
+    # Suffix units lead with the doc id's LOW hex digit: docs 2k and
+    # 2k+1 share the first 7 digits of their 8-digit hex ids, so a
+    # plain doc-id-first unit would let grams leak up to 7 chars past
+    # the block and still match across the pair (caught by the oracle
+    # sim mismatching by exactly those boundary grams). Leading with
+    # the digit that DIFFERS makes the char right after the block
+    # differ, pinning spans to the planted footprint.
+    suffix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(100), F.lit(103)),
+            lambda p: F.format_string(
+                "%x%07x%04x", d % 16, F.floor(d / 16), p
+            ),
+        ),
+        "",
+    )
+    planted = F.concat(
+        F.when(d % 2 == 0, filler(0, 5)).otherwise(filler(0, 8)),
+        block,
+        suffix,
+    )
+    return spark.range(
+        0, SPANS_SCALE_DOCS, 1, numPartitions=scale_input_partitions(spark)
+    ).select(
+        d.alias("doc_id"),
+        F.when(d < 2 * SPANS_SCALE_PAIRS, planted)
+        .otherwise(filler(0, 26))
+        .alias("text"),
+    )
+
+
+def _spans_scale_summary(spark: SparkSession) -> DataFrame:
+    """(metric ordinal, value) — ONE evaluation of the scale corpus'
+    sampled-span pass, exploded into summary rows (a per-metric union
+    would re-run the whole pass per branch)."""
+    spans = sampled_substring_spans(_spans_scale_docs(spark))
+    s = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_grams").alias("sum_grams"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("sum_chars"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("max_len"),
+    )
+    cols = ["n_spans", "n_docs", "sum_grams", "sum_chars", "max_len"]
+    return s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("metric"),
+                        F.col(c).cast("long").alias("value"),
+                    )
+                    for j, c in enumerate(cols)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.metric"), F.col("e.value"))
+
+
+def _spans_scale_formula() -> list:
+    """Pure-Python simulation of the scale corpus' sampled-span pass
+    (hashlib md5 selection + the same island merge) → the five summary
+    literals. Shift-invariance does the heavy lifting: both copies of
+    block k select identical in-block gram positions, so one in-block
+    simulation covers both documents."""
+    import hashlib
+
+    n = SPAN_MIN_CHARS
+    gap = n + SPAN_SAMPLE_GAP
+    n_spans = n_docs = sum_grams = sum_chars = max_len = 0
+    for k in range(SPANS_SCALE_PAIRS):
+        block = "".join(
+            f"B{k:07x}{t:04x}" for t in range(_SPANS_BLOCK_UNITS)
+        )
+        sel = [
+            p
+            for p in range(len(block) - n + 1)
+            if int(
+                hashlib.md5(block[p : p + n].encode()).hexdigest()[:4], 16
+            )
+            % SPAN_SAMPLE_MOD
+            == 0
+        ]
+        if not sel:
+            continue
+        islands: list[list[int]] = [[sel[0]]]
+        for p in sel[1:]:
+            if p > islands[-1][-1] + gap:
+                islands.append([p])
+            else:
+                islands[-1].append(p)
+        n_docs += 2
+        for isl in islands:
+            ln = isl[-1] - isl[0] + n
+            n_spans += 2
+            sum_grams += 2 * len(isl)
+            sum_chars += 2 * ln
+            max_len = max(max_len, ln)
+    return [n_spans, n_docs, sum_grams, sum_chars, max_len]
+
+
+@_dedup_lru_cache(maxsize=1)
+def _spans_scale_oracle_rows() -> str:
+    return ",\n          ".join(
+        f"({j}, {v})" for j, v in enumerate(_spans_scale_formula())
+    )
+
+
+def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
+    """DuckDB mirror of :func:`duplicated_substring_spans` (CTE
+    ``spans``) and :func:`sampled_substring_spans` (CTE ``sspans`` —
+    identical pipeline over the md5-bucket gram sample)."""
+    n = min_len
+
+    def islands(src: str, out: str, gap: int) -> str:
+        return f"""
+        {out} AS (
+          SELECT doc_id, MIN(start) AS span_start,
+                 MAX(start) + {n} - 1 AS span_end,
+                 COUNT(*) AS n_grams
+          FROM (
+            SELECT doc_id, start,
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+                                      ROWS UNBOUNDED PRECEDING) AS island
+            FROM (
+              SELECT doc_id, start,
+                     CASE WHEN lag(start) OVER iw IS NULL
+                           OR start > lag(start) OVER iw + {gap} THEN 1
+                          ELSE 0 END AS new_isl
+              FROM {src} WINDOW iw AS (PARTITION BY doc_id ORDER BY start)
+            )
+          )
+          GROUP BY doc_id, island
+        )"""
+
     return f"""
         grams AS (
           SELECT doc_id, CAST(s AS BIGINT) AS start,
@@ -721,34 +956,29 @@ def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
           )
         ),
         dupg AS (
-          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+          SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
         ),
         hits AS (SELECT doc_id, start FROM grams JOIN dupg USING (g)),
-        isl AS (
-          SELECT doc_id, start,
-                 CASE WHEN lag(start) OVER iw IS NULL
-                       OR start > lag(start) OVER iw + {n} THEN 1
-                      ELSE 0 END AS new_isl
-          FROM hits WINDOW iw AS (PARTITION BY doc_id ORDER BY start)
+        {islands("hits", "spans", n)},
+        sgrams AS (
+          SELECT * FROM grams
+          WHERE CAST(('0x' || substring(md5(g), 1, 4)) AS UBIGINT)
+                % {SPAN_SAMPLE_MOD} = 0
         ),
-        spans AS (
-          SELECT doc_id, MIN(start) AS span_start,
-                 MAX(start) + {n} - 1 AS span_end,
-                 COUNT(*) AS n_grams
-          FROM (
-            SELECT doc_id, start,
-                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY start
-                                      ROWS UNBOUNDED PRECEDING) AS island
-            FROM isl
-          )
-          GROUP BY doc_id, island
-        )
+        sdupg AS (
+          SELECT g FROM sgrams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+        ),
+        shits AS (SELECT doc_id, start FROM sgrams JOIN sdupg USING (g)),
+        {islands("shits", "sspans", n + SPAN_SAMPLE_GAP)}
     """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+@_dedup_lru_cache(maxsize=1)
+def _ngram_jaccard_oracle() -> str:
+    """Deferred oracle builder: the spans-scale VALUES literals come
+    from an 80k-md5 pure-Python simulation — built on first
+    oracle_sql() access, never at (executor) import."""
+    return f"""
         WITH {_sql_shingles_cte()},
         sizes AS (
           SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
@@ -773,7 +1003,24 @@ def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
                doc_id AS k1, span_start AS k2, span_end AS m1,
                CAST(n_grams AS BIGINT) AS m2
         FROM spans
-    """,
+        UNION ALL
+        SELECT 'dup_spans_sampled' AS section,
+               doc_id AS k1, span_start AS k2, span_end AS m1,
+               CAST(n_grams AS BIGINT) AS m2
+        FROM sspans
+        UNION ALL
+        SELECT 'spans_scale' AS section,
+               CAST(metric AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+               CAST(value AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2
+        FROM (VALUES
+          {_spans_scale_oracle_rows()}
+        ) AS t(metric, value)
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_jaccard_oracle,
     doc=(
         "Sub-document duplication, union-tagged. `jaccard_pairs`: n-gram "
         "Jaccard near-dup — shingle equi-join is the blocking step (pairs "
@@ -784,6 +1031,19 @@ def _sql_dup_spans(min_len: int = SPAN_MIN_CHARS) -> str:
         "every 40-char gram occurring in >=2 distinct documents, merged "
         "into maximal per-doc spans via a gaps-and-islands window "
         "(k1=doc_id, k2=span_start, m1=span_end, m2=grams merged). "
+        "`dup_spans_sampled`: the 100 TB form — the SAME plan over a "
+        "CONTENT-KEYED 1/8 gram sample (keep iff md5(gram) bucket = 0; "
+        "content selection means unaligned copies still collide, where "
+        "a positional stride would lose them to phase mismatch), islands "
+        "merged with the sampling-pitch tolerance; 8x less shuffle, "
+        "deterministic, certified by the identical selection in DuckDB. "
+        "`spans_scale`: the in-gate SCALE PROOF for the sampled pass — "
+        "5k generated docs (~1.6M grams) with 500 planted pairs sharing "
+        "a 204-char block at DIFFERENT offsets (the phase case that "
+        "breaks positional striding; filler embeds the doc id every 12 "
+        "chars so nothing else collides), reduced to five summary rows "
+        "checked against a pure-Python md5 simulation (k1=metric, "
+        "m1=value: n_spans / docs / grams / span chars / max span). "
         "Together they answer both near-dup questions a corpus pipeline "
         "asks: which documents overlap, and exactly WHERE the verbatim "
         "overlap lives (the spans are what span-removal dedup deletes)."
@@ -816,14 +1076,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("uni").alias("m2"),
         )
     )
-    span_rows = duplicated_substring_spans(docs).select(
-        F.lit("dup_spans").alias("section"),
-        F.col("doc_id").alias("k1"),
-        F.col("span_start").alias("k2"),
-        F.col("span_end").alias("m1"),
-        F.col("n_grams").alias("m2"),
+    # cached: the gram explode feeds BOTH span sections (exact stride-1
+    # and the content-sampled scale path) — one generate pass, two reads
+    grams = track(_span_grams(docs, SPAN_MIN_CHARS).cache())
+
+    def span_select(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("section"),
+            F.col("doc_id").alias("k1"),
+            F.col("span_start").alias("k2"),
+            F.col("span_end").alias("m1"),
+            F.col("n_grams").alias("m2"),
+        )
+
+    span_rows = span_select(
+        duplicated_substring_spans(docs, grams=grams), "dup_spans"
     )
-    return pair_rows.unionByName(span_rows)
+    sampled_rows = span_select(
+        sampled_substring_spans(docs, grams=grams), "dup_spans_sampled"
+    )
+    nulll = F.lit(None).cast("long")
+    scale_rows = _spans_scale_summary(spark).select(
+        F.lit("spans_scale").alias("section"),
+        F.col("metric").alias("k1"),
+        nulll.alias("k2"),
+        F.col("value").alias("m1"),
+        nulll.alias("m2"),
+    )
+    return (
+        pair_rows.unionByName(span_rows)
+        .unionByName(sampled_rows)
+        .unionByName(scale_rows)
+    )
 
 
 # --------------------------------------------------------- 3. MinHash + LSH
