@@ -277,3 +277,56 @@ def test_agent_status_stream_plan_shape(spark):
                     plan.index("== Optimized Logical Plan ==")]
     fm = analyzed.index("FlatMapGroupsInPandasWithState")
     assert "worker.activity.update" in analyzed[fm:]
+
+
+def test_span_family_shares_one_gram_cache(spark, sf_dir):
+    """dedup_ngram_jaccard's exact and sampled span sections must read
+    the SAME cached gram explode (InMemoryRelation present) — without
+    it the corpus-character-sized generate runs once per section."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "InMemoryTableScan" in plan
+    from twilio_event_streams_reporting_example_spark.registry import (
+        release_caches,
+    )
+
+    release_caches()
+
+
+def test_media_feature_kernels_are_shuffle_free(spark, sf_dir):
+    """The fixture decode/feature passes are scan→mapInPandas: ANY
+    exchange in their plans means pixels/samples started moving across
+    the cluster — the canonical media-pipeline scale bug."""
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _stored_audio_feature_rows,
+        _stored_image_preproc_rows,
+        _stored_payload_rows,
+    )
+
+    for fn in (_stored_audio_feature_rows, _stored_image_preproc_rows,
+               _stored_payload_rows):
+        plan = fn(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, fn.__name__
+
+
+def test_spans_scale_summary_is_one_aggregate(spark, sf_dir):
+    """The planted-pair scale proof reduces via ONE aggregation exploded
+    into metric rows — a per-metric union would re-run the 1.6M-gram
+    pass once per branch (5x the scan)."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        _spans_scale_summary,
+    )
+
+    plan = _spans_scale_summary(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") >= 1
+    # every scale-corpus Range line must sit inside a CACHED subtree
+    # dump (InMemoryRelation prints its logical plan per reader) — a
+    # live, uncached Range consumer would generate + md5 the 1.6M-gram
+    # corpus once per consumer
+    assert plan.count("InMemoryTableScan") >= 2  # both consumers cached
+    assert plan.count("Range (0, 5000") == plan.count("InMemoryRelation")
+    from twilio_event_streams_reporting_example_spark.registry import (
+        release_caches,
+    )
+
+    release_caches()

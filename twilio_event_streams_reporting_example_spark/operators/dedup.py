@@ -756,10 +756,16 @@ def sampled_substring_spans(
     n = min_len
     if grams is None:
         grams = _span_grams(docs, n)
-    sampled = grams.filter(
-        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
-        % SPAN_SAMPLE_MOD
-        == 0
+    # cached: BOTH consumers below (the dup aggregation and the hits
+    # join) read the sampled set — without it the upstream gram
+    # explode + md5 runs twice (for the in-gate scale proof that means
+    # generating and hashing the whole 1.6M-gram corpus twice)
+    sampled = track(
+        grams.filter(
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+            % SPAN_SAMPLE_MOD
+            == 0
+        ).cache()
     )
     dup = (
         sampled.groupBy("g")
