@@ -22,6 +22,10 @@ systematic spec-misread shared by this engine's encoder and decoder
     decode.
   - ITU-T G.711: the published A-law/mu-law endpoint values
     (mu-law ±32124 max / 0xFF↔0, A-law ±32256 max / silence ±8).
+  - TIFF 6.0: §13's worked LZW example (input 7,7,7,8,8,7,7,6,6 →
+    codes Clear,7,258,8,8,258,6,6,EOI, hand-packed MSB-first at 9
+    bits) and §9's quoted Apple PackBits example (24 unpacked ↔ 15
+    packed bytes), both asserted in BOTH directions.
 """
 
 import struct
@@ -436,3 +440,68 @@ def test_g711_published_endpoints():
     # monotone magnitude along each chord endpoint sequence
     useq = _g711_ulaw_to_linear(np.arange(0x80, 0x100, dtype=np.uint8))
     assert (np.diff(useq.astype(np.int32)) <= 0).all()
+
+
+# --------------------------------------------------------------------
+# TIFF 6.0 §13 (LZW) and §9 (PackBits): the spec's own worked examples
+# --------------------------------------------------------------------
+
+# §13's worked LZW example input — the 9-pixel sequence the spec
+# compresses step by step in its "Coding" walkthrough.
+TIFF13_INPUT = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+# The code sequence the spec derives for that input:
+#   ClearCode(256), 7, 258, 8, 8, 258, 6, 6, EOI(257)
+# packed MSB-first at 9 bits each (81 bits → 11 bytes, zero-padded).
+# The byte values below were packed BY HAND from those codes:
+#   100000000|000000111|100000010|000001000|000001000|100000010|
+#   000000110|000000110|100000001 + 0000000
+TIFF13_LZW_BYTES = bytes.fromhex("80 01 e0 40 80 44 08 0c 06 80 80".replace(" ", ""))
+
+
+def test_tiff_s13_lzw_worked_example_decodes():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        _tiff_lzw_decode,
+    )
+
+    assert _tiff_lzw_decode(TIFF13_LZW_BYTES, 9) == TIFF13_INPUT
+
+
+def test_tiff_s13_lzw_worked_example_encodes_exactly():
+    # the spec's greedy string-table algorithm is deterministic, so a
+    # conformant encoder must reproduce the example codes byte-exactly
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_encode(TIFF13_INPUT) == TIFF13_LZW_BYTES
+
+
+# §9 quotes Apple's PackBits worked example verbatim: 24 unpacked
+# bytes and the 15 packed bytes they compress to.
+TIFF9_PACKBITS_UNPACKED = bytes.fromhex(
+    "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA"
+)
+TIFF9_PACKBITS_PACKED = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+
+
+def test_tiff_s9_packbits_worked_example_decodes():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        _packbits_decode,
+    )
+
+    assert (
+        _packbits_decode(TIFF9_PACKBITS_PACKED, 24)
+        == TIFF9_PACKBITS_UNPACKED
+    )
+
+
+def test_tiff_s9_packbits_worked_example_encodes_exactly():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        _packbits_encode_row,
+    )
+
+    assert (
+        _packbits_encode_row(TIFF9_PACKBITS_UNPACKED)
+        == TIFF9_PACKBITS_PACKED
+    )

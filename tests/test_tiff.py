@@ -89,12 +89,100 @@ def test_palette_uses_high_byte_of_colormap():
     assert (out[:, :, 0] == 0xAB).all() and (out[:, :, 1] == 0).all()
 
 
-def test_compressed_tiff_is_rejected_clearly():
+def test_transform_coded_tiff_is_rejected_clearly():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     payload = bytearray(encode_tiff(img, 2))
-    # flip the Compression entry's value from 1 to 5 (LZW) in-place
+    # flip the Compression entry's value from 1 to 7 (JPEG-in-TIFF)
     i = payload.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    payload[i + 8 : i + 10] = struct.pack("<H", 5)
-    with pytest.raises(ValueError, match="compression 5"):
+    payload[i + 8 : i + 10] = struct.pack("<H", 7)
+    with pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(payload))
+
+
+# ------------------------------------------------- LZW + PackBits ------
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize(
+    "compression,predictor", [(5, 1), (5, 2), (32773, 1)]
+)
+def test_compressed_roundtrip_rgb_multistrip(
+    big_endian, compression, predictor
+):
+    rng = np.random.default_rng(11 + compression + predictor)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    payload = encode_tiff(
+        img, 2, big_endian=big_endian, rows_per_strip=4,
+        compression=compression, predictor=predictor,
+    )
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_lzw_width_growth_and_table_reset_roundtrip():
+    # incompressible input drives the code table through the 9→10→11→12
+    # bit early-change switches and at least one CLEAR-triggered reset
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 150, 3), dtype=np.uint8)  # 28.8 KB
+    payload = encode_tiff(img, 2, compression=5)
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_lzw_flat_image_compresses():
+    img = np.full((32, 32, 3), 130, dtype=np.uint8)
+    payload = encode_tiff(img, 2, compression=5)
+    uncompressed = encode_tiff(img, 2)
+    assert len(payload) < len(uncompressed) // 4
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_packbits_flat_image_compresses():
+    img = np.full((32, 32, 3), 7, dtype=np.uint8)
+    payload = encode_tiff(img, 2, compression=32773)
+    assert len(payload) < len(encode_tiff(img, 2)) // 4
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_predictor2_changes_stream_but_not_pixels():
+    # a horizontal gradient turns into constant deltas under predictor
+    # 2, so the LZW stream must shrink while pixels stay identical
+    img = np.tile(
+        np.arange(256, dtype=np.uint8)[None, :, None], (16, 1, 3)
+    )
+    plain = encode_tiff(img, 2, compression=5)
+    pred = encode_tiff(img, 2, compression=5, predictor=2)
+    assert len(pred) < len(plain)
+    assert np.array_equal(decode_tiff(pred), img)
+    assert np.array_equal(decode_tiff(plain), img)
+
+
+def test_predictor_without_lzw_is_rejected():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor 2"):
+        encode_tiff(img, 2, compression=32773, predictor=2)
+
+
+def test_truncated_lzw_strip_raises():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    raw = bytes(np.arange(48, dtype=np.uint8))
+    enc = _tiff_lzw_encode(raw)
+    assert _tiff_lzw_decode(enc, 48) == raw
+    with pytest.raises(ValueError, match="LZW"):
+        _tiff_lzw_decode(enc[:-3], 48)
+
+
+def test_missing_strip_offsets_raises_valueerror():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, 2))
+    # rename the StripOffsets tag (273) to an unknown private tag so
+    # the walk drops it — decode must raise the module's ValueError
+    # contract, not KeyError
+    i = payload.find(struct.pack("<HH", 273, 4))
+    assert i > 0
+    payload[i : i + 2] = struct.pack("<H", 60000)
+    with pytest.raises(ValueError, match="273"):
         decode_tiff(bytes(payload))

@@ -128,16 +128,22 @@ class _BitReader:
     """MSB-first reader over a byte buffer.
 
     ``read`` slices bytes and shifts (O(bytes touched)); ``read_unary``
-    finds the terminating 1-bit via a precomputed sorted set-bit index
-    (np.flatnonzero of unpacked bits) + binary search — no per-bit
-    Python loop on the Rice hot path.
+    finds the terminating 1-bit via a windowed set-bit index
+    (np.flatnonzero of unpacked bits over a bounded window) + binary
+    search — no per-bit Python loop on the Rice hot path, and no
+    whole-payload index either: the set-bit index is ~8 int64 entries
+    per byte, a real per-row memory multiplier for large FLAC payloads
+    inside ``mapInPandas``, so it is built per 64 KiB window on demand
+    and re-windowed as the read position advances.
     """
+
+    _UNARY_WINDOW = 1 << 16  # bytes of set-bit index built at a time
 
     def __init__(self, buf: bytes, bit_pos: int = 0) -> None:
         self._buf = buf
-        self._ones = np.flatnonzero(
-            np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        )
+        self._ones: np.ndarray | None = None  # set bits of current window
+        self._win_lo = 0  # window start, in BITS
+        self._win_hi = 0  # window end (exclusive), in BITS
         self.pos = bit_pos
 
     def read(self, nbits: int) -> int:
@@ -158,14 +164,34 @@ class _BitReader:
             v -= 1 << nbits
         return v
 
+    def _window(self, from_bit: int) -> None:
+        lo_byte = from_bit // 8
+        hi_byte = min(lo_byte + self._UNARY_WINDOW, len(self._buf))
+        self._win_lo = lo_byte * 8
+        self._win_hi = hi_byte * 8
+        self._ones = self._win_lo + np.flatnonzero(
+            np.unpackbits(
+                np.frombuffer(self._buf, dtype=np.uint8, count=hi_byte - lo_byte, offset=lo_byte)
+            )
+        )
+
     def read_unary(self) -> int:
-        i = np.searchsorted(self._ones, self.pos)
-        if i >= self._ones.size:
-            raise ValueError("FLAC bitstream: unary ran off the end")
-        one = int(self._ones[i])
-        q = one - self.pos
-        self.pos = one + 1
-        return q
+        p = self.pos
+        while True:
+            if self._ones is None or not self._win_lo <= p < self._win_hi:
+                if p >= len(self._buf) * 8:
+                    raise ValueError("FLAC bitstream: unary ran off the end")
+                self._window(p)
+            i = np.searchsorted(self._ones, p)
+            if i < self._ones.size:
+                one = int(self._ones[i])
+                q = one - self.pos
+                self.pos = one + 1
+                return q
+            # no set bit in the rest of this window: scan the next one
+            p = self._win_hi
+            if p >= len(self._buf) * 8:
+                raise ValueError("FLAC bitstream: unary ran off the end")
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -505,12 +531,15 @@ def encode_flac(samples, sample_rate: int, bits: int = 16,
 
     frames = []
     min_fs = max_fs = None
-    min_bs = max_bs = None
+    # RFC 9639 §8.2: STREAMINFO min/max block size EXCLUDE the last
+    # block, which may be shorter. Under the fixed-blocksize strategy
+    # every non-final frame is exactly the nominal size, so min = max =
+    # nominal (the libFLAC convention) — never the final partial
+    # block's length, which earlier versions wrote and which could dip
+    # below the 16-sample floor the spec mandates for the field.
+    min_bs = max_bs = min(block_size, 65535) if n else 0
     for fi, start in enumerate(range(0, n, block_size)):
         blk = x[start : start + block_size]
-        bs = blk.shape[0]
-        min_bs = bs if min_bs is None else min(min_bs, bs)
-        max_bs = bs if max_bs is None else max(max_bs, bs)
         frame = _encode_frame(blk, fi, sample_rate, bits, stereo,
                               subframe_mode, partition_order, lpc_spec,
                               escape_parts)
@@ -597,9 +626,13 @@ def probe_flac_metadata(payload: bytes) -> dict:
     info = None
     while True:
         hdr = payload[pos : pos + 4]
+        if len(hdr) != 4:
+            raise ValueError("FLAC: truncated metadata block header")
         last = bool(hdr[0] & 0x80)
         btype = hdr[0] & 0x7F
         blen = int.from_bytes(hdr[1:4], "big")
+        if pos + 4 + blen > len(payload):
+            raise ValueError("FLAC: truncated metadata block body")
         body = payload[pos + 4 : pos + 4 + blen]
         if btype == 0:
             info = body

@@ -890,6 +890,100 @@ def _tiff_oracle_rows() -> str:
     )
 
 
+# ------ compressed TIFF decode certification (closed-form oracle) ------
+#
+# LZW (with and without horizontal-differencing predictor 2) and
+# PackBits — the compression classes the most common real-world TIFFs
+# use — in BOTH byte orders, gray + RGB, single- and multi-strip.
+TIFFC_N_ITEMS = 36
+
+
+def _tiffc_item_spec(i: int):
+    """(comp, predictor, big_endian, photometric, rows_per_strip, w, h)
+    for compressed-TIFF item i — the full 3 (codec) x 2 (byte order)
+    x 2 (photometric) x 3 (strip layout) grid."""
+    comp, pred = ((5, 1), (5, 2), (32773, 1))[i % 3]
+    big_endian = bool((i // 3) % 2)
+    photometric = (2, 1)[(i // 6) % 2]
+    rps = (0, 5, 11)[(i // 12) % 3]  # 0 → single strip
+    w = 24 + (i * 5) % 17
+    h = 24 + (i * 9) % 19
+    return comp, pred, big_endian, photometric, rps, w, h
+
+
+def _tiffc_pixel(i: int, x: int, y: int, c: int) -> int:
+    """Channel value of compressed-TIFF item i at (x, y) — gentle
+    gradients plus flat 8-pixel runs so LZW table growth, predictor
+    deltas AND PackBits repeat runs all get exercised."""
+    return (i * 3 + (x // 8) * 8 * (c + 1) + y * (3 - c)) % 256
+
+
+def _tiffc_gray(i: int, x: int, y: int) -> int:
+    return (i * 7 + (x // 8) * 16 + y * y) % 256
+
+
+@_lru_cache(maxsize=None)
+def _tiffc_item_formula(i: int):
+    """Decoded-RGB channel sums for compressed-TIFF item i."""
+    _c, _p, _be, photometric, _rps, w, h = _tiffc_item_spec(i)
+    if photometric == 2:
+        return tuple(
+            sum(
+                _tiffc_pixel(i, x, y, c)
+                for x in range(w)
+                for y in range(h)
+            )
+            for c in range(3)
+        )
+    s = sum(_tiffc_gray(i, x, y) for x in range(w) for y in range(h))
+    return s, s, s
+
+
+@_lru_cache(maxsize=1)
+def _tiffc_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_tiffc_item_formula(i)[0],
+            g=_tiffc_item_formula(i)[1],
+            b=_tiffc_item_formula(i)[2],
+        )
+        for i in range(TIFFC_N_ITEMS)
+    )
+
+
+def _tiffc_item(i: int):
+    """(payload bytes, expected decoded RGB array) for compressed-TIFF
+    item i."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    comp, pred, be, photometric, rps, w, h = _tiffc_item_spec(i)
+    x = np.arange(w)
+    y = np.arange(h)
+    kw = {
+        "big_endian": be,
+        "rows_per_strip": rps or None,
+        "compression": comp,
+        "predictor": pred,
+    }
+    if photometric == 2:
+        img = np.stack(
+            [
+                (i * 3 + (x[None, :] // 8) * 8 * (c + 1) + y[:, None] * (3 - c))
+                % 256
+                for c in range(3)
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_tiff(img, 2, **kw), img
+    g = ((i * 7 + (x[None, :] // 8) * 16 + y[:, None] ** 2) % 256).astype(
+        np.uint8
+    )
+    return encode_tiff(g, 1, **kw), np.stack([g] * 3, axis=-1)
+
+
 def _tiff_item(i: int):
     """(payload bytes, expected decoded RGB array) for TIFF spec i."""
     import numpy as np
@@ -2677,6 +2771,15 @@ def _media_ops_oracle() -> str:
           {_tiff_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'tiff_compressed' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_tiffc_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'image_preprocess' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -2849,6 +2952,14 @@ def _media_ops_oracle() -> str:
         "varying RowsPerStrip, decoded back bit-exact (uncompressed); "
         "a wrong endian read, strip offset, WhiteIsZero inversion, or "
         "palette scale breaks the hash. "
+        "`tiff_compressed`: REAL compressed-TIFF decode — LZW (TIFF "
+        "6.0 §13: MSB-first codes, early-change width switch, CLEAR/"
+        "EOI) with and without horizontal-differencing Predictor 2 "
+        "(§14), and PackBits RLE (§9) — the compression classes most "
+        "real-world TIFFs use; 36 closed-form images over the full "
+        "codec x byte-order x photometric x strip-layout grid, "
+        "decoded back bit-exact (lossless), so one wrong LZW width "
+        "switch, predictor cumsum, or RLE run length breaks the hash. "
         "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
         "audio archives carry next to RIFF (operators/aiff.py) — 48 "
         "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
@@ -2936,6 +3047,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("flac_roundtrip"))
         .unionByName(codec_rows("aiff_au_roundtrip"))
         .unionByName(codec_rows("tiff_roundtrip"))
+        .unionByName(codec_rows("tiff_compressed"))
         .unionByName(
             _stored_audio_feature_rows(spark).select(
                 F.lit("audio_features").alias("section"),
@@ -2998,6 +3110,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_flac = section == "flac_roundtrip"
     use_aiffau = section == "aiff_au_roundtrip"
     use_tiff = section == "tiff_roundtrip"
+    use_tiffc = section == "tiff_compressed"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3080,6 +3193,14 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     decoded = decode_real_media(payload, "image/tiff")
                     assert decoded.shape == expect.shape
                     # uncompressed ⇒ bit-exact round trip
+                    assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_tiffc:
+                    payload, expect = _tiffc_item(i)
+                    decoded = decode_real_media(payload, "image/tiff")
+                    assert decoded.shape == expect.shape
+                    # LZW/PackBits are lossless ⇒ bit-exact round trip
                     assert np.array_equal(decoded, expect)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
@@ -3235,6 +3356,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_aiffau
         else TIFF_N_ITEMS
         if use_tiff
+        else TIFFC_N_ITEMS
+        if use_tiffc
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS

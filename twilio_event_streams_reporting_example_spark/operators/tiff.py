@@ -13,8 +13,14 @@ baseline photometric classes:
 
 The IFD walk honors the value-fits-inline rule (left-justified in the
 4-byte field under MM — the classic endianness trap, exercised by the
-certification). Compression values other than 1 (none) raise — LZW /
-PackBits / JPEG-in-TIFF belong to a codec runtime.
+certification). Compression 1 (none), 5 (LZW, TIFF 6.0 §13 — MSB-first
+bit packing with the "early change" width switch at table sizes
+511/1023/2047, ClearCode 256 / EOI 257, optional horizontal-differencing
+Predictor 2 per §14) and 32773 (PackBits RLE, §9, packed per row) all
+decode; other values (JPEG-in-TIFF, Deflate) raise — they belong to a
+codec runtime. Note TIFF LZW differs from GIF LZW (operators/gif.py)
+in bit order (MSB- vs LSB-first), fixed 8-bit literal alphabet, and
+the early-change rule — shared concept, different bitstreams.
 
 Certified by the `tiff_roundtrip` section of ``multimodal_media_ops``
 (closed-form pixels → real containers in BOTH byte orders with
@@ -47,8 +53,182 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTES = 279
 _T_COLORMAP = 320
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+# ------------------------------------------- TIFF LZW (6.0 §13) --------
+#
+# MSB-first variable-width codes; ClearCode=256, EOI=257, first table
+# entry 258; width starts at 9 and — the spec's "early change" rule —
+# increments when the NEXT code to be added equals (1 << width) - 1
+# (i.e. at table sizes 511, 1023, 2047), capping at 12 bits.
+
+_TIFF_CLEAR = 256
+_TIFF_EOI = 257
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW → exactly ``expected`` bytes."""
+    table: list[bytes] = []
+
+    def reset() -> int:
+        nonlocal table, width
+        table = [bytes([c]) for c in range(256)] + [b"", b""]
+        width = 9
+        return _TIFF_CLEAR
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream ended without EOI code")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == _TIFF_CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == _TIFF_EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW first code after CLEAR not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # early change: switch width when the next entry to be
+            # added would be (1 << width) - 1
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW produced more bytes than the strip")
+    if len(out) != expected:
+        raise ValueError("TIFF LZW strip byte count mismatch")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW compress (explicit CLEAR when the 12-bit table
+    fills; early-change width switching mirroring the decoder)."""
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | (code & ((1 << w) - 1))
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            bits.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    width = 9
+    emit(_TIFF_CLEAR, width)
+    w = b""
+    for ch in raw:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        # Early-change lockstep: the decoder (one table entry behind the
+        # encoder, inherently) widens after APPENDING entry 510 — its
+        # next read, code #255, is 10-bit. Code #255 coincides with this
+        # encoder INSERTING entry 511, so widen when the just-inserted
+        # code == (1 << width) - 1 (one emission earlier than GIF's
+        # vanilla rule — TIFF 6.0 §13's "early change").
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code == (1 << 12) - 2:  # table nearly full: reset
+            emit(_TIFF_CLEAR, width)
+            table = {bytes([c]): c for c in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(_TIFF_EOI, width)
+    if nbits:
+        bits.append((acc << (8 - nbits)) & 0xFF)  # MSB-justified pad
+    return bytes(bits)
+
+
+# ----------------------------------------- PackBits (6.0 §9) -----------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("PackBits stream shorter than the strip")
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits strip byte count mismatch")
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """PackBits one row (spec: rows are packed separately)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:  # repeat run
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        # literal run: scan until a 3+ repeat starts or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
 
 
 def _read_ifd(buf: bytes, e: str):
@@ -98,11 +278,18 @@ def decode_tiff(payload: bytes):
         return v[0]
 
     comp = one(_T_COMPRESSION, 1)
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise ValueError(
             f"TIFF: compression {comp} needs a codec runtime; only "
-            "uncompressed baseline (1) decodes dependency-free"
+            "uncompressed (1), LZW (5) and PackBits (32773) decode "
+            "dependency-free"
         )
+    predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: unsupported predictor {predictor}")
+    if predictor == 2 and comp != 5:
+        # §14: the Predictor tag is defined for LZW-compressed data
+        raise ValueError("TIFF: predictor 2 is only defined with LZW")
     if one(_T_PLANAR, 1) != 1:
         raise ValueError("TIFF: only chunky planar configuration supported")
     w = one(_T_WIDTH)
@@ -112,13 +299,45 @@ def decode_tiff(payload: bytes):
     bits = tags.get(_T_BITS, [8])
     if any(b != 8 for b in bits[:samples]):
         raise ValueError("TIFF: only 8 bits per sample supported")
-    offsets = tags[_T_STRIP_OFFSETS]
+    offsets = tags.get(_T_STRIP_OFFSETS)
+    if not offsets:
+        raise ValueError(f"TIFF: missing required tag {_T_STRIP_OFFSETS}")
     counts = tags.get(
         _T_STRIP_BYTES, [w * h * samples]  # single strip fallback
     )
-    data = b"".join(
-        payload[o : o + c] for o, c in zip(offsets, counts)
-    )
+    if len(offsets) != len(counts):
+        raise ValueError(
+            "TIFF: StripOffsets/StripByteCounts length mismatch "
+            f"({len(offsets)} vs {len(counts)})"
+        )
+    if comp == 1:
+        data = b"".join(
+            payload[o : o + c] for o, c in zip(offsets, counts)
+        )
+    else:
+        rps = one(_T_ROWS_PER_STRIP, h)
+        chunks = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - si * rps)
+            if rows <= 0:
+                raise ValueError("TIFF: more strips than image rows")
+            exp = rows * w * samples
+            raw_strip = payload[o : o + c]
+            if comp == 5:
+                d = _tiff_lzw_decode(raw_strip, exp)
+            else:
+                d = _packbits_decode(raw_strip, exp)
+            if predictor == 2:
+                # undo horizontal differencing: cumulative sum across
+                # the row, per sample channel, modulo 256
+                a = np.frombuffer(d, dtype=np.uint8).reshape(
+                    rows, w, samples
+                )
+                d = (
+                    np.cumsum(a.astype(np.int64), axis=1) % 256
+                ).astype(np.uint8).tobytes()
+            chunks.append(d)
+        data = b"".join(chunks)
     need = w * h * samples
     if len(data) < need:
         raise ValueError("TIFF: strip data shorter than image")
@@ -149,26 +368,54 @@ def decode_tiff(payload: bytes):
 def encode_tiff(
     img, photometric: int = 2, big_endian: bool = False,
     rows_per_strip: int | None = None, colormap=None,
+    compression: int = 1, predictor: int = 1,
 ) -> bytes:
-    """Baseline uncompressed TIFF writer. ``img``: (h, w, 3) uint8 for
-    photometric 2; (h, w) uint8 gray for 0/1; (h, w) uint8 indices for
-    3 (with ``colormap`` (3, 256) uint16). Multi-strip when
-    ``rows_per_strip`` is set; both byte orders."""
+    """Baseline TIFF writer. ``img``: (h, w, 3) uint8 for photometric
+    2; (h, w) uint8 gray for 0/1; (h, w) uint8 indices for 3 (with
+    ``colormap`` (3, 256) uint16). Multi-strip when ``rows_per_strip``
+    is set; both byte orders; ``compression`` 1 (none), 5 (LZW, with
+    optional horizontal-differencing ``predictor`` 2) or 32773
+    (PackBits, packed per row per §9)."""
     e = ">" if big_endian else "<"
     img = np.asarray(img, dtype=np.uint8)
     if photometric == 2:
         h, w, _ = img.shape
         samples = 3
-        raw = img.tobytes()
     else:
         h, w = img.shape
         samples = 1
-        raw = img.tobytes()
+        img = img[:, :, None]
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 is only defined with LZW")
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
-    strip_bytes = [
-        min(rps, h - s * rps) * w * samples for s in range(n_strips)
-    ]
+    img3 = img.reshape(h, w, samples)
+    strips: list[bytes] = []
+    for s in range(n_strips):
+        blk = img3[s * rps : s * rps + rps]
+        if predictor == 2:
+            d = blk.astype(np.int64)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            blk = (d % 256).astype(np.uint8)
+        raw_strip = blk.tobytes()
+        if compression == 1:
+            strips.append(raw_strip)
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(raw_strip))
+        else:  # PackBits: spec packs each row separately
+            row_len = w * samples
+            strips.append(
+                b"".join(
+                    _packbits_encode_row(raw_strip[r : r + row_len])
+                    for r in range(0, len(raw_strip), row_len)
+                )
+            )
+    raw = b"".join(strips)
+    strip_bytes = [len(s) for s in strips]
 
     entries: list[tuple[int, int, int, bytes]] = []  # tag, type, cnt, raw
     extra = bytearray()  # out-of-line values, appended after the IFD
@@ -188,8 +435,10 @@ def encode_tiff(
     add(_T_WIDTH, 3, [w])
     add(_T_HEIGHT, 3, [h])
     add(_T_BITS, 3, [8] * samples)
-    add(_T_COMPRESSION, 3, [1])
+    add(_T_COMPRESSION, 3, [compression])
     add(_T_PHOTOMETRIC, 3, [photometric])
+    if predictor == 2:
+        add(_T_PREDICTOR, 3, [2])
     add(_T_STRIP_OFFSETS, 4, strip_offsets)
     add(_T_SAMPLES, 3, [samples])
     add(_T_ROWS_PER_STRIP, 3, [rps])
