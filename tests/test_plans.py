@@ -311,9 +311,10 @@ def test_media_feature_kernels_are_shuffle_free(spark, sf_dir):
 
 def test_spans_scale_summary_is_one_aggregate(spark, sf_dir):
     """The planted-pair scale proof reduces via ONE aggregation exploded
-    into metric rows — a per-metric union would re-run the 1.6M-gram
+    into metric rows — a per-metric union would re-run the whole gram
     pass once per branch (5x the scan)."""
     from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        SPANS_SCALE_DOCS,
         _spans_scale_summary,
     )
 
@@ -321,10 +322,12 @@ def test_spans_scale_summary_is_one_aggregate(spark, sf_dir):
     assert plan.count("Generate explode") >= 1
     # every scale-corpus Range line must sit inside a CACHED subtree
     # dump (InMemoryRelation prints its logical plan per reader) — a
-    # live, uncached Range consumer would generate + md5 the 1.6M-gram
+    # live, uncached Range consumer would generate + md5 the whole gram
     # corpus once per consumer
     assert plan.count("InMemoryTableScan") >= 2  # both consumers cached
-    assert plan.count("Range (0, 5000") == plan.count("InMemoryRelation")
+    assert plan.count(f"Range (0, {SPANS_SCALE_DOCS}") == plan.count(
+        "InMemoryRelation"
+    )
     from twilio_event_streams_reporting_example_spark.registry import (
         release_caches,
     )

@@ -984,6 +984,128 @@ def _tiffc_item(i: int):
     return encode_tiff(g, 1, **kw), np.stack([g] * 3, axis=-1)
 
 
+# ------ MJPEG-in-AVI video decode certification (closed-form) ----------
+#
+# The first REAL video decode: AVI container walk (operators/avi.py)
+# + per-frame JPEG decode (operators/jpeg.py). Frames are flat per
+# 8x8 block, so the lossy JPEG path is bit-exact (DC quant step 8 —
+# same property the jpeg_roundtrip sections certify) and the oracle
+# is the JFIF color-transform round trip summed over frames.
+AVI_N_ITEMS = 24
+
+
+def _avi_item_spec(i: int):
+    """(n_frames, w, h, fps) for synthetic MJPEG clip i."""
+    n_frames = 2 + i % 4
+    w = 8 * (1 + i % 3)
+    h = 8 * (1 + (i // 3) % 2)
+    fps = (24, 25, 30, 50)[(i // 6) % 4]
+    return n_frames, w, h, fps
+
+
+def _avi_block_color(i: int, f: int, bx: int, by: int):
+    return (
+        (i * 5 + f * 19 + bx * 17 + by * 29) % 256,
+        (i * 3 + f * 7 + bx * 11 + by * 7) % 256,
+        (i * 13 + f * 11 + bx * 23 + by * 31) % 256,
+    )
+
+
+@_lru_cache(maxsize=None)
+def _avi_item_formula(i: int):
+    """Decoded channel sums over ALL frames of clip i plus a packed
+    metadata check — the same inline integer JFIF round trip the JPEG
+    oracles use (independent of jpeg.py/avi.py)."""
+    n_frames, w, h, fps = _avi_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for f in range(n_frames):
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                r, g, b = _avi_block_color(i, f, bx, by)
+                y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+                cb = clip(
+                    irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+                )
+                cr = clip(
+                    irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+                )
+                rs += 64 * clip(y + irnd(1402 * (cr - 128), 1000))
+                gs += 64 * clip(
+                    y
+                    + irnd(
+                        -344136 * (cb - 128) - 714136 * (cr - 128), 1000000
+                    )
+                )
+                bs += 64 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return rs, gs, bs
+
+
+@_lru_cache(maxsize=1)
+def _avi_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_avi_item_formula(i)[0],
+            g=_avi_item_formula(i)[1],
+            b=_avi_item_formula(i)[2],
+        )
+        for i in range(AVI_N_ITEMS)
+    )
+
+
+def _avi_item(i: int):
+    """(payload bytes, expected decoded frame stack) for MJPEG clip i.
+    Expected pixels are the source colors through the JFIF color
+    transform round trip (the only lossy step for flat 8x8 blocks —
+    the DCT path is bit-exact at DC quant step 8)."""
+    import numpy as np
+
+    n_frames, w, h, fps = _avi_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    fr = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+    expect = np.zeros_like(fr)
+    for f in range(n_frames):
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                r, g, b = _avi_block_color(i, f, bx, by)
+                fr[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (r, g, b)
+                y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+                cb = clip(
+                    irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+                )
+                cr = clip(
+                    irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+                )
+                expect[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    clip(y + irnd(1402 * (cr - 128), 1000)),
+                    clip(
+                        y
+                        + irnd(
+                            -344136 * (cb - 128) - 714136 * (cr - 128),
+                            1000000,
+                        )
+                    ),
+                    clip(y + irnd(1772 * (cb - 128), 1000)),
+                )
+
+    from .avi import encode_avi_mjpeg_from_arrays
+
+    return encode_avi_mjpeg_from_arrays(fr, fps=fps), expect
+
+
 def _tiff_item(i: int):
     """(payload bytes, expected decoded RGB array) for TIFF spec i."""
     import numpy as np
@@ -2395,6 +2517,10 @@ def decode_real_media(payload: bytes, fmt: str):
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+        from .avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
     if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
         from .aiff import decode_aiff
 
@@ -2780,6 +2906,15 @@ def _media_ops_oracle() -> str:
           {_tiffc_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'avi_mjpeg' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_avi_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'image_preprocess' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -2960,6 +3095,15 @@ def _media_ops_oracle() -> str:
         "codec x byte-order x photometric x strip-layout grid, "
         "decoded back bit-exact (lossless), so one wrong LZW width "
         "switch, predictor cumsum, or RLE run length breaks the hash. "
+        "`avi_mjpeg`: the first REAL VIDEO decode — MJPEG-in-AVI "
+        "(operators/avi.py: RIFF hdrl/movi/idx1 walk with every "
+        "header claim cross-checked against the actual 00dc chunks, "
+        "per-frame baseline JPEG decode via operators/jpeg.py) — 24 "
+        "closed-form clips (2-5 frames, four frame rates) whose flat "
+        "8x8 blocks ride the bit-exact JPEG DC path, asserted "
+        "per-pixel in-kernel against the JFIF color-transform round "
+        "trip and summed for the oracle; a wrong chunk pad, idx1 "
+        "offset base, or frame-order slip breaks the hash. "
         "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
         "audio archives carry next to RIFF (operators/aiff.py) — 48 "
         "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
@@ -3048,6 +3192,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("aiff_au_roundtrip"))
         .unionByName(codec_rows("tiff_roundtrip"))
         .unionByName(codec_rows("tiff_compressed"))
+        .unionByName(codec_rows("avi_mjpeg"))
         .unionByName(
             _stored_audio_feature_rows(spark).select(
                 F.lit("audio_features").alias("section"),
@@ -3111,6 +3256,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_aiffau = section == "aiff_au_roundtrip"
     use_tiff = section == "tiff_roundtrip"
     use_tiffc = section == "tiff_compressed"
+    use_avi = section == "avi_mjpeg"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3203,6 +3349,27 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     # LZW/PackBits are lossless ⇒ bit-exact round trip
                     assert np.array_equal(decoded, expect)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_avi:
+                    from .avi import probe_avi_metadata
+
+                    n_frames, w, h, fps = _avi_item_spec(i)
+                    payload, expect = _avi_item(i)
+                    meta = probe_avi_metadata(payload)
+                    assert meta["n_frames"] == n_frames
+                    assert meta["width"] == w and meta["height"] == h
+                    assert meta["handler"] == "MJPG"
+                    assert meta["stream_fps"] == float(fps)
+                    decoded, got_fps = decode_real_media(
+                        payload, "video/avi"
+                    )
+                    assert decoded.shape == (n_frames, h, w, 3)
+                    assert got_fps == float(fps)
+                    # flat 8x8 blocks are bit-exact through the JPEG
+                    # DC-only path, so the container walk + per-frame
+                    # decode must reproduce the source pixels exactly
+                    assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_aiffau:
                     kind, bits, ch, n, rate = _aiffau_spec(i)
@@ -3358,6 +3525,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_tiff
         else TIFFC_N_ITEMS
         if use_tiffc
+        else AVI_N_ITEMS
+        if use_avi
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS
