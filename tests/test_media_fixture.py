@@ -46,9 +46,13 @@ def test_stored_bytes_match_builder(stored):
 def test_stored_payloads_decode_to_closed_form(stored):
     for j, (kind, payload) in stored.items():
         want = _stored_payload_formula(j)
-        if kind in ("bmp", "png"):
+        if kind in ("bmp", "png", "tiff"):
             decoded = decode_real_media(payload, f"image/{kind}")
             sums = decoded.astype(np.int64).sum(axis=(0, 1))
+            got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        elif kind == "avi":
+            frames, _fps = decode_real_media(payload, "video/avi")
+            sums = frames.astype(np.int64).sum(axis=(0, 1, 2))
             got = (int(sums[0]), int(sums[1]), int(sums[2]))
         elif kind == "flac":
             decoded, rate, bits = decode_real_media(payload, "audio/flac")
@@ -74,7 +78,9 @@ def test_stored_payloads_decode_to_closed_form(stored):
 
 def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
-    assert kinds == {"bmp", "png", "wav", "ima", "ms", "flac"}
+    assert kinds == {
+        "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
+    }
 
 
 def test_preexisting_items_byte_stable(stored):

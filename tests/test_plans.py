@@ -309,6 +309,25 @@ def test_media_feature_kernels_are_shuffle_free(spark, sf_dir):
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, fn.__name__
 
 
+def test_round10_codec_sections_are_shuffle_free(spark, sf_dir):
+    """tiff_compressed and avi_mjpeg certify inside one scan→kernel
+    stage like the rest of the codec fleet — range root straight into
+    mapInPandas, no Exchange."""
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _codec_roundtrip_items,
+    )
+
+    for section in ("tiff_compressed", "avi_mjpeg"):
+        plan = (
+            _codec_roundtrip_items(spark, section)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, section
+        assert "MapInPandas" in plan, section
+
+
 def test_spans_scale_summary_is_one_aggregate(spark, sf_dir):
     """The planted-pair scale proof reduces via ONE aggregation exploded
     into metric rows — a per-metric union would re-run the whole gram

@@ -105,7 +105,8 @@ def test_transform_coded_tiff_is_rejected_clearly():
 
 @pytest.mark.parametrize("big_endian", [False, True])
 @pytest.mark.parametrize(
-    "compression,predictor", [(5, 1), (5, 2), (32773, 1)]
+    "compression,predictor",
+    [(5, 1), (5, 2), (32773, 1), (8, 1), (8, 2)],
 )
 def test_compressed_roundtrip_rgb_multistrip(
     big_endian, compression, predictor

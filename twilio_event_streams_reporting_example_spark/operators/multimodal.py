@@ -892,20 +892,21 @@ def _tiff_oracle_rows() -> str:
 
 # ------ compressed TIFF decode certification (closed-form oracle) ------
 #
-# LZW (with and without horizontal-differencing predictor 2) and
-# PackBits — the compression classes the most common real-world TIFFs
-# use — in BOTH byte orders, gray + RGB, single- and multi-strip.
-TIFFC_N_ITEMS = 36
+# LZW and Deflate (each with and without horizontal-differencing
+# predictor 2) and PackBits — the compression classes the most common
+# real-world TIFFs use — in BOTH byte orders, gray + RGB, single- and
+# multi-strip.
+TIFFC_N_ITEMS = 60
 
 
 def _tiffc_item_spec(i: int):
     """(comp, predictor, big_endian, photometric, rows_per_strip, w, h)
-    for compressed-TIFF item i — the full 3 (codec) x 2 (byte order)
-    x 2 (photometric) x 3 (strip layout) grid."""
-    comp, pred = ((5, 1), (5, 2), (32773, 1))[i % 3]
-    big_endian = bool((i // 3) % 2)
-    photometric = (2, 1)[(i // 6) % 2]
-    rps = (0, 5, 11)[(i // 12) % 3]  # 0 → single strip
+    for compressed-TIFF item i — the full 5 (codec x predictor) x 2
+    (byte order) x 2 (photometric) x 3 (strip layout) grid."""
+    comp, pred = ((5, 1), (5, 2), (32773, 1), (8, 1), (8, 2))[i % 5]
+    big_endian = bool((i // 5) % 2)
+    photometric = (2, 1)[(i // 10) % 2]
+    rps = (0, 5, 11)[(i // 20) % 3]  # 0 → single strip
     w = 24 + (i * 5) % 17
     h = 24 + (i * 9) % 19
     return comp, pred, big_endian, photometric, rps, w, h
@@ -1256,9 +1257,11 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 60  # 0-49: five kinds cycling; 50-59: appended FLAC
+STORED_N_ITEMS = 78  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
-_STORED_FLAC_FROM = 50  # items >= this are FLAC (formula index j - 50)
+_STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
+_STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
+_STORED_AVI_FROM = 72  # 72-77: MJPEG-in-AVI clips
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1271,11 +1274,20 @@ def media_fixture_rows() -> list:
     """The committed fixture's exact content: (item_id, kind, payload).
     Items 0-49 cycle five real container formats (item_id j → kind
     j%5, formula index j//5) and are byte-stable across rounds; items
-    50-59 are APPENDED FLAC containers (formula index j-50) so the
-    lossless codec is certified on data at rest too without disturbing
+    50-59 are APPENDED FLAC containers (formula index j-50), items
+    60-71 APPENDED compressed TIFFs (LZW / LZW+predictor2 / PackBits /
+    Deflate / Deflate+predictor2 in both byte orders, formula index
+    j-60), and items 72-77 APPENDED MJPEG-in-AVI clips (formula index
+    j-72) — each new kind certified on data at rest without disturbing
     the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
+        if j >= _STORED_AVI_FROM:
+            rows.append((j, "avi", _avi_item(j - _STORED_AVI_FROM)[0]))
+            continue
+        if j >= _STORED_TIFF_FROM:
+            rows.append((j, "tiff", _tiffc_item(j - _STORED_TIFF_FROM)[0]))
+            continue
         if j >= _STORED_FLAC_FROM:
             rows.append((j, "flac", _flac_item(j - _STORED_FLAC_FROM)[0]))
             continue
@@ -1299,6 +1311,10 @@ def media_fixture_rows() -> list:
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_AVI_FROM:
+        return _avi_item_formula(j - _STORED_AVI_FROM)
+    if j >= _STORED_TIFF_FROM:
+        return _tiffc_item_formula(j - _STORED_TIFF_FROM)
     if j >= _STORED_FLAC_FROM:
         return _flac_stream_formula(j - _STORED_FLAC_FROM)
     kind = _STORED_KINDS[j % 5]
@@ -1436,6 +1452,8 @@ _AUDIO_KINDS = ("wav", "ima", "ms", "flac")
 def _stored_audio_stream_ch0(j: int) -> list:
     """Channel-0 sample stream of stored audio item j — oracle side,
     no production codec involved."""
+    if j >= _STORED_TIFF_FROM:
+        raise ValueError(f"stored item {j} is not audio")
     if j >= _STORED_FLAC_FROM:
         i = j - _STORED_FLAC_FROM
         n = _flac_stream_spec(i)[3]
@@ -1489,7 +1507,7 @@ def _audio_feat_formula(j: int):
 def _audio_item_ids() -> list:
     return [
         j
-        for j in range(STORED_N_ITEMS)
+        for j in range(min(STORED_N_ITEMS, _STORED_TIFF_FROM))
         if j >= _STORED_FLAC_FROM or _STORED_KINDS[j % 5] in _AUDIO_KINDS
     ]
 
@@ -1560,9 +1578,13 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                 pdf["item_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                if kind in ("bmp", "png"):
+                if kind in ("bmp", "png", "tiff"):
                     decoded = decode_real_media(payload, f"image/{kind}")
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif kind == "avi":
+                    frames, _fps = decode_real_media(payload, "video/avi")
+                    sums = frames.astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif kind == "flac":
                     decoded, rate, bits = decode_real_media(
@@ -2402,11 +2424,17 @@ def probe_video_metadata(payload: bytes) -> dict:
     needs first (what is this file, how long, what resolution, which
     codec), and it shrinks the decode gate to genuinely-compressed
     bitstreams only. Frame DECODE still requires a codec runtime and
-    stays behind decode_real_media's documented gate. Raises
-    ValueError for non-ISO-BMFF payloads."""
+    stays behind decode_real_media's documented gate (except
+    MJPEG-in-AVI, which decodes for real — RIFF 'AVI ' payloads
+    dispatch to :func:`.avi.probe_avi_metadata` here). Raises
+    ValueError for payloads that are neither ISO BMFF nor AVI."""
     import struct
 
     buf = bytes(payload)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from .avi import probe_avi_metadata
+
+        return probe_avi_metadata(buf)
 
     def boxes(start: int, end: int):
         pos = start
@@ -3089,9 +3117,10 @@ def _media_ops_oracle() -> str:
         "palette scale breaks the hash. "
         "`tiff_compressed`: REAL compressed-TIFF decode — LZW (TIFF "
         "6.0 §13: MSB-first codes, early-change width switch, CLEAR/"
-        "EOI) with and without horizontal-differencing Predictor 2 "
-        "(§14), and PackBits RLE (§9) — the compression classes most "
-        "real-world TIFFs use; 36 closed-form images over the full "
+        "EOI) and Adobe Deflate (8, stdlib zlib per strip), each with "
+        "and without horizontal-differencing Predictor 2 (§14/TTN2), "
+        "and PackBits RLE (§9) — the compression classes most "
+        "real-world TIFFs use; 60 closed-form images over the full "
         "codec x byte-order x photometric x strip-layout grid, "
         "decoded back bit-exact (lossless), so one wrong LZW width "
         "switch, predictor cumsum, or RLE run length breaks the hash. "
@@ -3115,10 +3144,11 @@ def _media_ops_oracle() -> str:
         "covered by the spec-vector tests against the published "
         "tables). "
         "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
-        "parquet fixture (fixtures/media_payloads.parquet) holding 60 "
+        "parquet fixture (fixtures/media_payloads.parquet) holding 78 "
         "real container payloads in a binary column (BMP, PNG, PCM "
         "WAV, IMA ADPCM, MS ADPCM, and — appended without disturbing "
-        "the earlier items' pinned bytes — FLAC) is scanned and "
+        "the earlier items' pinned bytes — FLAC, compressed TIFF "
+        "(LZW/Deflate/PackBits) and MJPEG-in-AVI video) is scanned and "
         "decoded through the "
         "same signature-dispatch kernel; the oracle is the same "
         "closed-form math, so the certification covers bytes that "

@@ -16,9 +16,11 @@ The IFD walk honors the value-fits-inline rule (left-justified in the
 certification). Compression 1 (none), 5 (LZW, TIFF 6.0 §13 — MSB-first
 bit packing with the "early change" width switch at table sizes
 511/1023/2047, ClearCode 256 / EOI 257, optional horizontal-differencing
-Predictor 2 per §14) and 32773 (PackBits RLE, §9, packed per row) all
-decode; other values (JPEG-in-TIFF, Deflate) raise — they belong to a
-codec runtime. Note TIFF LZW differs from GIF LZW (operators/gif.py)
+Predictor 2 per §14), 8 (Adobe Deflate per TIFF Technical Note 2 —
+stdlib zlib per strip, Predictor 2 allowed) and 32773 (PackBits RLE,
+§9, packed per row) all decode; other values (JPEG-in-TIFF, old-style
+JPEG) raise — they belong to a codec runtime. Note TIFF LZW differs
+from GIF LZW (operators/gif.py)
 in bit order (MSB- vs LSB-first), fixed 8-bit literal alphabet, and
 the early-change rule — shared concept, different bitstreams.
 
@@ -278,18 +280,19 @@ def decode_tiff(payload: bytes):
         return v[0]
 
     comp = one(_T_COMPRESSION, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(
             f"TIFF: compression {comp} needs a codec runtime; only "
-            "uncompressed (1), LZW (5) and PackBits (32773) decode "
-            "dependency-free"
+            "uncompressed (1), LZW (5), Deflate (8) and PackBits "
+            "(32773) decode dependency-free"
         )
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: unsupported predictor {predictor}")
-    if predictor == 2 and comp != 5:
-        # §14: the Predictor tag is defined for LZW-compressed data
-        raise ValueError("TIFF: predictor 2 is only defined with LZW")
+    if predictor == 2 and comp not in (5, 8):
+        # §14 defines the Predictor tag for LZW; TIFF Technical Note 2
+        # extends it to Deflate (compression 8) — not to PackBits
+        raise ValueError("TIFF: predictor 2 needs LZW or Deflate")
     if one(_T_PLANAR, 1) != 1:
         raise ValueError("TIFF: only chunky planar configuration supported")
     w = one(_T_WIDTH)
@@ -325,6 +328,14 @@ def decode_tiff(payload: bytes):
             raw_strip = payload[o : o + c]
             if comp == 5:
                 d = _tiff_lzw_decode(raw_strip, exp)
+            elif comp == 8:
+                import zlib
+
+                d = zlib.decompress(raw_strip)
+                if len(d) != exp:
+                    raise ValueError(
+                        "TIFF: Deflate strip byte count mismatch"
+                    )
             else:
                 d = _packbits_decode(raw_strip, exp)
             if predictor == 2:
@@ -373,9 +384,9 @@ def encode_tiff(
     """Baseline TIFF writer. ``img``: (h, w, 3) uint8 for photometric
     2; (h, w) uint8 gray for 0/1; (h, w) uint8 indices for 3 (with
     ``colormap`` (3, 256) uint16). Multi-strip when ``rows_per_strip``
-    is set; both byte orders; ``compression`` 1 (none), 5 (LZW, with
-    optional horizontal-differencing ``predictor`` 2) or 32773
-    (PackBits, packed per row per §9)."""
+    is set; both byte orders; ``compression`` 1 (none), 5 (LZW) or 8
+    (Deflate) — both with optional horizontal-differencing
+    ``predictor`` 2 — or 32773 (PackBits, packed per row per §9)."""
     e = ">" if big_endian else "<"
     img = np.asarray(img, dtype=np.uint8)
     if photometric == 2:
@@ -385,12 +396,12 @@ def encode_tiff(
         h, w = img.shape
         samples = 1
         img = img[:, :, None]
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
-    if predictor == 2 and compression != 5:
-        raise ValueError("predictor 2 is only defined with LZW")
+    if predictor == 2 and compression not in (5, 8):
+        raise ValueError("predictor 2 needs LZW or Deflate")
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
     img3 = img.reshape(h, w, samples)
@@ -406,6 +417,10 @@ def encode_tiff(
             strips.append(raw_strip)
         elif compression == 5:
             strips.append(_tiff_lzw_encode(raw_strip))
+        elif compression == 8:
+            import zlib
+
+            strips.append(zlib.compress(raw_strip, 6))
         else:  # PackBits: spec packs each row separately
             row_len = w * samples
             strips.append(
