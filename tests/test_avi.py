@@ -144,3 +144,37 @@ def test_hand_assembled_minimal_container_decodes():
     assert frames.shape == (1, 8, 8, 3)
     assert fps == 25.0
     assert probe_avi_metadata(payload)["fps"] == 25.0
+
+
+def test_strided_decode_picks_exactly_sampled_frames():
+    from twilio_event_streams_reporting_example_spark.operators.avi import (
+        decode_avi_mjpeg_strided,
+    )
+
+    fr = _flat_frames(5, 8, 16, seed=21)
+    payload = encode_avi_mjpeg_from_arrays(fr, fps=30)
+    full, _ = decode_avi_mjpeg(payload)
+    sampled, picked, fps = decode_avi_mjpeg_strided(payload, 2)
+    assert picked == [0, 2, 4]
+    assert fps == 30.0
+    assert np.array_equal(sampled, full[::2])
+    # stride 1 degenerates to the full decode
+    all_frames, picked1, _ = decode_avi_mjpeg_strided(payload, 1)
+    assert picked1 == [0, 1, 2, 3, 4]
+    assert np.array_equal(all_frames, full)
+
+
+def test_strided_decode_movi_fallback_without_idx1():
+    from twilio_event_streams_reporting_example_spark.operators.avi import (
+        decode_avi_mjpeg_strided,
+    )
+
+    fr = _flat_frames(4, 8, 8, seed=2)
+    payload = bytearray(encode_avi_mjpeg_from_arrays(fr, fps=25))
+    i = payload.find(b"idx1")
+    # rename idx1 to a junk chunk so the walk must fall back to movi
+    payload[i : i + 4] = b"JUNK"
+    full, _ = decode_avi_mjpeg(bytes(payload))
+    sampled, picked, _ = decode_avi_mjpeg_strided(bytes(payload), 3)
+    assert picked == [0, 3]
+    assert np.array_equal(sampled, full[::3])

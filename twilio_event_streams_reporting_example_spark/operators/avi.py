@@ -252,6 +252,59 @@ def decode_avi_mjpeg(payload: bytes):
     return np.stack(frames), fps
 
 
+def decode_avi_mjpeg_strided(payload: bytes, stride: int):
+    """Index-driven PARTIAL decode: JPEG-decode only frames
+    ``0, stride, 2*stride, …`` by seeking straight to their chunks via
+    the idx1 index — the frame-sampling shape a 100 TB video corpus
+    needs, where decode cost is proportional to frames SAMPLED, not
+    frames stored. Falls back to a movi walk (still skipping the JPEG
+    decode of unsampled frames) when the optional idx1 is absent.
+    Returns ``(frames, frame_indices, fps)``."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    meta = probe_avi_metadata(payload)
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    movi_fourcc_pos = None
+    idx_body = None
+    for cc, body, size in _walk_chunks(payload, 12, end):
+        if cc == b"LIST" and payload[body : body + 4] == b"movi":
+            movi_fourcc_pos = body
+            movi_end = body + size
+        elif cc == b"idx1":
+            idx_body = (body, size)
+    if movi_fourcc_pos is None:
+        raise ValueError("AVI: no movi list")
+    # (absolute chunk body offset, length) per video frame, in order
+    locs: list[tuple[int, int]] = []
+    if idx_body is not None:
+        body, size = idx_body
+        for k in range(size // 16):
+            ckid, _flags, off, ln = struct.unpack_from(
+                "<4sIII", payload, body + 16 * k
+            )
+            if ckid[2:4] in (b"dc", b"db"):
+                locs.append((movi_fourcc_pos + off + 8, ln))
+    else:
+        for cc2, b2, s2 in _walk_chunks(
+            payload, movi_fourcc_pos + 4, movi_end
+        ):
+            if cc2[2:4] in (b"dc", b"db"):
+                locs.append((b2, s2))
+    if not locs:
+        raise ValueError("AVI: no video frames indexed")
+    frames = []
+    picked = list(range(0, len(locs), stride))
+    for f in picked:
+        off, ln = locs[f]
+        img = decode_jpeg(payload[off : off + ln])
+        if img.shape[0] != meta["height"] or img.shape[1] != meta["width"]:
+            raise ValueError("AVI: frame dimensions disagree with avih")
+        frames.append(img)
+    fps = meta.get("stream_fps") or meta["fps"]
+    return np.stack(frames), picked, fps
+
+
 def encode_avi_mjpeg_from_arrays(
     frames_rgb, fps: int = 30, subsampling: str = "444"
 ) -> bytes:

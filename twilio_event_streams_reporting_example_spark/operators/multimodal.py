@@ -1061,6 +1061,58 @@ def _avi_oracle_rows() -> str:
     )
 
 
+# Index-driven partial decode: only frames 0, 2, 4, … are JPEG-decoded
+# (seek via idx1), certifying that decode cost tracks frames SAMPLED.
+AVI_STRIDE = 2
+
+
+@_lru_cache(maxsize=None)
+def _avi_stride_formula(i: int):
+    """Channel sums over the SAMPLED frames of clip i (stride 2)."""
+    n_frames, w, h, _fps = _avi_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for f in range(0, n_frames, AVI_STRIDE):
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                r, g, b = _avi_block_color(i, f, bx, by)
+                y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+                cb = clip(
+                    irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+                )
+                cr = clip(
+                    irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+                )
+                rs += 64 * clip(y + irnd(1402 * (cr - 128), 1000))
+                gs += 64 * clip(
+                    y
+                    + irnd(
+                        -344136 * (cb - 128) - 714136 * (cr - 128), 1000000
+                    )
+                )
+                bs += 64 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return rs, gs, bs
+
+
+@_lru_cache(maxsize=1)
+def _avi_stride_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_avi_stride_formula(i)[0],
+            g=_avi_stride_formula(i)[1],
+            b=_avi_stride_formula(i)[2],
+        )
+        for i in range(AVI_N_ITEMS)
+    )
+
+
 def _avi_item(i: int):
     """(payload bytes, expected decoded frame stack) for MJPEG clip i.
     Expected pixels are the source colors through the JFIF color
@@ -2943,6 +2995,15 @@ def _media_ops_oracle() -> str:
           {_avi_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'avi_frame_stride' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_avi_stride_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'image_preprocess' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -3133,6 +3194,12 @@ def _media_ops_oracle() -> str:
         "per-pixel in-kernel against the JFIF color-transform round "
         "trip and summed for the oracle; a wrong chunk pad, idx1 "
         "offset base, or frame-order slip breaks the hash. "
+        "`avi_frame_stride`: index-driven PARTIAL video decode — only "
+        "every 2nd frame is JPEG-decoded, located by seeking straight "
+        "to its chunk via idx1 (movi-walk fallback when the optional "
+        "index is absent), asserted bit-exact against the sampled "
+        "frames — the 100 TB frame-sampling shape where decode cost "
+        "tracks frames SAMPLED, not frames stored. "
         "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
         "audio archives carry next to RIFF (operators/aiff.py) — 48 "
         "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
@@ -3223,6 +3290,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("tiff_roundtrip"))
         .unionByName(codec_rows("tiff_compressed"))
         .unionByName(codec_rows("avi_mjpeg"))
+        .unionByName(codec_rows("avi_frame_stride"))
         .unionByName(
             _stored_audio_feature_rows(spark).select(
                 F.lit("audio_features").alias("section"),
@@ -3287,6 +3355,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_tiff = section == "tiff_roundtrip"
     use_tiffc = section == "tiff_compressed"
     use_avi = section == "avi_mjpeg"
+    use_avi_stride = section == "avi_frame_stride"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3399,6 +3468,20 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     # DC-only path, so the container walk + per-frame
                     # decode must reproduce the source pixels exactly
                     assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1, 2))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_avi_stride:
+                    from .avi import decode_avi_mjpeg_strided
+
+                    n_frames, w, h, fps = _avi_item_spec(i)
+                    payload, expect = _avi_item(i)
+                    decoded, picked, got_fps = decode_avi_mjpeg_strided(
+                        payload, AVI_STRIDE
+                    )
+                    assert picked == list(range(0, n_frames, AVI_STRIDE))
+                    assert got_fps == float(fps)
+                    # idx1-seek must land on exactly the sampled frames
+                    assert np.array_equal(decoded, expect[::AVI_STRIDE])
                     sums = decoded.astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_aiffau:
@@ -3556,7 +3639,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         else TIFFC_N_ITEMS
         if use_tiffc
         else AVI_N_ITEMS
-        if use_avi
+        if (use_avi or use_avi_stride)
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS
