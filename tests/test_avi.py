@@ -178,3 +178,56 @@ def test_strided_decode_movi_fallback_without_idx1():
     sampled, picked, _ = decode_avi_mjpeg_strided(bytes(payload), 3)
     assert picked == [0, 3]
     assert np.array_equal(sampled, full[::3])
+
+
+def test_pcm_audio_stream_roundtrips_interleaved():
+    from twilio_event_streams_reporting_example_spark.operators.avi import (
+        decode_avi_streams,
+    )
+
+    fr = _flat_frames(4, 8, 8, seed=6)
+    t = np.arange(777, dtype=np.int64)
+    pcm = np.stack(
+        [(t * t % 4001 - 2000), (3 * t % 4001 - 2000)], axis=1
+    ).astype(np.int16)
+    payload = encode_avi_mjpeg_from_arrays(
+        fr, fps=30, audio=pcm, audio_rate=22050
+    )
+    assert probe_avi_metadata(payload)["n_streams"] == 2
+    frames, fps, audio, rate = decode_avi_streams(payload)
+    assert frames.shape == (4, 8, 8, 3) and fps == 30.0
+    assert rate == 22050
+    assert np.array_equal(audio, pcm)
+    # the video-only paths must skip the 01wb chunks untroubled
+    v, _ = decode_avi_mjpeg(payload)
+    assert v.shape == (4, 8, 8, 3)
+
+
+def test_compressed_audio_stream_rejected():
+    from twilio_event_streams_reporting_example_spark.operators.avi import (
+        decode_avi_streams,
+    )
+
+    fr = _flat_frames(2, 8, 8)
+    pcm = np.zeros(100, dtype=np.int16)
+    payload = bytearray(
+        encode_avi_mjpeg_from_arrays(fr, fps=30, audio=pcm)
+    )
+    # flip wFormatTag (first WORD of the auds strf) from 1 to 0x55 (MP3)
+    i = payload.find(b"auds")
+    j = payload.find(b"strf", i)
+    payload[j + 8 : j + 10] = struct.pack("<H", 0x55)
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_avi_streams(bytes(payload))
+
+
+def test_no_audio_file_returns_none_track():
+    from twilio_event_streams_reporting_example_spark.operators.avi import (
+        decode_avi_streams,
+    )
+
+    fr = _flat_frames(2, 8, 8)
+    frames, fps, audio, rate = decode_avi_streams(
+        encode_avi_mjpeg_from_arrays(fr, fps=30)
+    )
+    assert audio is None and rate == 0

@@ -1205,7 +1205,7 @@ def test_tiff_metadata_probe():
 
     m = probe_image_metadata(tiff("II", 640, 480, 3))
     assert m == {"format": "tiff", "width": 640, "height": 480,
-                 "bit_depth": 16}
+                 "bit_depth": 16, "n_pages": 1}
     m = probe_image_metadata(tiff("MM", 123, 77, 4))
     assert m["width"] == 123 and m["height"] == 77
 

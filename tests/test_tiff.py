@@ -187,3 +187,65 @@ def test_missing_strip_offsets_raises_valueerror():
     payload[i : i + 2] = struct.pack("<H", 60000)
     with pytest.raises(ValueError, match="273"):
         decode_tiff(bytes(payload))
+
+
+# ---------------------------------------------------- multi-page -------
+
+
+def test_multipage_chain_roundtrip_and_page_count():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        encode_tiff_multipage,
+        tiff_page_count,
+    )
+
+    rng = np.random.default_rng(4)
+    pages = [
+        rng.integers(0, 256, (11 + k, 9 + 2 * k, 3), dtype=np.uint8)
+        for k in range(4)
+    ]
+    for big_endian in (False, True):
+        for comp in (1, 5, 8, 32773):
+            p = encode_tiff_multipage(
+                pages, 2, big_endian=big_endian, compression=comp
+            )
+            assert tiff_page_count(p) == 4
+            for k in range(4):
+                assert np.array_equal(decode_tiff(p, page=k), pages[k])
+            with pytest.raises(ValueError, match="out of range"):
+                decode_tiff(p, page=4)
+
+
+def test_single_page_reports_one_and_probe_counts_pages():
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        probe_image_metadata,
+    )
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        encode_tiff_multipage,
+        tiff_page_count,
+    )
+
+    img = np.zeros((6, 5, 3), dtype=np.uint8)
+    single = encode_tiff(img, 2)
+    assert tiff_page_count(single) == 1
+    m = probe_image_metadata(single)
+    assert m["format"] == "tiff" and m["n_pages"] == 1
+    multi = encode_tiff_multipage([img, img, img], 2, big_endian=True)
+    m = probe_image_metadata(multi)
+    assert (m["width"], m["height"], m["n_pages"]) == (5, 6, 3)
+
+
+def test_circular_ifd_chain_detected():
+    from twilio_event_streams_reporting_example_spark.operators.tiff import (
+        tiff_page_count,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, 2))
+    # point the next-IFD pointer (last 4 bytes of the IFD, just before
+    # any extra values) back at the first IFD
+    first_ifd = struct.unpack_from("<I", payload, 4)[0]
+    n = struct.unpack_from("<H", payload, first_ifd)[0]
+    ptr_pos = first_ifd + 2 + 12 * n
+    struct.pack_into("<I", payload, ptr_pos, first_ifd)
+    with pytest.raises(ValueError, match="circular"):
+        tiff_page_count(bytes(payload))

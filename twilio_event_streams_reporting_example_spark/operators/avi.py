@@ -18,6 +18,14 @@ count vs actual ``00dc`` chunks, strh ``dwScale``/``dwRate`` vs avih
 against the real chunk positions — one wrong pad byte or off-by-four
 index base breaks decode.
 
+Three decode entry points cover the corpus-pipeline shapes:
+:func:`decode_avi_mjpeg` (full video), :func:`decode_avi_streams`
+(video + the interleaved PCM ``##wb`` audio track of a camera-style
+two-stream file, reassembled bit-exact from its per-frame chunks),
+and :func:`decode_avi_mjpeg_strided` (index-driven PARTIAL decode —
+only every k-th frame is JPEG-decoded, seeking straight to its chunk
+via idx1, so cost tracks frames sampled, not stored).
+
 Certified by the ``avi_mjpeg`` section of ``multimodal_media_ops``:
 closed-form flat-block frames (bit-exact through the JPEG DC-only
 path) → real AVI containers → full container walk + per-frame JPEG
@@ -57,14 +65,65 @@ def _list(list_type: bytes, body: bytes) -> bytes:
 
 
 def encode_avi_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 30
+    frames: list[bytes], width: int, height: int, fps: int = 30,
+    audio=None, audio_rate: int = 8000,
 ) -> bytes:
-    """Wrap pre-encoded JPEG ``frames`` into a real single-stream
-    MJPEG AVI container (with idx1 index)."""
+    """Wrap pre-encoded JPEG ``frames`` into a real MJPEG AVI
+    container (with idx1 index). With ``audio`` (an ``(n,)`` or
+    ``(n, channels)`` int16 PCM array) a second ``auds`` stream is
+    written — WAVEFORMAT strf, samples split into per-frame ``01wb``
+    chunks interleaved after each video frame, the camera-capture
+    layout."""
     if not frames:
         raise ValueError("encode_avi_mjpeg needs at least one frame")
     usec_per_frame = 1_000_000 // fps
     max_size = max(len(f) for f in frames)
+
+    n_streams = 1
+    audio_chunks: list[bytes] = []
+    audio_strl = b""
+    if audio is not None:
+        pcm = np.asarray(audio, dtype="<i2")
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        n_samples, channels = pcm.shape
+        block_align = 2 * channels
+        n_streams = 2
+        # samples per video frame, last chunk takes the remainder
+        per = (n_samples + len(frames) - 1) // len(frames)
+        raw = pcm.tobytes()
+        audio_chunks = [
+            raw[k * per * block_align : (k + 1) * per * block_align]
+            for k in range(len(frames))
+        ]
+        a_strh = (
+            b"auds"
+            + b"\x00\x00\x00\x00"  # fccHandler: unused for PCM
+            + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                1,  # dwScale
+                audio_rate,  # dwRate (rate/scale = samples/sec)
+                0,
+                n_samples,  # dwLength in samples
+                per * block_align,
+                0xFFFFFFFF,
+                block_align,  # dwSampleSize (fixed-size PCM)
+                0, 0, 0, 0,
+            )
+        )
+        a_strf = struct.pack(
+            "<HHIIHH",
+            1,  # WAVE_FORMAT_PCM
+            channels,
+            audio_rate,
+            audio_rate * block_align,
+            block_align,
+            16,  # bits per sample
+        )
+        audio_strl = _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
 
     avih = struct.pack(
         "<14I",
@@ -74,7 +133,7 @@ def encode_avi_mjpeg(
         0x10,  # dwFlags: AVIF_HASINDEX
         len(frames),  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        n_streams,  # dwStreams
         max_size,  # dwSuggestedBufferSize
         width,
         height,
@@ -113,17 +172,24 @@ def encode_avi_mjpeg(
     hdrl = _list(
         b"hdrl",
         _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+        + audio_strl,
     )
 
     # movi list body + idx1 entries. idx1 offsets are relative to the
     # position of the 'movi' fourcc (the de-facto convention).
     movi_body = bytearray()
     idx = bytearray()
-    for f in frames:
+    for k, f in enumerate(frames):
         off = 4 + len(movi_body)  # 'movi' fourcc itself is offset 0
         movi_body += _chunk(b"00dc", f)
         idx += b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, len(f))
+        if audio_chunks and audio_chunks[k]:
+            aoff = 4 + len(movi_body)
+            movi_body += _chunk(b"01wb", audio_chunks[k])
+            idx += b"01wb" + struct.pack(
+                "<III", _AVIIF_KEYFRAME, aoff, len(audio_chunks[k])
+            )
     movi = _list(b"movi", bytes(movi_body))
     idx1 = _chunk(b"idx1", bytes(idx))
 
@@ -239,17 +305,66 @@ def decode_avi_mjpeg(payload: bytes):
             f"{len(frames)}"
         )
     if idx_entries:
-        if len(idx_entries) != len(frames):
-            raise ValueError("AVI: idx1 entry count != frame count")
+        video_idx = [
+            e for e in idx_entries if e[0][2:4] in (b"dc", b"db")
+        ]
+        for ckid, _off, _ln in idx_entries:
+            if ckid[2:4] not in (b"dc", b"db", b"wb"):
+                raise ValueError("AVI: idx1 entry has unknown chunk type")
+        if len(video_idx) != len(frames):
+            raise ValueError("AVI: idx1 video entry count != frame count")
         for (ckid, off, ln), (real_off, real_ln) in zip(
-            idx_entries, chunk_pos
+            video_idx, chunk_pos
         ):
-            if ckid[2:4] not in (b"dc", b"db"):
-                raise ValueError("AVI: idx1 entry is not a video chunk")
             if off != real_off or ln != real_ln:
                 raise ValueError("AVI: idx1 offset/length mismatch")
     fps = meta.get("stream_fps") or meta["fps"]
     return np.stack(frames), fps
+
+
+def decode_avi_streams(payload: bytes):
+    """Decode BOTH streams of a camera-style MJPEG+PCM AVI: returns
+    ``(frames, fps, audio, audio_rate)`` where ``audio`` is an
+    ``(n, channels)`` int16 array concatenated from the interleaved
+    ``##wb`` chunks (``None`` with rate 0 when the file has no audio
+    stream)."""
+    frames, fps = decode_avi_mjpeg(payload)
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    channels = rate = None
+    audio_raw = bytearray()
+    for cc, body, size in _walk_chunks(payload, 12, end):
+        if cc == b"LIST" and payload[body : body + 4] == b"hdrl":
+            for cc2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                if cc2 != b"LIST" or payload[b2 : b2 + 4] != b"strl":
+                    continue
+                is_auds = False
+                for cc3, b3, s3 in _walk_chunks(payload, b2 + 4, b2 + s2):
+                    if cc3 == b"strh":
+                        is_auds = payload[b3 : b3 + 4] == b"auds"
+                    elif cc3 == b"strf" and is_auds and s3 >= 16:
+                        tag, ch, sr = struct.unpack_from(
+                            "<HHI", payload, b3
+                        )
+                        if tag != 1:
+                            raise ValueError(
+                                f"AVI: audio format {tag} is not PCM — "
+                                "compressed audio belongs to a codec "
+                                "runtime"
+                            )
+                        channels, rate = ch, sr
+        elif cc == b"LIST" and payload[body : body + 4] == b"movi":
+            for cc2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                if cc2[2:4] == b"wb":
+                    audio_raw += payload[b2 : b2 + s2]
+    if channels is None:
+        if audio_raw:
+            raise ValueError("AVI: audio chunks but no auds stream header")
+        return frames, fps, None, 0
+    audio = np.frombuffer(bytes(audio_raw), dtype="<i2").reshape(
+        -1, channels
+    )
+    return frames, fps, audio, rate
 
 
 def decode_avi_mjpeg_strided(payload: bytes, stride: int):
@@ -306,13 +421,16 @@ def decode_avi_mjpeg_strided(payload: bytes, stride: int):
 
 
 def encode_avi_mjpeg_from_arrays(
-    frames_rgb, fps: int = 30, subsampling: str = "444"
+    frames_rgb, fps: int = 30, subsampling: str = "444",
+    audio=None, audio_rate: int = 8000,
 ) -> bytes:
     """Convenience: JPEG-encode ``(n, h, w, 3)`` uint8 frames and wrap
-    them in an AVI container."""
+    them in an AVI container (optionally with a PCM audio stream)."""
     arr = np.asarray(frames_rgb, dtype=np.uint8)
     n, h, w, _ = arr.shape
     payloads = [
         encode_jpeg(arr[k], subsampling=subsampling) for k in range(n)
     ]
-    return encode_avi_mjpeg(payloads, w, h, fps)
+    return encode_avi_mjpeg(
+        payloads, w, h, fps, audio=audio, audio_rate=audio_rate
+    )

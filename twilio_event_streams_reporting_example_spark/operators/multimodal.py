@@ -1066,6 +1066,70 @@ def _avi_oracle_rows() -> str:
 AVI_STRIDE = 2
 
 
+# MJPEG + PCM two-stream AVI (the camera-capture layout): interleaved
+# 01wb audio chunks next to the 00dc video frames, WAVEFORMAT strf.
+def _avi_pcm_spec(i: int):
+    """(n_samples, channels, rate) for clip i's PCM track."""
+    n = 300 + (i * 37) % 200
+    ch = 1 if i % 2 == 0 else 2
+    rate = (8000, 16000, 22050, 44100)[(i // 3) % 4]
+    return n, ch, rate
+
+
+def _avi_pcm_sample(i: int, c: int, t: int) -> int:
+    return ((i * 7 + t * t + c * 13) % 4001) - 2000
+
+
+@_lru_cache(maxsize=None)
+def _avi_pcm_formula(i: int):
+    """(ch0 sum, ch1 sum or 0, n*100000 + rate*10 + ch)."""
+    n, ch, rate = _avi_pcm_spec(i)
+    s0 = sum(_avi_pcm_sample(i, 0, t) for t in range(n))
+    s1 = sum(_avi_pcm_sample(i, 1, t) for t in range(n)) if ch == 2 else 0
+    return s0, s1, n * 100000 + rate * 10 + ch
+
+
+@_lru_cache(maxsize=1)
+def _avi_pcm_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {a}, {b}, {m})".format(
+            i=i,
+            a=_avi_pcm_formula(i)[0],
+            b=_avi_pcm_formula(i)[1],
+            m=_avi_pcm_formula(i)[2],
+        )
+        for i in range(AVI_N_ITEMS)
+    )
+
+
+def _avi_pcm_item(i: int):
+    """(payload, expected audio array) — the clip i video plus a
+    closed-form PCM track, interleaved in one container."""
+    import numpy as np
+
+    from .avi import encode_avi_mjpeg_from_arrays
+
+    _payload, expect_video = _avi_item(i)  # reuse the video frames
+    n_frames, w, h, fps = _avi_item_spec(i)
+    fr = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                fr[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _avi_block_color(i, f, bx, by)
+                )
+    n, ch, rate = _avi_pcm_spec(i)
+    t = np.arange(n, dtype=np.int64)
+    audio = np.stack(
+        [(i * 7 + t * t + c * 13) % 4001 - 2000 for c in range(ch)],
+        axis=1,
+    ).astype(np.int16)
+    payload = encode_avi_mjpeg_from_arrays(
+        fr, fps=fps, audio=audio, audio_rate=rate
+    )
+    return payload, audio
+
+
 @_lru_cache(maxsize=None)
 def _avi_stride_formula(i: int):
     """Channel sums over the SAMPLED frames of clip i (stride 2)."""
@@ -2428,10 +2492,17 @@ def probe_image_metadata(payload: bytes) -> dict:
                 else:
                     dims[tag] = v
         if 256 in dims and 257 in dims:
-            return {
+            out = {
                 "format": "tiff", "width": dims[256], "height": dims[257],
                 "bit_depth": bps,
             }
+            try:  # multi-page scanned docs: count the IFD chain
+                from .tiff import tiff_page_count
+
+                out["n_pages"] = tiff_page_count(bytes(buf))
+            except ValueError:
+                out["n_pages"] = 1
+            return out
         raise ValueError("TIFF missing dimension tags")
     raise ValueError("unrecognized image container")
 
@@ -3004,6 +3075,15 @@ def _media_ops_oracle() -> str:
           {_avi_stride_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'avi_pcm' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(m AS BIGINT) AS m3
+        FROM (VALUES
+          {_avi_pcm_oracle_rows()}
+        ) AS t(i, a, b, m)
+        UNION ALL
         SELECT 'image_preprocess' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(j AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -3200,6 +3280,13 @@ def _media_ops_oracle() -> str:
         "index is absent), asserted bit-exact against the sampled "
         "frames — the 100 TB frame-sampling shape where decode cost "
         "tracks frames SAMPLED, not frames stored. "
+        "`avi_pcm`: two-stream camera-capture AVI — the same clips "
+        "with a closed-form int16 PCM track split into 01wb chunks "
+        "interleaved after each video frame (auds strl + WAVEFORMAT "
+        "strf); decode reassembles the track bit-exact across chunk "
+        "boundaries at four sample rates, mono and stereo, while the "
+        "video stream still decodes — a wrong interleave, WAVEFORMAT "
+        "field, or chunk-type filter breaks the hash. "
         "`aiff_au_roundtrip`: the BIG-ENDIAN container families legacy "
         "audio archives carry next to RIFF (operators/aiff.py) — 48 "
         "closed-form clips through real AIFF (IFF FORM/COMM/SSND "
@@ -3291,6 +3378,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("tiff_compressed"))
         .unionByName(codec_rows("avi_mjpeg"))
         .unionByName(codec_rows("avi_frame_stride"))
+        .unionByName(codec_rows("avi_pcm"))
         .unionByName(
             _stored_audio_feature_rows(spark).select(
                 F.lit("audio_features").alias("section"),
@@ -3356,6 +3444,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_tiffc = section == "tiff_compressed"
     use_avi = section == "avi_mjpeg"
     use_avi_stride = section == "avi_frame_stride"
+    use_avi_pcm = section == "avi_pcm"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3484,6 +3573,27 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert np.array_equal(decoded, expect[::AVI_STRIDE])
                     sums = decoded.astype(np.int64).sum(axis=(0, 1, 2))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_avi_pcm:
+                    from .avi import decode_avi_streams
+
+                    n_frames, w, h, fps = _avi_item_spec(i)
+                    n, ch, rate = _avi_pcm_spec(i)
+                    payload, expect_audio = _avi_pcm_item(i)
+                    frames, got_fps, audio, got_rate = decode_avi_streams(
+                        payload
+                    )
+                    assert frames.shape == (n_frames, h, w, 3)
+                    assert got_fps == float(fps) and got_rate == rate
+                    # PCM is lossless ⇒ bit-exact through the
+                    # interleaved 01wb chunks
+                    assert audio.shape == (n, ch)
+                    assert np.array_equal(audio, expect_audio)
+                    sums = audio.astype(np.int64).sum(axis=0)
+                    vals = (
+                        int(sums[0]),
+                        int(sums[1]) if ch == 2 else 0,
+                        n * 100000 + rate * 10 + ch,
+                    )
                 elif use_aiffau:
                     kind, bits, ch, n, rate = _aiffau_spec(i)
                     payload, sig = _aiffau_item(i)
@@ -3639,7 +3749,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         else TIFFC_N_ITEMS
         if use_tiffc
         else AVI_N_ITEMS
-        if (use_avi or use_avi_stride)
+        if (use_avi or use_avi_stride or use_avi_pcm)
         else BMPV_N_ITEMS
         if use_bmpv
         else BMP_N_ITEMS

@@ -233,8 +233,29 @@ def _packbits_encode_row(row: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(buf: bytes, e: str):
+def _ifd_offsets(buf: bytes, e: str) -> list[int]:
+    """Walk the IFD chain (multi-page TIFF): offsets of every IFD."""
+    offs: list[int] = []
     off = struct.unpack(e + "I", buf[4:8])[0]
+    while off:
+        if off + 2 > len(buf):
+            raise ValueError("TIFF: IFD offset out of range")
+        if off in offs or len(offs) > 10_000:
+            raise ValueError("TIFF: circular IFD chain")
+        offs.append(off)
+        n = struct.unpack(e + "H", buf[off : off + 2])[0]
+        nxt = off + 2 + 12 * n
+        if nxt + 4 > len(buf):
+            raise ValueError("TIFF: IFD extends past payload")
+        off = struct.unpack(e + "I", buf[nxt : nxt + 4])[0]
+    if not offs:
+        raise ValueError("TIFF: no IFD")
+    return offs
+
+
+def _read_ifd(buf: bytes, e: str, off: int | None = None):
+    if off is None:
+        off = struct.unpack(e + "I", buf[4:8])[0]
     n = struct.unpack(e + "H", buf[off : off + 2])[0]
     tags: dict[int, list[int]] = {}
     for k in range(n):
@@ -261,15 +282,33 @@ def _read_ifd(buf: bytes, e: str):
     return tags
 
 
-def decode_tiff(payload: bytes):
-    """→ (h, w, 3) uint8 RGB for photometric 0/1/2/3 baseline TIFFs."""
+def tiff_page_count(payload: bytes) -> int:
+    """Number of pages (IFDs) in the chain — multi-page scanned-doc
+    TIFFs are the common real-world case; O(header) walk."""
     if payload[:4] == b"II*\x00":
         e = "<"
     elif payload[:4] == b"MM\x00*":
         e = ">"
     else:
         raise ValueError("not a TIFF stream")
-    tags = _read_ifd(payload, e)
+    return len(_ifd_offsets(payload, e))
+
+
+def decode_tiff(payload: bytes, page: int = 0):
+    """→ (h, w, 3) uint8 RGB for photometric 0/1/2/3 baseline TIFFs.
+    ``page`` selects the IFD in a multi-page chain (default: first)."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    offs = _ifd_offsets(payload, e)
+    if not 0 <= page < len(offs):
+        raise ValueError(
+            f"TIFF: page {page} out of range ({len(offs)} pages)"
+        )
+    tags = _read_ifd(payload, e, offs[page])
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -388,6 +427,55 @@ def encode_tiff(
     (Deflate) — both with optional horizontal-differencing
     ``predictor`` 2 — or 32773 (PackBits, packed per row per §9)."""
     e = ">" if big_endian else "<"
+    blob, ifd_off, next_ptr = _build_page(
+        img, photometric, e, rows_per_strip, colormap, compression,
+        predictor, base=8,
+    )
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        e + "I", ifd_off
+    )
+    return head + blob
+
+
+def encode_tiff_multipage(
+    pages, photometric: int = 2, big_endian: bool = False,
+    rows_per_strip: int | None = None, colormap=None,
+    compression: int = 1, predictor: int = 1,
+) -> bytes:
+    """Multi-page TIFF writer: each page in ``pages`` becomes one IFD
+    in the chain (the scanned-document layout). Per-page parameters
+    may be scalars (applied to every page) or lists."""
+    if not pages:
+        raise ValueError("encode_tiff_multipage needs at least one page")
+
+    def per_page(v, k):
+        return v[k] if isinstance(v, (list, tuple)) else v
+
+    e = ">" if big_endian else "<"
+    out = bytearray(
+        (b"MM\x00*" if big_endian else b"II*\x00") + b"\x00\x00\x00\x00"
+    )
+    prev_ptr = 4  # header's first-IFD pointer
+    for k, img in enumerate(pages):
+        blob, ifd_off, next_ptr = _build_page(
+            img, per_page(photometric, k), e, per_page(rows_per_strip, k),
+            per_page(colormap, k), per_page(compression, k),
+            per_page(predictor, k), base=len(out),
+        )
+        struct.pack_into(e + "I", out, prev_ptr, ifd_off)
+        out += blob
+        prev_ptr = next_ptr
+    return bytes(out)
+
+
+def _build_page(
+    img, photometric: int, e: str, rows_per_strip: int | None,
+    colormap, compression: int, predictor: int, base: int,
+):
+    """One page's ``strips | IFD | extra`` blob with all offsets
+    absolute to a file where the blob starts at ``base``. Returns
+    ``(blob, ifd_offset, next_ifd_pointer_position)`` — the pointer
+    position is patched by the multi-page writer (it is written 0)."""
     img = np.asarray(img, dtype=np.uint8)
     if photometric == 2:
         h, w, _ = img.shape
@@ -435,10 +523,9 @@ def encode_tiff(
     entries: list[tuple[int, int, int, bytes]] = []  # tag, type, cnt, raw
     extra = bytearray()  # out-of-line values, appended after the IFD
 
-    header_len = 8
-    # layout: header | strips | IFD | extra. Compute strip offsets now.
+    # layout: [base:] strips | IFD | extra. Compute strip offsets now.
     strip_offsets = []
-    pos = header_len
+    pos = base
     for sb in strip_bytes:
         strip_offsets.append(pos)
         pos += sb
@@ -481,9 +568,7 @@ def encode_tiff(
             field = struct.pack(e + "I", extra_off + len(extra))
             extra += raw_v
         ifd += struct.pack(e + "HHI", tag, typ, cnt) + field
-    ifd += struct.pack(e + "I", 0)  # no next IFD
+    next_ptr_pos = ifd_off + len(ifd)
+    ifd += struct.pack(e + "I", 0)  # next IFD (0 unless patched)
 
-    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
-        e + "I", ifd_off
-    )
-    return head + raw + ifd + bytes(extra)
+    return raw + ifd + bytes(extra), ifd_off, next_ptr_pos
