@@ -1109,8 +1109,7 @@ def _avi_pcm_item(i: int):
 
     from .avi import encode_avi_mjpeg_from_arrays
 
-    _payload, expect_video = _avi_item(i)  # reuse the video frames
-    n_frames, w, h, fps = _avi_item_spec(i)
+    n_frames, w, h, fps = _avi_item_spec(i)  # same video as _avi_item
     fr = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
     for f in range(n_frames):
         for by in range(h // 8):
