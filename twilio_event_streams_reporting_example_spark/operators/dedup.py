@@ -722,15 +722,31 @@ def duplicated_substring_spans(
     n = min_len
     if grams is None:
         grams = _span_grams(docs, n)
-    # ">= 2 distinct docs" as min != max: no distinct-aggregation state,
-    # one partial-aggregated min/max pair per gram
+    # Two-level EXACT cross-doc test (the 100 TB knob PLANS.md #16
+    # named, now the implementation): the full-corpus shuffle carries
+    # (xxhash64(g), doc_id) — 16 bytes/row instead of the 40-char gram
+    # text — and ">= 2 distinct docs" is min != max (no distinct-agg
+    # state). Hash survivors are only the recurring-gram candidates
+    # (boilerplate blocks — tiny next to the corpus), and those few
+    # rows re-group by the FULL text to confirm, so a 64-bit collision
+    # costs a wasted candidate row, never a wrong span: exactness is
+    # by construction, not by collision odds.
+    gh = grams.select("doc_id", "start", "g", F.xxhash64("g").alias("h"))
+    dup_h = (
+        gh.select("h", "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    cand = gh.join(dup_h, "h")
     dup = (
-        grams.groupBy("g")
+        cand.groupBy("g")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .filter(F.col("lo") != F.col("hi"))
         .select("g")
     )
-    hits = grams.join(dup, "g").select("doc_id", "start")
+    hits = cand.join(dup, "g").select("doc_id", "start")
     grp = _merge_hit_islands(hits, n)
     return grp.groupBy("doc_id", "island").agg(
         F.min("start").alias("span_start"),
