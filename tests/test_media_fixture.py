@@ -50,6 +50,22 @@ def test_stored_payloads_decode_to_closed_form(stored):
             decoded = decode_real_media(payload, f"image/{kind}")
             sums = decoded.astype(np.int64).sum(axis=(0, 1))
             got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        elif kind == "tiffmp":
+            from twilio_event_streams_reporting_example_spark.operators.tiff import (
+                decode_tiff,
+                tiff_page_count,
+            )
+
+            n_pages = tiff_page_count(payload)
+            pages = [
+                decode_tiff(payload, page=p).astype(np.int64)
+                for p in range(n_pages)
+            ]
+            got = (
+                int(pages[0][:, :, 0].sum()),
+                int(sum(p[:, :, 1].sum() for p in pages)),
+                n_pages * 10 + int(payload[:2] == b"MM"),
+            )
         elif kind == "avi":
             frames, _fps = decode_real_media(payload, "video/avi")
             sums = frames.astype(np.int64).sum(axis=(0, 1, 2))
@@ -80,6 +96,7 @@ def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
     assert kinds == {
         "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
+        "tiffmp",
     }
 
 

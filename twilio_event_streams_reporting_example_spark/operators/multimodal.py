@@ -1222,6 +1222,38 @@ def _avi_item(i: int):
     return encode_avi_mjpeg_from_arrays(fr, fps=fps), expect
 
 
+# ------ multi-page TIFF data-at-rest items (3-page IFD chains) ----------
+#
+# Stored-fixture-only kind: each payload chains three RGB pages (the
+# compressed-TIFF closed-form images for indices 3k..3k+2, one page
+# per compression class — LZW / Deflate / PackBits), so the committed
+# bytes certify the IFD-chain walk, per-page strip decode, and the
+# page-count probe against data at rest.
+
+
+def _mptiff_item(k: int):
+    """(payload bytes, list of expected per-page RGB arrays)."""
+    from .tiff import encode_tiff_multipage
+
+    idxs = [3 * k, 3 * k + 1, 3 * k + 2]  # all photometric-2 for k<2
+    pages = [_tiffc_item(i)[1] for i in idxs]  # lossless: expect == img
+    payload = encode_tiff_multipage(
+        pages, 2, big_endian=bool(k % 2), compression=[5, 8, 32773]
+    )
+    return payload, pages
+
+
+@_lru_cache(maxsize=None)
+def _mptiff_formula(k: int):
+    """(page-0 red sum, green sum across ALL pages, n_pages*10 + byte
+    order) — page 0 certifies default decode, the cross-page sum
+    certifies the chain walk."""
+    idxs = [3 * k, 3 * k + 1, 3 * k + 2]
+    m1 = _tiffc_item_formula(idxs[0])[0]
+    m2 = sum(_tiffc_item_formula(i)[1] for i in idxs)
+    return m1, m2, len(idxs) * 10 + (k % 2)
+
+
 def _tiff_item(i: int):
     """(payload bytes, expected decoded RGB array) for TIFF spec i."""
     import numpy as np
@@ -1372,11 +1404,12 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 78  # see the range map below
+STORED_N_ITEMS = 80  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
 _STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
 _STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
 _STORED_AVI_FROM = 72  # 72-77: MJPEG-in-AVI clips
+_STORED_MPTIFF_FROM = 78  # 78-79: multi-page TIFF (3-page IFD chains)
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1397,6 +1430,11 @@ def media_fixture_rows() -> list:
     the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
+        if j >= _STORED_MPTIFF_FROM:
+            rows.append(
+                (j, "tiffmp", _mptiff_item(j - _STORED_MPTIFF_FROM)[0])
+            )
+            continue
         if j >= _STORED_AVI_FROM:
             rows.append((j, "avi", _avi_item(j - _STORED_AVI_FROM)[0]))
             continue
@@ -1426,6 +1464,8 @@ def media_fixture_rows() -> list:
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_MPTIFF_FROM:
+        return _mptiff_formula(j - _STORED_MPTIFF_FROM)
     if j >= _STORED_AVI_FROM:
         return _avi_item_formula(j - _STORED_AVI_FROM)
     if j >= _STORED_TIFF_FROM:
@@ -1697,6 +1737,20 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                     decoded = decode_real_media(payload, f"image/{kind}")
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif kind == "tiffmp":
+                    from .tiff import decode_tiff, tiff_page_count
+
+                    n_pages = tiff_page_count(payload)
+                    pages = [
+                        decode_tiff(payload, page=p).astype(np.int64)
+                        for p in range(n_pages)
+                    ]
+                    big_endian = payload[:2] == b"MM"
+                    vals = (
+                        int(pages[0][:, :, 0].sum()),
+                        int(sum(p[:, :, 1].sum() for p in pages)),
+                        n_pages * 10 + int(big_endian),
+                    )
                 elif kind == "avi":
                     frames, _fps = decode_real_media(payload, "video/avi")
                     sums = frames.astype(np.int64).sum(axis=(0, 1, 2))
@@ -3297,12 +3351,14 @@ def _media_ops_oracle() -> str:
         "covered by the spec-vector tests against the published "
         "tables). "
         "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
-        "parquet fixture (fixtures/media_payloads.parquet) holding 78 "
+        "parquet fixture (fixtures/media_payloads.parquet) holding 80 "
         "real container payloads in a binary column (BMP, PNG, PCM "
         "WAV, IMA ADPCM, MS ADPCM, and — appended without disturbing "
         "the earlier items' pinned bytes — FLAC, compressed TIFF "
-        "(LZW/Deflate/PackBits) and MJPEG-in-AVI video) is scanned and "
-        "decoded through the "
+        "(LZW/Deflate/PackBits), MJPEG-in-AVI video, and 3-page "
+        "multi-page TIFF chains whose per-page decode + page-count "
+        "probe certify the IFD-chain walk on stored bytes) is scanned "
+        "and decoded through the "
         "same signature-dispatch kernel; the oracle is the same "
         "closed-form math, so the certification covers bytes that "
         "lived on disk, not just in-gate synthesis — exactly the "
