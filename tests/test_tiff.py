@@ -92,11 +92,11 @@ def test_palette_uses_high_byte_of_colormap():
 def test_transform_coded_tiff_is_rejected_clearly():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     payload = bytearray(encode_tiff(img, 2))
-    # flip the Compression entry's value from 1 to 7 (JPEG-in-TIFF)
+    # flip the Compression entry's value from 1 to 6 (old-style JPEG)
     i = payload.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    payload[i + 8 : i + 10] = struct.pack("<H", 7)
-    with pytest.raises(ValueError, match="compression 7"):
+    payload[i + 8 : i + 10] = struct.pack("<H", 6)
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(payload))
 
 
@@ -249,3 +249,123 @@ def test_circular_ifd_chain_detected():
     struct.pack_into("<I", payload, ptr_pos, first_ifd)
     with pytest.raises(ValueError, match="circular"):
         tiff_page_count(bytes(payload))
+
+
+# --------------------------------------------- JPEG-in-TIFF (comp 7) ---
+
+
+def _flat_rgb(h, w, seed):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (seed + bx * 17 + by * 29) % 256,
+                (seed * 3 + bx * 11) % 256,
+                (seed * 13 + by * 31) % 256,
+            )
+    return img
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("rps", [None, 8])
+def test_jpeg_in_tiff_matches_plain_jpeg(big_endian, rps):
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _flat_rgb(24, 16, 9)
+    payload = encode_tiff(
+        img, 6, big_endian=big_endian, rows_per_strip=rps, compression=7
+    )
+    out = decode_tiff(payload)
+    step = rps or 24
+    want = np.concatenate(
+        [
+            decode_jpeg(encode_jpeg(img[s : s + step]))
+            for s in range(0, 24, step)
+        ],
+        axis=0,
+    )
+    assert np.array_equal(out, want)
+
+
+def test_jpeg_tables_stream_is_merged_into_each_strip():
+    """Split a self-contained strip into an abbreviated JPEGTables
+    stream (SOI + DQT/DHT + EOI, tag 347) plus a tables-free strip,
+    the layout libtiff writes — decode must concatenate them."""
+    img = _flat_rgb(8, 8, 4)
+    payload = bytearray(encode_tiff(img, 6, compression=7))
+    want = decode_tiff(bytes(payload))
+
+    # pull the strip out of the container (single strip at offset 8)
+    i = payload.find(struct.pack("<HH", 273, 4))
+    (strip_off,) = struct.unpack_from("<I", payload, i + 8)
+    i = payload.find(struct.pack("<HH", 279, 4))
+    (strip_len,) = struct.unpack_from("<I", payload, i + 8)
+    strip = bytes(payload[strip_off : strip_off + strip_len])
+
+    # walk JPEG segments: tables (DQT FFDB / DHT FFC4) vs the rest
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(strip):
+        assert strip[pos] == 0xFF
+        marker = strip[pos + 1]
+        if marker == 0xD9:  # EOI
+            rest += strip[pos : pos + 2]
+            break
+        (seglen,) = struct.unpack_from(">H", strip, pos + 2)
+        seg = strip[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+            if marker == 0xDA:  # SOS: entropy data runs to EOI
+                rest += strip[pos + 2 + seglen : -2]
+                rest += strip[-2:]
+                break
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+
+    # rebuild: tables-free strip in place (padded to old length) +
+    # a JPEGTables tag appended as a NEW IFD... simpler: rewrite via a
+    # fresh container with the same geometry
+    new = bytearray()
+    new += b"II*\x00"
+    strip2 = bytes(rest) + b"\x00" * (strip_len - len(rest))
+    ifd_off = 8 + len(strip2)
+    new += struct.pack("<I", ifd_off)
+    new += strip2
+    tbl_bytes = bytes(tables)
+
+    entries = []
+
+    def ent(tag, typ, cnt, field4):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + field4)
+
+    extra_off = ifd_off + 2 + 12 * 11 + 4
+    ent(256, 3, 1, struct.pack("<HH", 8, 0))
+    ent(257, 3, 1, struct.pack("<HH", 8, 0))
+    ent(258, 3, 3, struct.pack("<I", extra_off))  # bits [8,8,8]
+    ent(259, 3, 1, struct.pack("<HH", 7, 0))  # JPEG
+    ent(262, 3, 1, struct.pack("<HH", 6, 0))  # YCbCr
+    ent(273, 4, 1, struct.pack("<I", 8))
+    ent(277, 3, 1, struct.pack("<HH", 3, 0))
+    ent(278, 3, 1, struct.pack("<HH", 8, 0))
+    ent(279, 4, 1, struct.pack("<I", len(rest)))
+    ent(284, 3, 1, struct.pack("<HH", 1, 0))
+    ent(347, 7, len(tbl_bytes), struct.pack("<I", extra_off + 6))
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    new += ifd
+    new += struct.pack("<3H", 8, 8, 8)  # bits extra values
+    new += tbl_bytes
+
+    out = decode_tiff(bytes(new))
+    assert np.array_equal(out, want)
+
+
+def test_jpeg_tiff_requires_photometric6():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="photometric 6"):
+        encode_tiff(img, 2, compression=7)

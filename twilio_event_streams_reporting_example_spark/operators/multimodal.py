@@ -1222,6 +1222,122 @@ def _avi_item(i: int):
     return encode_avi_mjpeg_from_arrays(fr, fps=fps), expect
 
 
+# ------ JPEG-in-TIFF decode certification (closed-form oracle) ----------
+#
+# New-style JPEG (compression 7, TIFF Technical Note 2): each strip is
+# a JPEG stream, decoded by operators/jpeg.py inside the TIFF strip
+# walk. Flat 8x8 blocks ride the bit-exact JPEG DC path, so the
+# oracle is the JFIF color-transform round trip (same machinery the
+# jpeg_roundtrip and avi_mjpeg sections certify).
+TIFFJ_N_ITEMS = 24
+
+
+def _tiffj_item_spec(i: int):
+    """(big_endian, rows_per_strip, w, h) for JPEG-in-TIFF item i —
+    all dims multiples of 8 so strips stay MCU-aligned."""
+    big_endian = bool(i % 2)
+    rps = (0, 8, 16)[(i // 2) % 3]  # 0 → single strip
+    w = 8 * (1 + i % 3)
+    h = 8 * (2 + (i // 3) % 3)
+    return big_endian, rps, w, h
+
+
+def _tiffj_block_color(i: int, bx: int, by: int):
+    return (
+        (i * 7 + bx * 17 + by * 29) % 256,
+        (i * 5 + bx * 11 + by * 7) % 256,
+        (i * 11 + bx * 23 + by * 31) % 256,
+    )
+
+
+@_lru_cache(maxsize=None)
+def _tiffj_item_formula(i: int):
+    """Decoded channel sums for JPEG-in-TIFF item i — the inline
+    integer JFIF round trip, independent of jpeg.py/tiff.py."""
+    _be, _rps, w, h = _tiffj_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            r, g, b = _tiffj_block_color(i, bx, by)
+            y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+            cb = clip(
+                irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+            )
+            cr = clip(
+                irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+            )
+            rs += 64 * clip(y + irnd(1402 * (cr - 128), 1000))
+            gs += 64 * clip(
+                y + irnd(-344136 * (cb - 128) - 714136 * (cr - 128), 1000000)
+            )
+            bs += 64 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return rs, gs, bs
+
+
+@_lru_cache(maxsize=1)
+def _tiffj_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_tiffj_item_formula(i)[0],
+            g=_tiffj_item_formula(i)[1],
+            b=_tiffj_item_formula(i)[2],
+        )
+        for i in range(TIFFJ_N_ITEMS)
+    )
+
+
+def _tiffj_item(i: int):
+    """(payload bytes, expected decoded RGB array) for JPEG-in-TIFF
+    item i — expectation is the per-block color-transform round trip."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    be, rps, w, h = _tiffj_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    expect = np.zeros_like(img)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            r, g, b = _tiffj_block_color(i, bx, by)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (r, g, b)
+            y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+            cb = clip(
+                irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+            )
+            cr = clip(
+                irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+            )
+            expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                clip(y + irnd(1402 * (cr - 128), 1000)),
+                clip(
+                    y
+                    + irnd(
+                        -344136 * (cb - 128) - 714136 * (cr - 128), 1000000
+                    )
+                ),
+                clip(y + irnd(1772 * (cb - 128), 1000)),
+            )
+    payload = encode_tiff(
+        img, 6, big_endian=be, rows_per_strip=rps or None, compression=7
+    )
+    return payload, expect
+
+
 # ------ multi-page TIFF data-at-rest items (3-page IFD chains) ----------
 #
 # Stored-fixture-only kind: each payload chains three RGB pages (the
@@ -3110,6 +3226,15 @@ def _media_ops_oracle() -> str:
           {_tiffc_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'tiff_jpeg' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_tiffj_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'avi_mjpeg' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -3318,6 +3443,12 @@ def _media_ops_oracle() -> str:
         "codec x byte-order x photometric x strip-layout grid, "
         "decoded back bit-exact (lossless), so one wrong LZW width "
         "switch, predictor cumsum, or RLE run length breaks the hash. "
+        "`tiff_jpeg`: new-style JPEG-in-TIFF (compression 7, TTN2) — "
+        "per-strip JPEG streams (with JPEGTables merge support) "
+        "decoded by operators/jpeg.py inside the strip walk; 24 "
+        "flat-block images asserted per-pixel against the JFIF "
+        "color-transform round trip — closes the last TIFF "
+        "compression gate the engine had. "
         "`avi_mjpeg`: the first REAL VIDEO decode — MJPEG-in-AVI "
         "(operators/avi.py: RIFF hdrl/movi/idx1 walk with every "
         "header claim cross-checked against the actual 00dc chunks, "
@@ -3431,6 +3562,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("aiff_au_roundtrip"))
         .unionByName(codec_rows("tiff_roundtrip"))
         .unionByName(codec_rows("tiff_compressed"))
+        .unionByName(codec_rows("tiff_jpeg"))
         .unionByName(codec_rows("avi_mjpeg"))
         .unionByName(codec_rows("avi_frame_stride"))
         .unionByName(codec_rows("avi_pcm"))
@@ -3497,6 +3629,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_aiffau = section == "aiff_au_roundtrip"
     use_tiff = section == "tiff_roundtrip"
     use_tiffc = section == "tiff_compressed"
+    use_tiffj = section == "tiff_jpeg"
     use_avi = section == "avi_mjpeg"
     use_avi_stride = section == "avi_frame_stride"
     use_avi_pcm = section == "avi_pcm"
@@ -3590,6 +3723,15 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     decoded = decode_real_media(payload, "image/tiff")
                     assert decoded.shape == expect.shape
                     # LZW/PackBits are lossless ⇒ bit-exact round trip
+                    assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_tiffj:
+                    payload, expect = _tiffj_item(i)
+                    decoded = decode_real_media(payload, "image/tiff")
+                    assert decoded.shape == expect.shape
+                    # flat blocks ⇒ exact through the JPEG DC path; the
+                    # expectation already applies the color transform
                     assert np.array_equal(decoded, expect)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
@@ -3803,6 +3945,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_tiff
         else TIFFC_N_ITEMS
         if use_tiffc
+        else TIFFJ_N_ITEMS
+        if use_tiffj
         else AVI_N_ITEMS
         if (use_avi or use_avi_stride or use_avi_pcm)
         else BMPV_N_ITEMS

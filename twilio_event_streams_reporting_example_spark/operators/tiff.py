@@ -16,10 +16,13 @@ The IFD walk honors the value-fits-inline rule (left-justified in the
 certification). Compression 1 (none), 5 (LZW, TIFF 6.0 §13 — MSB-first
 bit packing with the "early change" width switch at table sizes
 511/1023/2047, ClearCode 256 / EOI 257, optional horizontal-differencing
-Predictor 2 per §14), 8 (Adobe Deflate per TIFF Technical Note 2 —
-stdlib zlib per strip, Predictor 2 allowed) and 32773 (PackBits RLE,
-§9, packed per row) all decode; other values (JPEG-in-TIFF, old-style
-JPEG) raise — they belong to a codec runtime. Note TIFF LZW differs
+Predictor 2 per §14), 7 (new-style JPEG per TIFF Technical Note 2 —
+each strip a JPEG stream decoded by the sibling operators/jpeg.py
+codec, with the optional abbreviated JPEGTables (tag 347) stream
+concatenated onto every strip), 8 (Adobe Deflate per TTN2 — stdlib
+zlib per strip, Predictor 2 allowed) and 32773 (PackBits RLE, §9,
+packed per row) all decode; other values (old-style JPEG 6, JBIG,
+CCITT) raise — they belong to a codec runtime. Note TIFF LZW differs
 from GIF LZW (operators/gif.py)
 in bit order (MSB- vs LSB-first), fixed 8-bit literal alphabet, and
 the early-change rule — shared concept, different bitstreams.
@@ -56,8 +59,10 @@ _T_STRIP_BYTES = 279
 _T_COLORMAP = 320
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_JPEG_TABLES = 347
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+# BYTE ASCII SHORT LONG RATIONAL SBYTE UNDEFINED
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1}
 
 # ------------------------------------------- TIFF LZW (6.0 §13) --------
 #
@@ -319,11 +324,11 @@ def decode_tiff(payload: bytes, page: int = 0):
         return v[0]
 
     comp = one(_T_COMPRESSION, 1)
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 5, 7, 8, 32773):
         raise ValueError(
             f"TIFF: compression {comp} needs a codec runtime; only "
-            "uncompressed (1), LZW (5), Deflate (8) and PackBits "
-            "(32773) decode dependency-free"
+            "uncompressed (1), LZW (5), new-style JPEG (7), Deflate "
+            "(8) and PackBits (32773) decode dependency-free"
         )
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -352,6 +357,45 @@ def decode_tiff(payload: bytes, page: int = 0):
             "TIFF: StripOffsets/StripByteCounts length mismatch "
             f"({len(offsets)} vs {len(counts)})"
         )
+    if comp == 7:
+        # New-style JPEG-in-TIFF (TIFF Technical Note 2): each strip
+        # is a JPEG stream; an optional JPEGTables tag (347) carries
+        # an abbreviated tables-only stream whose segments prepend
+        # onto every strip (drop the tables stream's EOI and the
+        # strip's SOI — the standard concatenation).
+        from .jpeg import decode_jpeg
+
+        if predictor != 1:
+            raise ValueError("TIFF: predictor is not defined for JPEG")
+        if photometric not in (2, 6) or samples != 3:
+            raise ValueError(
+                "TIFF: JPEG compression supported for 3-sample "
+                "photometric 2 (RGB) / 6 (YCbCr) only"
+            )
+        tables_v = tags.get(_T_JPEG_TABLES)
+        tables = bytes(tables_v) if tables_v else b""
+        if tables and (
+            tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF: malformed JPEGTables stream")
+        rps = one(_T_ROWS_PER_STRIP, h)
+        strips = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - si * rps)
+            if rows <= 0:
+                raise ValueError("TIFF: more strips than image rows")
+            stream = payload[o : o + c]
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError("TIFF: JPEG strip missing SOI")
+            if tables:
+                stream = tables[:-2] + stream[2:]
+            img = decode_jpeg(stream)
+            if img.shape != (rows, w, 3):
+                raise ValueError(
+                    "TIFF: JPEG strip dimensions disagree with the IFD"
+                )
+            strips.append(img)
+        return np.concatenate(strips, axis=0)
     if comp == 1:
         data = b"".join(
             payload[o : o + c] for o, c in zip(offsets, counts)
@@ -477,25 +521,35 @@ def _build_page(
     ``(blob, ifd_offset, next_ifd_pointer_position)`` — the pointer
     position is patched by the multi-page writer (it is written 0)."""
     img = np.asarray(img, dtype=np.uint8)
-    if photometric == 2:
+    if photometric in (2, 6):
         h, w, _ = img.shape
         samples = 3
     else:
         h, w = img.shape
         samples = 1
         img = img[:, :, None]
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 5, 7, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     if predictor == 2 and compression not in (5, 8):
         raise ValueError("predictor 2 needs LZW or Deflate")
+    if compression == 7 and photometric != 6:
+        raise ValueError("JPEG compression writes photometric 6 (YCbCr)")
+    if photometric == 6 and compression != 7:
+        raise ValueError("photometric 6 is written with JPEG compression")
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
     img3 = img.reshape(h, w, samples)
     strips: list[bytes] = []
     for s in range(n_strips):
         blk = img3[s * rps : s * rps + rps]
+        if compression == 7:
+            # self-contained per-strip JPEG streams (no JPEGTables tag)
+            from .jpeg import encode_jpeg
+
+            strips.append(encode_jpeg(blk, subsampling="444"))
+            continue
         if predictor == 2:
             d = blk.astype(np.int64)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
