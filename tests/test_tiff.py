@@ -365,7 +365,78 @@ def test_jpeg_tables_stream_is_merged_into_each_strip():
     assert np.array_equal(out, want)
 
 
-def test_jpeg_tiff_requires_photometric6():
-    img = np.zeros((8, 8, 3), dtype=np.uint8)
-    with pytest.raises(ValueError, match="photometric 6"):
-        encode_tiff(img, 2, compression=7)
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_jpeg_tiff_photometric2_is_rgb_with_no_transform(big_endian):
+    """TIFF TN2: photometric 2 means the JPEG components ARE R,G,B —
+    no inverse YCbCr step. Flat 8x8 blocks make the DCT path exact,
+    so a saturated color must roundtrip bit-exactly; applying the
+    (wrong) YCbCr inverse to pure red would produce a wildly
+    different pixel, which is exactly the bug this pins down."""
+    img = np.zeros((16, 8, 3), dtype=np.uint8)
+    img[:8] = (255, 0, 0)   # pure red
+    img[8:] = (0, 200, 30)
+    payload = encode_tiff(
+        img, 2, big_endian=big_endian, rows_per_strip=8, compression=7
+    )
+    out = decode_tiff(payload)
+    assert np.array_equal(out, img)
+
+    # sanity: the YCbCr interpretation of a stored-RGB red block is
+    # NOT red (Y=255,Cb=0,Cr=0 -> r=clip(255-179)=76...), so a decoder
+    # that always applies the inverse transform cannot pass the above
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        ycbcr_to_rgb,
+    )
+
+    assert ycbcr_to_rgb(255, 0, 0) != (255, 0, 0)
+
+
+def test_jpeg_tiff_photometric2_and_6_streams_differ():
+    """Same pixels, both conventions: the strips must differ (one
+    carries YCbCr, the other RGB) yet both decode to the pixels."""
+    img = _flat_rgb(8, 8, 7)
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    p2 = encode_tiff(img, 2, compression=7)
+    p6 = encode_tiff(img, 6, compression=7)
+    assert p2 != p6
+    # RGB-stored flat blocks are exact (no transform at all); the
+    # YCbCr path matches the plain-JPEG pipeline (transform roundtrip
+    # of arbitrary colors is within-1, not identity)
+    assert np.array_equal(decode_tiff(p2), img)
+    assert np.array_equal(decode_tiff(p6), decode_jpeg(encode_jpeg(img)))
+
+
+def test_jpeg_tiff_short_strip_chain_raises():
+    """A comp-7 file whose strip list does not cover the image height
+    must raise, not return a silently short image: patch the IFD's
+    StripOffsets/StripByteCounts counts from 3 strips down to 2."""
+    img = _flat_rgb(24, 8, 5)
+    payload = bytearray(
+        encode_tiff(img, 6, rows_per_strip=8, compression=7)
+    )
+    for tag, typ in ((273, 4), (279, 4)):
+        i = payload.find(struct.pack("<HHI", tag, typ, 3))
+        assert i >= 0
+        struct.pack_into("<I", payload, i + 4, 2)  # cnt 3 -> 2
+    with pytest.raises(ValueError, match="strip count"):
+        decode_tiff(bytes(payload))
+
+
+def test_out_of_line_tag_value_past_eof_raises_valueerror():
+    """A tag whose out-of-line value pointer runs past the payload
+    must raise the module's contractual ValueError (not a raw
+    struct.error): truncate a container right after its IFD so the
+    out-of-line StripByteCounts values vanish."""
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    payload = bytearray(encode_tiff(img, 2, rows_per_strip=4))
+    # out-of-line StripOffsets (cnt 2 longs = 8 bytes > 4): point it
+    # past the end of the buffer
+    i = payload.find(struct.pack("<HHI", 273, 4, 2))
+    assert i >= 0
+    struct.pack_into("<I", payload, i + 8, len(payload) + 100)
+    with pytest.raises(ValueError, match="tag value out of range"):
+        decode_tiff(bytes(payload))

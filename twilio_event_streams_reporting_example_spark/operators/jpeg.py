@@ -334,7 +334,10 @@ def _prepare_planes(rgb: np.ndarray, subsampling: str):
 
 
 
-def encode_jpeg(rgb, subsampling: str = "444", restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    rgb, subsampling: str = "444", restart_interval: int = 0,
+    color_transform: bool = True,
+) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a REAL baseline JPEG
     (SOF0, quant/Huffman tables inline). ``subsampling`` is ``"444"``
     (every component 1x1 — the exactness-contract default), ``"420"``
@@ -345,10 +348,27 @@ def encode_jpeg(rgb, subsampling: str = "444", restart_interval: int = 0) -> byt
     cameras do for error resilience — and how the decoder's restart
     resynchronization is certified against our own streams). Edges of
     images whose dims are not multiples of the MCU size are replicated
-    into the partial MCUs, per the usual practice."""
+    into the partial MCUs, per the usual practice.
+
+    ``color_transform=False`` encodes the three components as-stored
+    R,G,B with NO forward YCbCr step (the TIFF TN2 photometric-2
+    convention); only ``"444"`` sampling is allowed there — chroma
+    subsampling presumes a luma/chroma split that RGB doesn't have."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
-    planes, samp, ph, pw = _prepare_planes(rgb, subsampling)
+    if not color_transform:
+        if subsampling != "444":
+            raise ValueError(
+                "color_transform=False (RGB components) requires 444"
+            )
+        samp = [(1, 1), (1, 1), (1, 1)]
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            _pad_replicate(rgb[:, :, c].astype(np.float64), ph, pw)
+            for c in range(3)
+        ]
+    else:
+        planes, samp, ph, pw = _prepare_planes(rgb, subsampling)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
@@ -516,7 +536,7 @@ def _scan_units(scan_comps, info, w, h, hmax, vmax, mcux, mcuy):
                 yield [(cid, by, bx, dc_id, ac_id)]
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, color_transform: bool = True) -> np.ndarray:
     """Decode a baseline-sequential OR progressive (SOF2) JPEG (tables
     read from the stream's own DQT/DHT segments — not hardwired to
     this module's encoder) into an (H, W, 3) uint8 RGB array.
@@ -537,7 +557,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Restart markers (DRI/RSTn) resynchronize per T.81 F.2.1.3:
     byte-align, expect RSTn, reset DC predictors and the EOB run.
     Arithmetic-coded, hierarchical, 12-bit, and fractional-ratio
-    streams raise NotImplementedError rather than decode wrongly."""
+    streams raise NotImplementedError rather than decode wrongly.
+
+    ``color_transform=False`` skips the inverse YCbCr step: a 3-scan
+    stream's components are returned as stored, stacked R,G,B — the
+    TIFF TN2 photometric-2 case, where JPEG-in-TIFF strips carry RGB
+    components with NO color transform (T.81 itself is colorspace-
+    agnostic; the transform is a JFIF/TIFF-container convention)."""
     if bytes(payload[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -705,13 +731,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if fy > 1 or fx > 1:  # box-replication upsample to full res
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         full.append(p[:h, :w])
-    if len(full) == 1:  # grayscale: Y replicated, neutral chroma
-        ycc = np.stack(
-            [full[0], np.full_like(full[0], 128), np.full_like(full[0], 128)]
-        )
-    else:
-        ycc = np.stack(full)
-    return _rgb_from_planes(ycc)
+    if len(full) == 1:  # grayscale: replicate regardless of transform
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if not color_transform:  # components stored as R,G,B (TIFF TN2 pm 2)
+        return np.clip(np.stack(full, axis=2), 0, 255).astype(np.uint8)
+    return _rgb_from_planes(np.stack(full))
 
 
 # Progressive AC table: the 15 EOBn run symbols (0x00..0xE0), ZRL, and

@@ -21,8 +21,11 @@ each strip a JPEG stream decoded by the sibling operators/jpeg.py
 codec, with the optional abbreviated JPEGTables (tag 347) stream
 concatenated onto every strip), 8 (Adobe Deflate per TTN2 — stdlib
 zlib per strip, Predictor 2 allowed) and 32773 (PackBits RLE, §9,
-packed per row) all decode; other values (old-style JPEG 6, JBIG,
-CCITT) raise — they belong to a codec runtime. Note TIFF LZW differs
+packed per row) all decode, as do the bilevel CCITT fax schemes —
+2 (MH RLE), 3 (Group 3 / T.4, 1-D and 2-D) and 4 (Group 4 / T.6 MMR)
+via the sibling operators/ccitt.py codec, honoring FillOrder (266)
+and T4Options (292); other values (old-style JPEG 6, JBIG) raise —
+they belong to a codec runtime. Note TIFF LZW differs
 from GIF LZW (operators/gif.py)
 in bit order (MSB- vs LSB-first), fixed 8-bit literal alphabet, and
 the early-change rule — shared concept, different bitstreams.
@@ -52,10 +55,13 @@ _T_HEIGHT = 257
 _T_BITS = 258
 _T_COMPRESSION = 259
 _T_PHOTOMETRIC = 262
+_T_FILLORDER = 266
 _T_STRIP_OFFSETS = 273
 _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_BYTES = 279
+_T_T4OPTIONS = 292
+_T_T6OPTIONS = 293
 _T_COLORMAP = 320
 _T_PLANAR = 284
 _T_PREDICTOR = 317
@@ -274,6 +280,8 @@ def _read_ifd(buf: bytes, e: str, off: int | None = None):
             raw = ent[8 : 8 + total]  # inline, LEFT-justified
         else:
             ptr = struct.unpack(e + "I", ent[8:12])[0]
+            if ptr + total > len(buf):
+                raise ValueError("TIFF: tag value out of range")
             raw = buf[ptr : ptr + total]
         if typ == 3:
             vals = list(struct.unpack(e + f"{cnt}H", raw))
@@ -324,11 +332,12 @@ def decode_tiff(payload: bytes, page: int = 0):
         return v[0]
 
     comp = one(_T_COMPRESSION, 1)
-    if comp not in (1, 5, 7, 8, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise ValueError(
             f"TIFF: compression {comp} needs a codec runtime; only "
-            "uncompressed (1), LZW (5), new-style JPEG (7), Deflate "
-            "(8) and PackBits (32773) decode dependency-free"
+            "uncompressed (1), CCITT MH/G3/G4 (2/3/4), LZW (5), "
+            "new-style JPEG (7), Deflate (8) and PackBits (32773) "
+            "decode dependency-free"
         )
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -343,8 +352,16 @@ def decode_tiff(payload: bytes, page: int = 0):
     h = one(_T_HEIGHT)
     photometric = one(_T_PHOTOMETRIC)
     samples = one(_T_SAMPLES, 1)
-    bits = tags.get(_T_BITS, [8])
-    if any(b != 8 for b in bits[:samples]):
+    # bilevel CCITT defaults BitsPerSample to 1; everything else is 8
+    bits = tags.get(_T_BITS, [1] if comp in (2, 3, 4) else [8])
+    if comp in (2, 3, 4):
+        if samples != 1 or any(b != 1 for b in bits[:samples]):
+            raise ValueError("TIFF: CCITT images are 1-bit single-sample")
+        if photometric not in (0, 1):
+            raise ValueError(
+                "TIFF: CCITT images are bilevel (photometric 0/1)"
+            )
+    elif any(b != 8 for b in bits[:samples]):
         raise ValueError("TIFF: only 8 bits per sample supported")
     offsets = tags.get(_T_STRIP_OFFSETS)
     if not offsets:
@@ -357,6 +374,48 @@ def decode_tiff(payload: bytes, page: int = 0):
             "TIFF: StripOffsets/StripByteCounts length mismatch "
             f"({len(offsets)} vs {len(counts)})"
         )
+    if comp in (2, 3, 4):
+        # CCITT bilevel fax (operators/ccitt.py): each strip is an
+        # independently coded segment (G4's reference line resets to
+        # the imaginary all-white line per strip). FillOrder (266),
+        # T4Options (292, G3 1-D vs 2-D) honored; codec bit 1 = black.
+        from .ccitt import decode_ccitt
+
+        if predictor != 1:
+            raise ValueError("TIFF: predictor is not defined for CCITT")
+        fillorder = one(_T_FILLORDER, 1)
+        t4opts = one(_T_T4OPTIONS, 0)
+        t6opts = one(_T_T6OPTIONS, 0)
+        if comp == 4 and t6opts & 0b10:
+            raise NotImplementedError(
+                "TIFF: T.6 uncompressed mode (T6Options bit 1) is not "
+                "implemented"
+            )
+        rps = one(_T_ROWS_PER_STRIP, h)
+        if len(offsets) != (h + rps - 1) // rps:
+            raise ValueError(
+                "TIFF: CCITT strip count does not cover the image "
+                f"({len(offsets)} strips for {h} rows at {rps}/strip)"
+            )
+        rows = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            n = min(rps, h - si * rps)
+            rows.append(
+                decode_ccitt(
+                    payload[o : o + c], w, n, comp,
+                    t4_options=t4opts, fillorder=fillorder,
+                )
+            )
+        bitmap = np.concatenate(rows, axis=0)  # (h, w) 0=white 1=black
+        # photometric 0 (WhiteIsZero, the fax default): codec white →
+        # stored 0 → renders 255; photometric 1 inverts (libtiff-
+        # compatible: a pm-1 fax renders inverted)
+        g = (
+            (1 - bitmap) * np.uint8(255)
+            if photometric == 0
+            else bitmap * np.uint8(255)
+        ).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
     if comp == 7:
         # New-style JPEG-in-TIFF (TIFF Technical Note 2): each strip
         # is a JPEG stream; an optional JPEGTables tag (347) carries
@@ -379,6 +438,11 @@ def decode_tiff(payload: bytes, page: int = 0):
         ):
             raise ValueError("TIFF: malformed JPEGTables stream")
         rps = one(_T_ROWS_PER_STRIP, h)
+        if len(offsets) != (h + rps - 1) // rps:
+            raise ValueError(
+                "TIFF: JPEG strip count does not cover the image "
+                f"({len(offsets)} strips for {h} rows at {rps}/strip)"
+            )
         strips = []
         for si, (o, c) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - si * rps)
@@ -389,7 +453,10 @@ def decode_tiff(payload: bytes, page: int = 0):
                 raise ValueError("TIFF: JPEG strip missing SOI")
             if tables:
                 stream = tables[:-2] + stream[2:]
-            img = decode_jpeg(stream)
+            # TIFF TN2: photometric 6 strips are YCbCr (JFIF inverse
+            # transform applies); photometric 2 strips carry RGB
+            # components with NO color transform — decode as stored.
+            img = decode_jpeg(stream, color_transform=(photometric == 6))
             if img.shape != (rows, w, 3):
                 raise ValueError(
                     "TIFF: JPEG strip dimensions disagree with the IFD"
@@ -463,17 +530,22 @@ def encode_tiff(
     img, photometric: int = 2, big_endian: bool = False,
     rows_per_strip: int | None = None, colormap=None,
     compression: int = 1, predictor: int = 1,
+    t4_options: int = 0, fillorder: int = 1,
 ) -> bytes:
     """Baseline TIFF writer. ``img``: (h, w, 3) uint8 for photometric
     2; (h, w) uint8 gray for 0/1; (h, w) uint8 indices for 3 (with
     ``colormap`` (3, 256) uint16). Multi-strip when ``rows_per_strip``
     is set; both byte orders; ``compression`` 1 (none), 5 (LZW) or 8
     (Deflate) — both with optional horizontal-differencing
-    ``predictor`` 2 — or 32773 (PackBits, packed per row per §9)."""
+    ``predictor`` 2 — or 32773 (PackBits, packed per row per §9).
+    Bilevel fax pages: ``compression`` 2 (CCITT MH), 3 (G3 — with
+    ``t4_options`` bit 0 for 2-D lines) or 4 (G4/MMR) take an (h, w)
+    0/1 bitmap with photometric 0/1; ``fillorder`` 2 writes
+    bit-reversed bytes plus the FillOrder tag."""
     e = ">" if big_endian else "<"
     blob, ifd_off, next_ptr = _build_page(
         img, photometric, e, rows_per_strip, colormap, compression,
-        predictor, base=8,
+        predictor, base=8, t4_options=t4_options, fillorder=fillorder,
     )
     head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
         e + "I", ifd_off
@@ -485,6 +557,7 @@ def encode_tiff_multipage(
     pages, photometric: int = 2, big_endian: bool = False,
     rows_per_strip: int | None = None, colormap=None,
     compression: int = 1, predictor: int = 1,
+    t4_options: int = 0, fillorder: int = 1,
 ) -> bytes:
     """Multi-page TIFF writer: each page in ``pages`` becomes one IFD
     in the chain (the scanned-document layout). Per-page parameters
@@ -505,6 +578,8 @@ def encode_tiff_multipage(
             img, per_page(photometric, k), e, per_page(rows_per_strip, k),
             per_page(colormap, k), per_page(compression, k),
             per_page(predictor, k), base=len(out),
+            t4_options=per_page(t4_options, k),
+            fillorder=per_page(fillorder, k),
         )
         struct.pack_into(e + "I", out, prev_ptr, ifd_off)
         out += blob
@@ -515,6 +590,7 @@ def encode_tiff_multipage(
 def _build_page(
     img, photometric: int, e: str, rows_per_strip: int | None,
     colormap, compression: int, predictor: int, base: int,
+    t4_options: int = 0, fillorder: int = 1,
 ):
     """One page's ``strips | IFD | extra`` blob with all offsets
     absolute to a file where the blob starts at ``base``. Returns
@@ -528,14 +604,23 @@ def _build_page(
         h, w = img.shape
         samples = 1
         img = img[:, :, None]
-    if compression not in (1, 5, 7, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     if predictor == 2 and compression not in (5, 8):
         raise ValueError("predictor 2 needs LZW or Deflate")
-    if compression == 7 and photometric != 6:
-        raise ValueError("JPEG compression writes photometric 6 (YCbCr)")
+    ccitt = compression in (2, 3, 4)
+    if ccitt and photometric not in (0, 1):
+        raise ValueError("CCITT compression writes bilevel photometric 0/1")
+    if fillorder not in (1, 2):
+        raise ValueError(f"unsupported FillOrder {fillorder}")
+    if fillorder == 2 and not ccitt:
+        raise ValueError("FillOrder 2 is written for CCITT pages only")
+    if compression == 7 and photometric not in (2, 6):
+        raise ValueError(
+            "JPEG compression writes photometric 6 (YCbCr) or 2 (RGB)"
+        )
     if photometric == 6 and compression != 7:
         raise ValueError("photometric 6 is written with JPEG compression")
     rps = rows_per_strip or h
@@ -545,10 +630,26 @@ def _build_page(
     for s in range(n_strips):
         blk = img3[s * rps : s * rps + rps]
         if compression == 7:
-            # self-contained per-strip JPEG streams (no JPEGTables tag)
+            # self-contained per-strip JPEG streams (no JPEGTables tag);
+            # photometric 2 stores RGB components with no transform (TN2)
             from .jpeg import encode_jpeg
 
-            strips.append(encode_jpeg(blk, subsampling="444"))
+            strips.append(
+                encode_jpeg(
+                    blk, subsampling="444",
+                    color_transform=(photometric == 6),
+                )
+            )
+            continue
+        if ccitt:
+            from .ccitt import _FILL_REVERSE, encode_ccitt
+
+            coded = encode_ccitt(
+                blk[:, :, 0], compression, t4_options=t4_options
+            )
+            if fillorder == 2:
+                coded = bytes(_FILL_REVERSE[b] for b in coded)
+            strips.append(coded)
             continue
         if predictor == 2:
             d = blk.astype(np.int64)
@@ -590,9 +691,13 @@ def _build_page(
 
     add(_T_WIDTH, 3, [w])
     add(_T_HEIGHT, 3, [h])
-    add(_T_BITS, 3, [8] * samples)
+    add(_T_BITS, 3, [1] if ccitt else [8] * samples)
     add(_T_COMPRESSION, 3, [compression])
     add(_T_PHOTOMETRIC, 3, [photometric])
+    if fillorder == 2:
+        add(_T_FILLORDER, 3, [2])
+    if compression == 3 and t4_options:
+        add(_T_T4OPTIONS, 4, [t4_options])
     if predictor == 2:
         add(_T_PREDICTOR, 3, [2])
     add(_T_STRIP_OFFSETS, 4, strip_offsets)
