@@ -505,3 +505,96 @@ def test_tiff_s9_packbits_worked_example_encodes_exactly():
         _packbits_encode_row(TIFF9_PACKBITS_UNPACKED)
         == TIFF9_PACKBITS_PACKED
     )
+
+
+# --------------------------------------------------------------------
+# ITU-T T.4 (Group 3 fax) code tables — hand-transcribed samples
+# --------------------------------------------------------------------
+
+# T.4 §2.2.4 Table 2 — terminating codewords (sample rows copied by
+# hand from the Recommendation's printed table; the module's full
+# 64-entry tables must agree entry-for-entry on this sample)
+T4_WHITE_TERM_SAMPLE = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    8: "10011", 16: "101010", 29: "00000010", 32: "00011011",
+    45: "00000100", 63: "00110100",
+}
+T4_BLACK_TERM_SAMPLE = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    8: "000101", 12: "0000111", 19: "00001100111", 26: "000011001010",
+    44: "000001010100", 63: "000001100111",
+}
+# T.4 §2.2.4 Table 3 — make-up codewords (sample)
+T4_WHITE_MAKEUP_SAMPLE = {
+    64: "11011", 128: "10010", 192: "010111", 1664: "011000",
+    1728: "010011011", 960: "011010100",
+}
+T4_BLACK_MAKEUP_SAMPLE = {
+    64: "0000001111", 128: "000011001000", 512: "0000001101100",
+    1728: "0000001100101",
+}
+# T.4 §2.2.4 Table 4 — extended make-up (shared by both colors)
+T4_EXT_MAKEUP_SAMPLE = {
+    1792: "00000001000", 1856: "00000001100", 2560: "000000011111",
+}
+# T.4 §2.2.3 Table 1 — 2-D mode codewords, and the EOL sync code
+T4_MODE_CODEWORDS = {
+    "pass": "0001", "horizontal": "001", "v0": "1",
+    "vr1": "011", "vr2": "000011", "vr3": "0000011",
+    "vl1": "010", "vl2": "000010", "vl3": "0000010",
+}
+T4_EOL = "000000000001"
+
+
+def test_t4_codeword_samples_match_module_tables():
+    from twilio_event_streams_reporting_example_spark.operators.ccitt import (
+        _BLACK_MAKEUP,
+        _BLACK_TERM,
+        _EOL,
+        _EXT_MAKEUP,
+        _MODE_HORIZ,
+        _MODE_PASS,
+        _MODE_V,
+        _WHITE_MAKEUP,
+        _WHITE_TERM,
+    )
+
+    for run, code in T4_WHITE_TERM_SAMPLE.items():
+        assert _WHITE_TERM[run] == code, f"white term {run}"
+    for run, code in T4_BLACK_TERM_SAMPLE.items():
+        assert _BLACK_TERM[run] == code, f"black term {run}"
+    for run, code in T4_WHITE_MAKEUP_SAMPLE.items():
+        assert _WHITE_MAKEUP[run] == code, f"white makeup {run}"
+    for run, code in T4_BLACK_MAKEUP_SAMPLE.items():
+        assert _BLACK_MAKEUP[run] == code, f"black makeup {run}"
+    for run, code in T4_EXT_MAKEUP_SAMPLE.items():
+        assert _EXT_MAKEUP[run] == code, f"ext makeup {run}"
+    assert _MODE_PASS == T4_MODE_CODEWORDS["pass"]
+    assert _MODE_HORIZ == T4_MODE_CODEWORDS["horizontal"]
+    assert _MODE_V[0] == T4_MODE_CODEWORDS["v0"]
+    assert _MODE_V[1] == T4_MODE_CODEWORDS["vr1"]
+    assert _MODE_V[2] == T4_MODE_CODEWORDS["vr2"]
+    assert _MODE_V[3] == T4_MODE_CODEWORDS["vr3"]
+    assert _MODE_V[-1] == T4_MODE_CODEWORDS["vl1"]
+    assert _MODE_V[-2] == T4_MODE_CODEWORDS["vl2"]
+    assert _MODE_V[-3] == T4_MODE_CODEWORDS["vl3"]
+    assert _EOL == T4_EOL
+
+
+def test_t4_code_length_bounds_per_spec():
+    """T.4 structural facts: white codes are 4-9 bits (terminating
+    4-8, make-up 5-9), black codes 2-13; every code per color is
+    uniquely decodable (prefix-free) together with the extended set."""
+    from twilio_event_streams_reporting_example_spark.operators.ccitt import (
+        _BLACK_MAKEUP,
+        _BLACK_TERM,
+        _EXT_MAKEUP,
+        _WHITE_MAKEUP,
+        _WHITE_TERM,
+    )
+
+    assert all(4 <= len(c) <= 8 for c in _WHITE_TERM)
+    assert all(5 <= len(c) <= 9 for c in _WHITE_MAKEUP.values())
+    assert all(2 <= len(c) <= 13 for c in _BLACK_TERM)
+    assert all(10 <= len(c) <= 13 for c in _BLACK_MAKEUP.values())
+    assert all(11 <= len(c) <= 12 for c in _EXT_MAKEUP.values())

@@ -985,6 +985,91 @@ def _tiffc_item(i: int):
     return encode_tiff(g, 1, **kw), np.stack([g] * 3, axis=-1)
 
 
+# ------ CCITT G3/G4 fax TIFF decode certification (closed-form) --------
+#
+# Scanned-document TIFFs — the major real-world LLM document-corpus
+# class — are bilevel CCITT fax: compression 2 (MH RLE), 3 (Group 3 /
+# ITU-T T.4, 1-D and 2-D) and 4 (Group 4 / T.6 MMR). The grid covers
+# all four coding modes x FillOrder 1/2 x photometric 0/1 x both byte
+# orders x three strip layouts; decode is lossless so the kernel
+# asserts bit-exactness and the oracle recomputes the pixel sums from
+# the closed-form bitmap formula.
+CCITT_N_ITEMS = 48
+
+
+def _ccitt_item_spec(i: int):
+    """(scheme, t4_options, fillorder, photometric, big_endian,
+    rows_per_strip, w, h) for fax item i."""
+    scheme, t4 = ((2, 0), (3, 0), (3, 1), (4, 0))[i % 4]
+    fillorder = 1 + (i // 4) % 2
+    photometric = (0, 1)[(i // 8) % 2]
+    big_endian = bool((i // 16) % 2)
+    rps = (0, 7, 11)[(i // 3) % 3]  # 0 → single strip
+    w = 20 + (i * 7) % 23
+    h = 12 + (i * 5) % 11
+    return scheme, t4, fillorder, photometric, big_endian, rps, w, h
+
+
+def _ccitt_bit(i: int, x: int, y: int) -> int:
+    """Codec-space bit (1 = black) at (x, y) of fax item i — run-y
+    texture (2-wide x 3-tall cells) so MH runs, vertical codes AND
+    pass/horizontal modes all occur, plus all-white leading rows."""
+    if y < 2:
+        return 0  # all-white top rows: V0-only lines in 2-D modes
+    return 1 if ((x // 2 + y // 3 + i) % 5) < 2 else 0
+
+
+@_lru_cache(maxsize=None)
+def _ccitt_item_formula(i: int):
+    """(gray_sum, black_count, top_half_gray_sum) for fax item i."""
+    _s, _t4, _fo, pm, _be, _rps, w, h = _ccitt_item_spec(i)
+    gray_sum = black = top = 0
+    for y in range(h):
+        for x in range(w):
+            bit = _ccitt_bit(i, x, y)
+            black += bit
+            g = (1 - bit) * 255 if pm == 0 else bit * 255
+            gray_sum += g
+            if y < h // 2:
+                top += g
+    return gray_sum, black, top
+
+
+@_lru_cache(maxsize=1)
+def _ccitt_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {a}, {b}, {c})".format(
+            i=i,
+            a=_ccitt_item_formula(i)[0],
+            b=_ccitt_item_formula(i)[1],
+            c=_ccitt_item_formula(i)[2],
+        )
+        for i in range(CCITT_N_ITEMS)
+    )
+
+
+def _ccitt_item(i: int):
+    """(payload bytes, expected decoded RGB array, black_count) for
+    fax item i."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    scheme, t4, fo, pm, be, rps, w, h = _ccitt_item_spec(i)
+    x = np.arange(w)
+    y = np.arange(h)
+    bm = (((x[None, :] // 2 + y[:, None] // 3 + i) % 5) < 2).astype(
+        np.uint8
+    )
+    bm[:2, :] = 0
+    payload = encode_tiff(
+        bm, pm, big_endian=be, rows_per_strip=rps or None,
+        compression=scheme, t4_options=t4, fillorder=fo,
+    )
+    g = ((1 - bm) * 255 if pm == 0 else bm * 255).astype(np.uint8)
+    return payload, np.stack([g] * 3, axis=-1), int(bm.sum())
+
+
 # ------ MJPEG-in-AVI video decode certification (closed-form) ----------
 #
 # The first REAL video decode: AVI container walk (operators/avi.py)
@@ -3235,6 +3320,15 @@ def _media_ops_oracle() -> str:
           {_tiffj_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'tiff_ccitt' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(a AS BIGINT) AS m1, CAST(b AS BIGINT) AS m2,
+               CAST(c AS BIGINT) AS m3
+        FROM (VALUES
+          {_ccitt_oracle_rows()}
+        ) AS t(i, a, b, c)
+        UNION ALL
         SELECT 'avi_mjpeg' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -3447,8 +3541,15 @@ def _media_ops_oracle() -> str:
         "per-strip JPEG streams (with JPEGTables merge support) "
         "decoded by operators/jpeg.py inside the strip walk; 24 "
         "flat-block images asserted per-pixel against the JFIF "
-        "color-transform round trip — closes the last TIFF "
-        "compression gate the engine had. "
+        "color-transform round trip. "
+        "`tiff_ccitt`: bilevel CCITT fax decode — the scanned-document "
+        "corpus class — via operators/ccitt.py (ITU-T T.4/T.6 code "
+        "tables hand-transcribed, tests/test_spec_vectors.py): TIFF "
+        "compressions 2 (MH RLE), 3 (Group 3, 1-D and 2-D T4Options) "
+        "and 4 (Group 4 MMR), x FillOrder 1/2 x photometric 0/1 x "
+        "both byte orders x three strip layouts — 48 closed-form "
+        "bitmaps asserted bit-exact in-kernel (fax coding is "
+        "lossless), oracle = pixel sums from the bitmap formula. "
         "`avi_mjpeg`: the first REAL VIDEO decode — MJPEG-in-AVI "
         "(operators/avi.py: RIFF hdrl/movi/idx1 walk with every "
         "header claim cross-checked against the actual 00dc chunks, "
@@ -3563,6 +3664,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("tiff_roundtrip"))
         .unionByName(codec_rows("tiff_compressed"))
         .unionByName(codec_rows("tiff_jpeg"))
+        .unionByName(codec_rows("tiff_ccitt"))
         .unionByName(codec_rows("avi_mjpeg"))
         .unionByName(codec_rows("avi_frame_stride"))
         .unionByName(codec_rows("avi_pcm"))
@@ -3630,6 +3732,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_tiff = section == "tiff_roundtrip"
     use_tiffc = section == "tiff_compressed"
     use_tiffj = section == "tiff_jpeg"
+    use_ccitt = section == "tiff_ccitt"
     use_avi = section == "avi_mjpeg"
     use_avi_stride = section == "avi_frame_stride"
     use_avi_pcm = section == "avi_pcm"
@@ -3735,6 +3838,19 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     assert np.array_equal(decoded, expect)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_ccitt:
+                    payload, expect, black = _ccitt_item(i)
+                    decoded = decode_real_media(payload, "image/tiff")
+                    assert decoded.shape == expect.shape
+                    # fax coding is lossless ⇒ bit-exact round trip
+                    assert np.array_equal(decoded, expect)
+                    h = expect.shape[0]
+                    gray = decoded[:, :, 0].astype(np.int64)
+                    vals = (
+                        int(gray.sum()),
+                        black,
+                        int(gray[: h // 2].sum()),
+                    )
                 elif use_avi:
                     from .avi import probe_avi_metadata
 
@@ -3947,6 +4063,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_tiffc
         else TIFFJ_N_ITEMS
         if use_tiffj
+        else CCITT_N_ITEMS
+        if use_ccitt
         else AVI_N_ITEMS
         if (use_avi or use_avi_stride or use_avi_pcm)
         else BMPV_N_ITEMS
