@@ -224,3 +224,35 @@ def test_bit_writer_reader_inverse():
     for v, n in vals:
         assert rd.read(n) == v
     assert rd.read_unary() == 11
+
+
+def test_encoded_stream_bytes_are_pinned():
+    """Regression-pin the writer's exact output for four fixture items
+    spanning the encoder surface (8-bit constant/verbatim with escape
+    partitions, 16-bit left-side fixed4, 16-bit mid-side fixed1,
+    24-bit right-side LPC): byte-identical streams, recorded while the
+    STREAMINFO conformance fixes (r9 ADVICE) are verified in place.
+    Any writer change — intended or not — must re-derive these values
+    consciously. External-tool decodability is documented as a
+    deploy-environment step in PLANS.md (no FLAC tool ships in this
+    container)."""
+    import hashlib
+
+    from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+        _flac_item,
+    )
+
+    pinned = {
+        0: (384, "c2e49421314738691a52c810f9358017"),
+        7: (5049, "e3ff8416013ce3606d08f70451f4a6b8"),
+        13: (2397, "61e216b8c1856850fdb907e9a1de744d"),
+        26: (2829, "e7f6365c6f1c01b74586ba348163dd8b"),
+    }
+    for i, (n, md5) in pinned.items():
+        payload, _sig = _flac_item(i)
+        assert len(payload) == n, i
+        assert hashlib.md5(payload).hexdigest() == md5, i
+    # the fLaC magic + a STREAMINFO block header lead every stream
+    payload, _sig = _flac_item(7)
+    assert payload[:4] == b"fLaC"
+    assert payload[4] & 0x7F == 0  # block type 0 = STREAMINFO

@@ -92,11 +92,11 @@ def test_palette_uses_high_byte_of_colormap():
 def test_transform_coded_tiff_is_rejected_clearly():
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     payload = bytearray(encode_tiff(img, 2))
-    # flip the Compression entry's value from 1 to 6 (old-style JPEG)
+    # flip the Compression entry's value from 1 to 34661 (JBIG)
     i = payload.find(struct.pack("<HHI", 259, 3, 1))
     assert i > 0
-    payload[i + 8 : i + 10] = struct.pack("<H", 6)
-    with pytest.raises(ValueError, match="compression 6"):
+    payload[i + 8 : i + 10] = struct.pack("<H", 34661)
+    with pytest.raises(ValueError, match="compression 34661"):
         decode_tiff(bytes(payload))
 
 
@@ -440,3 +440,83 @@ def test_out_of_line_tag_value_past_eof_raises_valueerror():
     struct.pack_into("<I", payload, i + 8, len(payload) + 100)
     with pytest.raises(ValueError, match="tag value out of range"):
         decode_tiff(bytes(payload))
+
+
+# ------------------------------------- old-style JPEG-in-TIFF (comp 6) --
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("photometric", [2, 6])
+def test_old_style_jpeg_interchange_roundtrip(big_endian, photometric):
+    """TIFF 6.0 §22 interchange layout: one complete JPEG stream at
+    JPEGInterchangeFormat (513) with JPEGProc=1. Photometric 2 stores
+    RGB (no transform ⇒ flat blocks exact); 6 matches the plain-JPEG
+    pipeline."""
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _flat_rgb(16, 8, 3)
+    payload = encode_tiff(
+        img, photometric, big_endian=big_endian, compression=6
+    )
+    out = decode_tiff(payload)
+    if photometric == 2:
+        assert np.array_equal(out, img)
+    else:
+        assert np.array_equal(out, decode_jpeg(encode_jpeg(img)))
+
+
+def test_old_style_jpeg_without_length_tag_reads_to_eof():
+    """JPEGInterchangeFormatLength (514) is optional in the wild
+    (EXIF readers tolerate its absence): drop it and decode must
+    still work — the stream runs to its own EOI."""
+    img = _flat_rgb(8, 8, 6)
+    payload = bytearray(encode_tiff(img, 6, compression=6))
+    want = decode_tiff(bytes(payload))
+    i = payload.find(struct.pack("<HHI", 514, 4, 1))
+    assert i > 0
+    # overwrite the 514 entry with a harmless duplicate of 512
+    j = payload.find(struct.pack("<HHI", 512, 3, 1))
+    payload[i : i + 12] = payload[j : j + 12]
+    # IFD entries must stay ascending: re-sort the entry block
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    entries = [
+        bytes(payload[ifd_off + 2 + 12 * k : ifd_off + 14 + 12 * k])
+        for k in range(n)
+    ]
+    entries.sort(key=lambda ent: struct.unpack("<H", ent[:2])[0])
+    payload[ifd_off + 2 : ifd_off + 2 + 12 * n] = b"".join(entries)
+    out = decode_tiff(bytes(payload))
+    assert np.array_equal(out, want)
+
+
+def test_old_style_jpeg_strip_tables_variant_is_gated():
+    """The §22 strip-based variant (separate JPEGQTables/DC/AC table
+    tags, no 513) is the design TTN2 deprecated — it must raise
+    NotImplementedError, not decode wrongly."""
+    img = _flat_rgb(8, 8, 2)
+    payload = bytearray(encode_tiff(img, 6, compression=6))
+    i = payload.find(struct.pack("<HHI", 513, 4, 1))
+    assert i > 0
+    struct.pack_into("<H", payload, i, 600)  # hide tag 513
+    with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+        decode_tiff(bytes(payload))
+
+
+def test_old_style_jpeg_lossless_proc_is_gated():
+    img = _flat_rgb(8, 8, 2)
+    payload = bytearray(encode_tiff(img, 6, compression=6))
+    i = payload.find(struct.pack("<HHI", 512, 3, 1))
+    assert i > 0
+    struct.pack_into("<H", payload, i + 8, 14)  # JPEGProc 14 = lossless
+    with pytest.raises(NotImplementedError, match="JPEGProc"):
+        decode_tiff(bytes(payload))
+
+
+def test_old_style_jpeg_rejects_strips_on_encode():
+    img = _flat_rgb(16, 8, 2)
+    with pytest.raises(ValueError, match="interchange"):
+        encode_tiff(img, 6, compression=6, rows_per_strip=8)

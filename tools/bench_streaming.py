@@ -19,9 +19,15 @@ a synthetic-scale event count, executor-generated end to end:
 Prints ONE JSON line and writes BENCH_STREAMING.json at the repo root
 (round-over-round comparable: fixed generator, fixed N per env knob).
 
+Every published throughput is a MEDIAN of SPARK_GRAFT_STREAM_REPEATS
+(default 3) independent runs with the min/max spread alongside —
+single streaming runs swing ±2x on identical code (r10 record), so a
+single-run artifact cannot be read round-over-round.
+
 Run: python tools/bench_streaming.py
 Env: SPARK_GRAFT_STREAM_TASKS (default 200000 -> 1M events),
-     SPARK_GRAFT_CPUS (session parallelism, default 32).
+     SPARK_GRAFT_CPUS (session parallelism, default 32),
+     SPARK_GRAFT_STREAM_REPEATS (default 3 -> median + spread).
 """
 
 from __future__ import annotations
@@ -152,35 +158,62 @@ def main() -> int:
                 ordered_dir.append(d)
             return ordered_dir[0]
 
-        def run(name: str, build, lag_probe: bool = False):
-            """One single-batch availableNow run for the round-over-round
-            throughput number; when ``lag_probe`` is set, a SECOND run of
-            the same pipeline over the TIME-ORDERED spool (16 event-time-
-            ordered micro-batches) fills the pipeline's watermark-lag
-            percentiles — the single giant batch yields no watermark
-            trajectory, so lag was structurally null exactly where
-            throughput was measured (r8 VERDICT item 4). The probe's own
-            cadence stats are kept under ``lag_probe``; sec/events_per_sec
-            stay the comparable single-batch numbers."""
-            ck = os.path.join(work, f"ck_{name}")
-            raw = spark.readStream.format("text").load(indir)
-            t0 = time.perf_counter()
-            q = (
-                build(parse_stream(raw))
-                .writeStream.format("noop")
-                .option("checkpointLocation", ck)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            sec = round(time.perf_counter() - t0, 3)
-            rec = {
-                "n_events": n_events,
-                "sec": sec,
-                "events_per_sec": round(n_events / sec, 1),
-                **_progress_stats(q),
+        # Per-pipeline run-to-run spread is real and large (round-10
+        # record: TWS 10.3k vs 23.7k events/s back to back) — a single
+        # run is unreadable as a trend, so every published throughput is
+        # the MEDIAN of ``repeats`` independent availableNow runs (fresh
+        # checkpoint each: reusing one would resume and process nothing)
+        # with the min/max published alongside (r10 VERDICT item 4).
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3")))
+
+        def _timed_runs(name: str, build, make_source, n_ev: int) -> dict:
+            """``repeats`` timed runs → median sec + spread + the last
+            run's progress stats (cadence percentiles are stable across
+            runs; only wall time swings)."""
+            secs: list[float] = []
+            stats: dict = {}
+            for r in range(repeats):
+                ck = os.path.join(work, f"ck_{name}_r{r}")
+                t0 = time.perf_counter()
+                q = (
+                    build(parse_stream(make_source()))
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ck)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                secs.append(round(time.perf_counter() - t0, 3))
+                stats = _progress_stats(q)
+            s = sorted(secs)
+            med = s[len(s) // 2]
+            return {
+                "n_events": n_ev,
+                "sec": med,
+                "sec_runs": secs,
+                "sec_min": s[0],
+                "sec_max": s[-1],
+                "events_per_sec": round(n_ev / med, 1),
+                **stats,
             }
+
+        def run(name: str, build, lag_probe: bool = False):
+            """Median-of-``repeats`` single-batch availableNow runs for
+            the round-over-round throughput number; when ``lag_probe``
+            is set, ONE extra run of the same pipeline over the
+            TIME-ORDERED spool (16 event-time-ordered micro-batches)
+            fills the pipeline's watermark-lag percentiles — the single
+            giant batch yields no watermark trajectory, so lag was
+            structurally null exactly where throughput was measured
+            (r8 VERDICT item 4). The probe's own cadence stats are kept
+            under ``lag_probe``; sec/events_per_sec stay the comparable
+            single-batch medians."""
+            rec = _timed_runs(
+                name, build,
+                lambda: spark.readStream.format("text").load(indir),
+                n_events,
+            )
             if lag_probe:
                 ckp = os.path.join(work, f"ck_{name}_lagprobe")
                 rawp = (
@@ -325,29 +358,15 @@ def main() -> int:
             return n_dormant * 3 + n_active * 5
 
         def run_sparse(name: str, build, indir: str, n_events: int):
-            ck = os.path.join(work, f"ck_{name}")
-            raw = (
-                spark.readStream.format("text")
-                .option("maxFilesPerTrigger", 8)
-                .load(os.path.join(indir, "b*"))
+            pipelines[name] = _timed_runs(
+                name, build,
+                lambda: (
+                    spark.readStream.format("text")
+                    .option("maxFilesPerTrigger", 8)
+                    .load(os.path.join(indir, "b*"))
+                ),
+                n_events,
             )
-            t0 = time.perf_counter()
-            q = (
-                build(parse_stream(raw))
-                .writeStream.format("noop")
-                .option("checkpointLocation", ck)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            sec = round(time.perf_counter() - t0, 3)
-            pipelines[name] = {
-                "n_events": n_events,
-                "sec": sec,
-                "events_per_sec": round(n_events / sec, 1),
-                **_progress_stats(q),
-            }
 
         run("lifecycle", conversation_segments_stream)
         run(

@@ -1423,6 +1423,92 @@ def _tiffj_item(i: int):
     return payload, expect
 
 
+# ------ old-style JPEG-in-TIFF (compression 6, §22 interchange) --------
+#
+# The deprecated pre-TTN2 layout: ONE complete JPEG stream referenced
+# by JPEGInterchangeFormat/-Length (513/514) with JPEGProc = 1 — the
+# shape EXIF thumbnails still carry. Grid: both byte orders x
+# photometric 6 (YCbCr, transform round trip) and 2 (stored RGB, no
+# transform ⇒ flat blocks are EXACT).
+TIFFJO_N_ITEMS = 16
+
+
+def _tiffjo_item_spec(i: int):
+    """(big_endian, photometric, w, h) for old-style item i."""
+    big_endian = bool(i % 2)
+    photometric = (6, 2)[(i // 2) % 2]
+    w = 8 * (1 + i % 3)
+    h = 8 * (1 + (i // 4) % 3)
+    return big_endian, photometric, w, h
+
+
+@_lru_cache(maxsize=None)
+def _tiffjo_item_formula(i: int):
+    """Decoded channel sums for old-style JPEG-in-TIFF item i."""
+    _be, pm, w, h = _tiffjo_item_spec(i)
+
+    def irnd(n, d):
+        return (2 * n + d) // (2 * d)
+
+    def clip(v):
+        return max(0, min(255, v))
+
+    rs = gs = bs = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            r, g, b = _tiffj_block_color(i + 100, bx, by)
+            if pm == 2:  # stored RGB: no transform, flat ⇒ exact
+                rs += 64 * r
+                gs += 64 * g
+                bs += 64 * b
+                continue
+            y = clip(irnd(299 * r + 587 * g + 114 * b, 1000))
+            cb = clip(
+                irnd(-168736 * r - 331264 * g + 500000 * b, 1000000) + 128
+            )
+            cr = clip(
+                irnd(500000 * r - 418688 * g - 81312 * b, 1000000) + 128
+            )
+            rs += 64 * clip(y + irnd(1402 * (cr - 128), 1000))
+            gs += 64 * clip(
+                y + irnd(-344136 * (cb - 128) - 714136 * (cr - 128), 1000000)
+            )
+            bs += 64 * clip(y + irnd(1772 * (cb - 128), 1000))
+    return rs, gs, bs
+
+
+@_lru_cache(maxsize=1)
+def _tiffjo_oracle_rows() -> str:
+    return ",\n          ".join(
+        "({i}, {r}, {g}, {b})".format(
+            i=i,
+            r=_tiffjo_item_formula(i)[0],
+            g=_tiffjo_item_formula(i)[1],
+            b=_tiffjo_item_formula(i)[2],
+        )
+        for i in range(TIFFJO_N_ITEMS)
+    )
+
+
+def _tiffjo_item(i: int):
+    """(payload bytes, expected sums) for old-style JPEG-in-TIFF item
+    i — the kernel decodes and compares sums (pm 2 additionally
+    asserts per-pixel exactness: no transform on flat blocks)."""
+    import numpy as np
+
+    from .tiff import encode_tiff
+
+    be, pm, w, h = _tiffjo_item_spec(i)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _tiffj_block_color(i + 100, bx, by)
+            )
+    payload = encode_tiff(img, pm, big_endian=be, compression=6)
+    return payload, img, pm
+
+
 # ------ multi-page TIFF data-at-rest items (3-page IFD chains) ----------
 #
 # Stored-fixture-only kind: each payload chains three RGB pages (the
@@ -3320,6 +3406,15 @@ def _media_ops_oracle() -> str:
           {_tiffj_oracle_rows()}
         ) AS t(i, r, g, b)
         UNION ALL
+        SELECT 'tiff_jpeg_old' AS section,
+               CAST(NULL AS VARCHAR) AS k_str,
+               CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
+               CAST(r AS BIGINT) AS m1, CAST(g AS BIGINT) AS m2,
+               CAST(b AS BIGINT) AS m3
+        FROM (VALUES
+          {_tiffjo_oracle_rows()}
+        ) AS t(i, r, g, b)
+        UNION ALL
         SELECT 'tiff_ccitt' AS section,
                CAST(NULL AS VARCHAR) AS k_str,
                CAST(i AS BIGINT) AS k_id, CAST(NULL AS BIGINT) AS idx,
@@ -3542,6 +3637,12 @@ def _media_ops_oracle() -> str:
         "decoded by operators/jpeg.py inside the strip walk; 24 "
         "flat-block images asserted per-pixel against the JFIF "
         "color-transform round trip. "
+        "`tiff_jpeg_old`: OLD-style JPEG-in-TIFF (compression 6, TIFF "
+        "6.0 §22, restricted to the JPEGInterchangeFormat 513/514 "
+        "layout EXIF thumbnails carry; JPEGProc=1) — both byte orders "
+        "x photometric 6 (YCbCr round trip) and 2 (stored RGB, no "
+        "transform ⇒ per-pixel exact); the strip-based §22 tables "
+        "variant stays gated per the TTN2 deprecation. "
         "`tiff_ccitt`: bilevel CCITT fax decode — the scanned-document "
         "corpus class — via operators/ccitt.py (ITU-T T.4/T.6 code "
         "tables hand-transcribed, tests/test_spec_vectors.py): TIFF "
@@ -3664,6 +3765,7 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(codec_rows("tiff_roundtrip"))
         .unionByName(codec_rows("tiff_compressed"))
         .unionByName(codec_rows("tiff_jpeg"))
+        .unionByName(codec_rows("tiff_jpeg_old"))
         .unionByName(codec_rows("tiff_ccitt"))
         .unionByName(codec_rows("avi_mjpeg"))
         .unionByName(codec_rows("avi_frame_stride"))
@@ -3732,6 +3834,7 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     use_tiff = section == "tiff_roundtrip"
     use_tiffc = section == "tiff_compressed"
     use_tiffj = section == "tiff_jpeg"
+    use_tiffjo = section == "tiff_jpeg_old"
     use_ccitt = section == "tiff_ccitt"
     use_avi = section == "avi_mjpeg"
     use_avi_stride = section == "avi_frame_stride"
@@ -3836,6 +3939,15 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
                     # flat blocks ⇒ exact through the JPEG DC path; the
                     # expectation already applies the color transform
                     assert np.array_equal(decoded, expect)
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif use_tiffjo:
+                    payload, src, pm = _tiffjo_item(i)
+                    decoded = decode_real_media(payload, "image/tiff")
+                    assert decoded.shape == src.shape
+                    if pm == 2:
+                        # stored-RGB flat blocks: NO transform ⇒ exact
+                        assert np.array_equal(decoded, src)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
                 elif use_ccitt:
@@ -4063,6 +4175,8 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_tiffc
         else TIFFJ_N_ITEMS
         if use_tiffj
+        else TIFFJO_N_ITEMS
+        if use_tiffjo
         else CCITT_N_ITEMS
         if use_ccitt
         else AVI_N_ITEMS

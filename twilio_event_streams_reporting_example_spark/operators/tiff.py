@@ -332,13 +332,53 @@ def decode_tiff(payload: bytes, page: int = 0):
         return v[0]
 
     comp = one(_T_COMPRESSION, 1)
-    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773):
+    if comp not in (1, 2, 3, 4, 5, 6, 7, 8, 32773):
         raise ValueError(
             f"TIFF: compression {comp} needs a codec runtime; only "
             "uncompressed (1), CCITT MH/G3/G4 (2/3/4), LZW (5), "
-            "new-style JPEG (7), Deflate (8) and PackBits (32773) "
-            "decode dependency-free"
+            "JPEG old- and new-style (6/7), Deflate (8) and PackBits "
+            "(32773) decode dependency-free"
         )
+    if comp == 6:
+        # Old-style JPEG-in-TIFF (TIFF 6.0 §22), restricted to the
+        # JPEGInterchangeFormat layout (tags 513/514 point at one
+        # complete JPEG stream — the shape EXIF thumbnails and most
+        # surviving §22 writers emit; JPEGProc (512) must be 1 =
+        # baseline). The strip-based variant with separate
+        # JPEGQTables/DCTables/ACTables (519-521) is the §22 design
+        # TTN2 deprecated as unimplementable-portably and stays gated.
+        from .jpeg import decode_jpeg
+
+        if one(512, 1) != 1:
+            raise NotImplementedError(
+                "TIFF: old-style JPEG with JPEGProc != 1 (lossless) "
+                "is not implemented"
+            )
+        jif = tags.get(513)
+        if not jif:
+            raise NotImplementedError(
+                "TIFF: old-style JPEG without JPEGInterchangeFormat "
+                "(strip-based tables, tags 519-521) is not implemented"
+                " — TTN2 replaced it with compression 7"
+            )
+        jif_len = tags.get(514)
+        start = jif[0]
+        end = start + (jif_len[0] if jif_len else len(payload) - start)
+        if end > len(payload):
+            raise ValueError(
+                "TIFF: JPEGInterchangeFormat range out of bounds"
+            )
+        w = one(_T_WIDTH)
+        h = one(_T_HEIGHT)
+        photometric = one(_T_PHOTOMETRIC)
+        img = decode_jpeg(
+            payload[start:end], color_transform=(photometric != 2)
+        )
+        if img.shape != (h, w, 3):
+            raise ValueError(
+                "TIFF: old-style JPEG dimensions disagree with the IFD"
+            )
+        return img
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: unsupported predictor {predictor}")
@@ -604,7 +644,7 @@ def _build_page(
         h, w = img.shape
         samples = 1
         img = img[:, :, None]
-    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 6, 7, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
@@ -617,18 +657,35 @@ def _build_page(
         raise ValueError(f"unsupported FillOrder {fillorder}")
     if fillorder == 2 and not ccitt:
         raise ValueError("FillOrder 2 is written for CCITT pages only")
-    if compression == 7 and photometric not in (2, 6):
+    if compression in (6, 7) and photometric not in (2, 6):
         raise ValueError(
             "JPEG compression writes photometric 6 (YCbCr) or 2 (RGB)"
         )
-    if photometric == 6 and compression != 7:
+    if photometric == 6 and compression not in (6, 7):
         raise ValueError("photometric 6 is written with JPEG compression")
+    if compression == 6 and rows_per_strip not in (None, h):
+        raise ValueError(
+            "old-style JPEG (compression 6) writes one interchange "
+            "stream, not strips"
+        )
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
     img3 = img.reshape(h, w, samples)
     strips: list[bytes] = []
     for s in range(n_strips):
         blk = img3[s * rps : s * rps + rps]
+        if compression == 6:
+            # §22 interchange layout: ONE complete JPEG stream for the
+            # whole image, referenced by tags 513/514 (no strips)
+            from .jpeg import encode_jpeg
+
+            strips.append(
+                encode_jpeg(
+                    blk, subsampling="444",
+                    color_transform=(photometric == 6),
+                )
+            )
+            continue
         if compression == 7:
             # self-contained per-strip JPEG streams (no JPEGTables tag);
             # photometric 2 stores RGB components with no transform (TN2)
@@ -700,10 +757,15 @@ def _build_page(
         add(_T_T4OPTIONS, 4, [t4_options])
     if predictor == 2:
         add(_T_PREDICTOR, 3, [2])
-    add(_T_STRIP_OFFSETS, 4, strip_offsets)
+    if compression == 6:
+        add(512, 3, [1])  # JPEGProc = 1 (baseline)
+        add(513, 4, [strip_offsets[0]])  # JPEGInterchangeFormat
+        add(514, 4, [strip_bytes[0]])  # JPEGInterchangeFormatLength
+    else:
+        add(_T_STRIP_OFFSETS, 4, strip_offsets)
+        add(_T_ROWS_PER_STRIP, 3, [rps])
+        add(_T_STRIP_BYTES, 4, strip_bytes)
     add(_T_SAMPLES, 3, [samples])
-    add(_T_ROWS_PER_STRIP, 3, [rps])
-    add(_T_STRIP_BYTES, 4, strip_bytes)
     add(_T_PLANAR, 3, [1])
     if photometric == 3:
         cm = np.asarray(colormap, dtype=np.uint16)
