@@ -46,10 +46,19 @@ def test_stored_bytes_match_builder(stored):
 def test_stored_payloads_decode_to_closed_form(stored):
     for j, (kind, payload) in stored.items():
         want = _stored_payload_formula(j)
-        if kind in ("bmp", "png", "tiff"):
-            decoded = decode_real_media(payload, f"image/{kind}")
+        if kind in ("bmp", "png", "tiff", "tiffjo"):
+            mime = "image/tiff" if kind == "tiffjo" else f"image/{kind}"
+            decoded = decode_real_media(payload, mime)
             sums = decoded.astype(np.int64).sum(axis=(0, 1))
             got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        elif kind == "tifffax":
+            decoded = decode_real_media(payload, "image/tiff")
+            gray = decoded[:, :, 0].astype(np.int64)
+            got = (
+                int(gray.sum()),
+                int((gray == 0).sum()),
+                int(gray[: gray.shape[0] // 2].sum()),
+            )
         elif kind == "tiffmp":
             from twilio_event_streams_reporting_example_spark.operators.tiff import (
                 decode_tiff,
@@ -96,7 +105,7 @@ def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
     assert kinds == {
         "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
-        "tiffmp",
+        "tiffmp", "tifffax", "tiffjo",
     }
 
 

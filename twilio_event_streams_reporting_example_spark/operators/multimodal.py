@@ -1691,12 +1691,15 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 80  # see the range map below
+STORED_N_ITEMS = 88  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
 _STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
 _STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
 _STORED_AVI_FROM = 72  # 72-77: MJPEG-in-AVI clips
 _STORED_MPTIFF_FROM = 78  # 78-79: multi-page TIFF (3-page IFD chains)
+_STORED_FAX_FROM = 80  # 80-85: CCITT fax TIFF (MH/G3-1D/G3-2D/G4 ×FO)
+_STORED_JO_FROM = 86  # 86-87: old-style JPEG-in-TIFF (§22, pm 6 and 2)
+_STORED_JO_SPECS = (0, 3)  # _tiffjo_item indices: (LE, pm6) and (BE, pm2)
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1712,11 +1715,23 @@ def media_fixture_rows() -> list:
     50-59 are APPENDED FLAC containers (formula index j-50), items
     60-71 APPENDED compressed TIFFs (LZW / LZW+predictor2 / PackBits /
     Deflate / Deflate+predictor2 in both byte orders, formula index
-    j-60), and items 72-77 APPENDED MJPEG-in-AVI clips (formula index
-    j-72) — each new kind certified on data at rest without disturbing
-    the earlier items' committed bytes."""
+    j-60), items 72-77 APPENDED MJPEG-in-AVI clips (formula index
+    j-72), items 80-85 APPENDED CCITT fax TIFFs (round 11 — all four
+    coding modes plus FillOrder-2 variants) and items 86-87 APPENDED
+    old-style JPEG-in-TIFF (§22 interchange, photometric 6 and 2) —
+    each new kind certified on data at rest without disturbing the
+    earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
+        if j >= _STORED_JO_FROM:
+            rows.append(
+                (j, "tiffjo",
+                 _tiffjo_item(_STORED_JO_SPECS[j - _STORED_JO_FROM])[0])
+            )
+            continue
+        if j >= _STORED_FAX_FROM:
+            rows.append((j, "tifffax", _ccitt_item(j - _STORED_FAX_FROM)[0]))
+            continue
         if j >= _STORED_MPTIFF_FROM:
             rows.append(
                 (j, "tiffmp", _mptiff_item(j - _STORED_MPTIFF_FROM)[0])
@@ -1748,9 +1763,30 @@ def media_fixture_rows() -> list:
     return rows
 
 
+def _stored_fax_formula(k: int):
+    """(gray_sum, zero_pixels, top_half_gray_sum) for stored fax item
+    k — recomputed from the closed-form bitmap + photometric mapping,
+    metrics chosen to be derivable from the decoded RGB alone."""
+    _s, _t4, _fo, pm, _be, _rps, w, h = _ccitt_item_spec(k)
+    gray_sum = zeros = top = 0
+    for y in range(h):
+        for x in range(w):
+            bit = _ccitt_bit(k, x, y)
+            g = (1 - bit) * 255 if pm == 0 else bit * 255
+            gray_sum += g
+            zeros += int(g == 0)
+            if y < h // 2:
+                top += g
+    return gray_sum, zeros, top
+
+
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_JO_FROM:
+        return _tiffjo_item_formula(_STORED_JO_SPECS[j - _STORED_JO_FROM])
+    if j >= _STORED_FAX_FROM:
+        return _stored_fax_formula(j - _STORED_FAX_FROM)
     if j >= _STORED_MPTIFF_FROM:
         return _mptiff_formula(j - _STORED_MPTIFF_FROM)
     if j >= _STORED_AVI_FROM:
@@ -2020,10 +2056,19 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                 pdf["item_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                if kind in ("bmp", "png", "tiff"):
-                    decoded = decode_real_media(payload, f"image/{kind}")
+                if kind in ("bmp", "png", "tiff", "tiffjo"):
+                    mime = "image/tiff" if kind == "tiffjo" else f"image/{kind}"
+                    decoded = decode_real_media(payload, mime)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif kind == "tifffax":
+                    decoded = decode_real_media(payload, "image/tiff")
+                    gray = decoded[:, :, 0].astype(np.int64)
+                    vals = (
+                        int(gray.sum()),
+                        int((gray == 0).sum()),
+                        int(gray[: gray.shape[0] // 2].sum()),
+                    )
                 elif kind == "tiffmp":
                     from .tiff import decode_tiff, tiff_page_count
 
@@ -4194,7 +4239,15 @@ def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into every
     ``stride``-th byte as one 'frame' row (what a real sampler does with
     decoded frames). Demonstrates the binary→rows UDTF shape; bounded
-    output = ceil(n_bytes/stride) rows per item."""
+    output = ceil(n_bytes/stride) rows per item.
+
+    The REAL video-sampling path is the `avi_frame_stride` section of
+    the same registered query: operators/avi.py's
+    ``decode_avi_mjpeg_strided`` seeks straight to every k-th frame's
+    chunk via the idx1 index, so decode cost tracks frames SAMPLED —
+    measured 1/k of full decode within ~6% of linear (PLANS.md #21) —
+    certified bit-exact against stored multi-frame payloads. This
+    section keeps the byte-level UDTF contract for opaque payloads."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
