@@ -64,6 +64,10 @@ _T_T4OPTIONS = 292
 _T_T6OPTIONS = 293
 _T_COLORMAP = 320
 _T_PLANAR = 284
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTES = 325
 _T_PREDICTOR = 317
 _T_JPEG_TABLES = 347
 
@@ -403,6 +407,10 @@ def decode_tiff(payload: bytes, page: int = 0):
             )
     elif any(b != 8 for b in bits[:samples]):
         raise ValueError("TIFF: only 8 bits per sample supported")
+    if _T_TILE_WIDTH in tags:
+        return _decode_tiled(
+            payload, tags, comp, w, h, photometric, samples, one
+        )
     offsets = tags.get(_T_STRIP_OFFSETS)
     if not offsets:
         raise ValueError(f"TIFF: missing required tag {_T_STRIP_OFFSETS}")
@@ -543,7 +551,13 @@ def decode_tiff(payload: bytes, page: int = 0):
     if len(data) < need:
         raise ValueError("TIFF: strip data shorter than image")
     arr = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, samples)
+    return _apply_photometric(arr, photometric, samples, tags)
 
+
+def _apply_photometric(arr, photometric: int, samples: int, tags):
+    """(h, w, samples) uint8 sample array → (h, w, 3) RGB per the
+    PhotometricInterpretation tag (shared by the strip and tile
+    paths)."""
     if photometric == 2:
         if samples < 3:
             raise ValueError("TIFF: RGB photometric needs >= 3 samples")
@@ -564,6 +578,100 @@ def decode_tiff(payload: bytes, page: int = 0):
             g = 255 - g  # WhiteIsZero inverts
         return np.stack([g, g, g], axis=-1)
     raise ValueError(f"TIFF: unsupported photometric {photometric}")
+
+
+def _decode_tiled(
+    payload: bytes, tags, comp: int, w: int, h: int,
+    photometric: int, samples: int, one,
+):
+    """TIFF 6.0 §15 tiled layout: the image is a grid of fixed-size
+    (tw × th) tiles, ordered left-to-right then top-to-bottom, EVERY
+    tile padded to full size (edge padding cropped on assembly), each
+    tile compressed independently with the page's compression —
+    byte codecs (1/5/8/32773 w/ Predictor 2 per tile row), CCITT fax
+    (each tile an independent coded segment) and new-style JPEG
+    (each tile its own stream, JPEGTables merged) all supported."""
+    tw = one(_T_TILE_WIDTH)
+    th = one(_T_TILE_LENGTH)
+    if tw % 16 or th % 16:
+        raise ValueError("TIFF: tile dimensions must be multiples of 16")
+    offsets = tags.get(_T_TILE_OFFSETS)
+    counts = tags.get(_T_TILE_BYTES)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing/mismatched tile offset tags")
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    if len(offsets) != across * down:
+        raise ValueError(
+            f"TIFF: tile count {len(offsets)} does not cover the "
+            f"{across}x{down} grid"
+        )
+    predictor = one(_T_PREDICTOR, 1)
+    out = np.zeros((down * th, across * tw, samples), dtype=np.uint8)
+    for ti, (o, c) in enumerate(zip(offsets, counts)):
+        raw_tile = payload[o : o + c]
+        ty, tx = divmod(ti, across)
+        if comp in (2, 3, 4):
+            from .ccitt import decode_ccitt
+
+            bitmap = decode_ccitt(
+                raw_tile, tw, th, comp,
+                t4_options=one(_T_T4OPTIONS, 0),
+                fillorder=one(_T_FILLORDER, 1),
+            )
+            # same mapping as the strip path: pm 0 (WhiteIsZero) —
+            # codec black (1) renders 0; pm 1 renders inverted
+            tile = (
+                ((1 - bitmap) if photometric == 0 else bitmap)
+                * np.uint8(255)
+            ).astype(np.uint8)[:, :, None]
+        elif comp == 7:
+            from .jpeg import decode_jpeg
+
+            tables_v = tags.get(_T_JPEG_TABLES)
+            tables = bytes(tables_v) if tables_v else b""
+            stream = raw_tile
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError("TIFF: JPEG tile missing SOI")
+            if tables:
+                stream = tables[:-2] + stream[2:]
+            img = decode_jpeg(stream, color_transform=(photometric == 6))
+            if img.shape != (th, tw, 3):
+                raise ValueError(
+                    "TIFF: JPEG tile dimensions disagree with the IFD"
+                )
+            tile = img
+        else:
+            exp = th * tw * samples
+            if comp == 1:
+                d = bytes(raw_tile)
+            elif comp == 5:
+                d = _tiff_lzw_decode(raw_tile, exp)
+            elif comp == 8:
+                import zlib
+
+                d = zlib.decompress(raw_tile)
+            else:
+                d = _packbits_decode(raw_tile, exp)
+            if len(d) != exp:
+                raise ValueError("TIFF: tile byte count mismatch")
+            a = np.frombuffer(d, dtype=np.uint8).reshape(th, tw, samples)
+            if predictor == 2:
+                a = (
+                    np.cumsum(a.astype(np.int64), axis=1) % 256
+                ).astype(np.uint8)
+            tile = a
+        out[ty * th : ty * th + th, tx * tw : tx * tw + tw] = (
+            tile if tile.ndim == 3 else tile[:, :, None]
+        )
+    arr = out[:h, :w]
+    if comp in (2, 3, 4):
+        # already mapped to gray bytes incl. photometric above
+        g = arr[:, :, 0]
+        return np.stack([g, g, g], axis=-1)
+    if comp == 7:
+        return arr[:, :, :3].copy()
+    return _apply_photometric(arr, photometric, samples, tags)
 
 
 def encode_tiff(
@@ -631,6 +739,7 @@ def _build_page(
     img, photometric: int, e: str, rows_per_strip: int | None,
     colormap, compression: int, predictor: int, base: int,
     t4_options: int = 0, fillorder: int = 1,
+    tile: tuple[int, int] | None = None,
 ):
     """One page's ``strips | IFD | extra`` blob with all offsets
     absolute to a file where the blob starts at ``base``. Returns
@@ -668,36 +777,21 @@ def _build_page(
             "old-style JPEG (compression 6) writes one interchange "
             "stream, not strips"
         )
-    rps = rows_per_strip or h
-    n_strips = (h + rps - 1) // rps
     img3 = img.reshape(h, w, samples)
-    strips: list[bytes] = []
-    for s in range(n_strips):
-        blk = img3[s * rps : s * rps + rps]
-        if compression == 6:
-            # §22 interchange layout: ONE complete JPEG stream for the
-            # whole image, referenced by tags 513/514 (no strips)
+
+    def encode_block(blk) -> bytes:
+        """One strip's (or padded tile's) compressed bytes."""
+        if compression in (6, 7):
+            # 6: §22 interchange layout — ONE complete JPEG stream,
+            # referenced by tags 513/514 (no strips). 7: self-contained
+            # per-strip/per-tile JPEG streams (no JPEGTables tag);
+            # photometric 2 stores RGB with no transform (TN2)
             from .jpeg import encode_jpeg
 
-            strips.append(
-                encode_jpeg(
-                    blk, subsampling="444",
-                    color_transform=(photometric == 6),
-                )
+            return encode_jpeg(
+                blk, subsampling="444",
+                color_transform=(photometric == 6),
             )
-            continue
-        if compression == 7:
-            # self-contained per-strip JPEG streams (no JPEGTables tag);
-            # photometric 2 stores RGB components with no transform (TN2)
-            from .jpeg import encode_jpeg
-
-            strips.append(
-                encode_jpeg(
-                    blk, subsampling="444",
-                    color_transform=(photometric == 6),
-                )
-            )
-            continue
         if ccitt:
             from .ccitt import _FILL_REVERSE, encode_ccitt
 
@@ -706,29 +800,60 @@ def _build_page(
             )
             if fillorder == 2:
                 coded = bytes(_FILL_REVERSE[b] for b in coded)
-            strips.append(coded)
-            continue
+            return coded
         if predictor == 2:
             d = blk.astype(np.int64)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             blk = (d % 256).astype(np.uint8)
-        raw_strip = blk.tobytes()
+        raw_blk = blk.tobytes()
         if compression == 1:
-            strips.append(raw_strip)
-        elif compression == 5:
-            strips.append(_tiff_lzw_encode(raw_strip))
-        elif compression == 8:
+            return raw_blk
+        if compression == 5:
+            return _tiff_lzw_encode(raw_blk)
+        if compression == 8:
             import zlib
 
-            strips.append(zlib.compress(raw_strip, 6))
-        else:  # PackBits: spec packs each row separately
-            row_len = w * samples
-            strips.append(
-                b"".join(
-                    _packbits_encode_row(raw_strip[r : r + row_len])
-                    for r in range(0, len(raw_strip), row_len)
-                )
+            return zlib.compress(raw_blk, 6)
+        # PackBits: spec packs each row separately
+        row_len = blk.shape[1] * samples
+        return b"".join(
+            _packbits_encode_row(raw_blk[r : r + row_len])
+            for r in range(0, len(raw_blk), row_len)
+        )
+
+    if tile is not None:
+        # §15 tiled layout: dims multiples of 16; edge tiles padded by
+        # edge replication (cropped on decode, and replication keeps
+        # the lossy JPEG path clean at the borders)
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        if rows_per_strip is not None:
+            raise ValueError("tiled pages do not take rows_per_strip")
+        if compression == 6:
+            raise ValueError("old-style JPEG (compression 6) cannot tile")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        pad = np.pad(
+            img3,
+            ((0, down * th - h), (0, across * tw - w), (0, 0)),
+            mode="edge",
+        )
+        strips = [
+            encode_block(
+                pad[ty * th : ty * th + th, tx * tw : tx * tw + tw]
             )
+            for ty in range(down)
+            for tx in range(across)
+        ]
+        rps = None
+    else:
+        rps = rows_per_strip or h
+        n_strips = (h + rps - 1) // rps
+        strips = [
+            encode_block(img3[s * rps : s * rps + rps])
+            for s in range(n_strips)
+        ]
     raw = b"".join(strips)
     strip_bytes = [len(s) for s in strips]
 
