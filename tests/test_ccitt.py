@@ -166,15 +166,12 @@ def test_ccitt_probe_reports_bilevel():
 # --------------------------------------------------- error contracts ---
 
 
-def test_uncompressed_mode_extension_is_gated():
-    # G4 stream starting with the 7-bit extension code 0000001
-    with pytest.raises(NotImplementedError, match="uncompressed mode"):
-        decode_ccitt(bytes([0b00000010]), 8, 1, 4)
-
-
-def test_t4_options_uncompressed_bit_is_gated():
-    with pytest.raises(NotImplementedError, match="uncompressed mode"):
-        decode_ccitt(b"\x00\x10", 8, 1, 3, t4_options=0b10)
+def test_reserved_2d_extension_types_stay_gated():
+    """Only extension type 111 (uncompressed mode) is defined; the
+    reserved types after the 0000001 extension code must still raise.
+    Stream: 0000001 + 010 (reserved) = 0000001 010 ......"""
+    with pytest.raises(NotImplementedError, match="reserved"):
+        decode_ccitt(bytes([0b00000010, 0b10000000]), 8, 1, 4)
 
 
 def test_run_overflow_raises():
@@ -243,3 +240,101 @@ def test_code_tables_are_prefix_free_and_complete():
         s = sorted(codes)
         for a, b in zip(s, s[1:]):
             assert not b.startswith(a), (name, a, b)
+
+
+# -------------------------------------------- uncompressed mode (r12) ---
+
+
+def test_hand_assembled_uncompressed_g4_line():
+    """w=8 row [2 white, 1 black, 5 white], coded fully in
+    uncompressed mode, every bit placed by hand from T.4 Table 5:
+      entry     0000001 111   (2-D extension code + type 111)
+      pixels    001           (2 whites + a black)
+      pixels    000001        (5 whites, no black)
+      exit      0000001 0     (no pending whites, T = 0 → white)
+    = 0000001 111 001 000001 0000001 0 → pads to 4 bytes."""
+    bits = "0000001" + "111" + "001" + "000001" + "0000001" + "0"
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    want = np.array([[0, 0, 1, 0, 0, 0, 0, 0]], np.uint8)
+    assert np.array_equal(decode_ccitt(data, 8, 1, 4), want)
+
+
+def test_hand_assembled_uncompressed_exit_pending_and_tag():
+    """Exit codes carry 0-4 pending whites and the next-run colour:
+    w=6 row [1 black, 2 white] + exit(2 whites pending, T=1 black) +
+    a vertical-0 code for the black run the tag announced (ref line is
+    imaginary white, so b1 = 6 = w... use horizontal instead).
+
+    Exact construction: w=4, row = [black, white, white, black]:
+    entry, '1' (one black pixel), then exit with 2 pending whites and
+    T=1 — the tag records the changing element at position 3, so the
+    black run [3, 4) is open and one V0 code ('1', a1 = b1 = 4 against
+    the imaginary white reference) closes the line."""
+    bits = (
+        "0000001111"  # entry (2-D extension code 0000001 + type 111)
+        + "1"  # one black pixel at 0
+        + "0" * (6 + 2) + "1" + "1"  # exit, 2 pending whites, T=black
+        + "1"  # V0: a1 = 4 = end of line
+    )
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    want = np.array([[1, 0, 0, 1]], np.uint8)
+    assert np.array_equal(decode_ccitt(data, 4, 1, 4), want)
+
+
+@pytest.mark.parametrize("scheme,t4", [(2, 0), (3, 0), (3, 1), (4, 0)])
+def test_uncompressed_roundtrip_patterns(scheme, t4):
+    """encoder uncompressed=True → decoder, across the same pattern
+    classes as the run-coded round-trip, plus the noisy class
+    uncompressed mode exists for."""
+    rng = np.random.RandomState(77 + scheme * 10 + t4)
+    for shape_kind in range(4):
+        h, w = int(rng.randint(1, 20)), int(rng.randint(1, 70))
+        if shape_kind == 0:
+            bm = np.zeros((h, w), np.uint8)
+        elif shape_kind == 1:
+            bm = np.ones((h, w), np.uint8)
+        elif shape_kind == 2:
+            bm = (rng.rand(h, w) < 0.5).astype(np.uint8)  # noise
+        else:
+            bm = (np.arange(w)[None, :] % 7 == 3).astype(
+                np.uint8
+            ) * np.ones((h, 1), np.uint8)
+        enc = encode_ccitt(bm, scheme, t4_options=t4, uncompressed=True)
+        assert np.array_equal(
+            decode_ccitt(enc, w, h, scheme, t4_options=t4), bm
+        )
+
+
+def test_uncompressed_beats_run_coding_on_noise():
+    """The reason the mode exists: alternating single pixels make MH
+    run codes expand; uncompressed coding stays ~1 bit/pixel."""
+    bm = (np.indices((8, 64)).sum(0) % 2).astype(np.uint8)
+    run_coded = encode_ccitt(bm, 4)
+    unc = encode_ccitt(bm, 4, uncompressed=True)
+    assert len(unc) < len(run_coded)
+
+
+@pytest.mark.parametrize("comp,fo", [(3, 1), (3, 2), (4, 1), (4, 2)])
+def test_tiff_uncompressed_mode_roundtrip(comp, fo):
+    """Through the TIFF container: T4Options/T6Options bit 1 written,
+    FillOrder honored, decode bit-exact."""
+    rng = np.random.RandomState(comp + fo)
+    bm = (rng.rand(21, 43) < 0.5).astype(np.uint8)
+    payload = encode_tiff(
+        bm, 0, compression=comp, uncompressed=True, fillorder=fo,
+        t4_options=(1 if comp == 3 else 0),
+    )
+    import struct as _s
+
+    tag = 292 if comp == 3 else 293
+    assert _s.pack("<HHI", tag, 4, 1) in payload
+    out = decode_tiff(payload)
+    assert np.array_equal(out[:, :, 0], (1 - bm) * 255)
+
+
+def test_tiff_uncompressed_mode_needs_ccitt_g3_g4():
+    bm = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="T4Options/T6Options"):
+        encode_tiff(bm, 0, compression=2, uncompressed=True)

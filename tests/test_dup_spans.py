@@ -136,3 +136,45 @@ def test_sampled_misses_only_unselected_short_blocks(spark):
     assert _sampled_spans(spark, rows, L) == []
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert duplicated_substring_spans(df, min_len=L).count() > 0
+
+
+def test_fused_sections_match_standalone_plans(spark):
+    """The round-12 fused span path (one tagged island chain inside
+    dedup_ngram_jaccard) must emit EXACTLY the rows of the standalone
+    operators on the same corpus — the fusion is a plan change, never
+    a semantics change."""
+    from twilio_event_streams_reporting_example_spark.operators.dedup import (
+        duplicated_substring_spans,
+        sampled_substring_spans,
+    )
+    from twilio_event_streams_reporting_example_spark.registry import (
+        all_queries,
+        release_caches,
+    )
+    from twilio_event_streams_reporting_example_spark.sources.tables import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf_dir)
+    fused = all_queries()["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    got = {
+        sec: sorted(
+            (r.k1, r.k2, r.m1, r.m2)
+            for r in fused.where(fused.section == sec).collect()
+        )
+        for sec in ("dup_spans", "dup_spans_sampled")
+    }
+    release_caches()
+    want_exact = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_substring_spans(docs).collect()
+    )
+    release_caches()
+    want_sampled = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in sampled_substring_spans(docs).collect()
+    )
+    release_caches()
+    assert got["dup_spans"] == want_exact
+    assert got["dup_spans_sampled"] == want_sampled

@@ -598,3 +598,73 @@ def test_t4_code_length_bounds_per_spec():
     assert all(2 <= len(c) <= 13 for c in _BLACK_TERM)
     assert all(10 <= len(c) <= 13 for c in _BLACK_MAKEUP.values())
     assert all(11 <= len(c) <= 12 for c in _EXT_MAKEUP.values())
+
+
+# T.4 §2.2.5 Table 5 — uncompressed mode codewords (round 12)
+T4_UNCOMPRESSED_RUN = {
+    "1": "1", "01": "01", "001": "001", "0001": "0001",
+    "00001": "00001", "00000": "000001",
+}
+T4_UNCOMPRESSED_EXIT = {  # pending white pixels before exit → codeword+T
+    0: "0000001", 1: "00000001", 2: "000000001", 3: "0000000001",
+    4: "00000000001",
+}
+
+
+def test_t4_uncompressed_mode_codewords():
+    """The Table 5 transcription: image-pattern codes (literal pixels,
+    n ≤ 4 whites + one black as n zeros + '1'; five whites as
+    '000001'), exit codes ((6+n) zeros + '1', then the next-run colour
+    tag bit), the 2-D entry (extension code 0000001 + type 111) and
+    the 12-bit 1-D entry code."""
+    from twilio_event_streams_reporting_example_spark.operators.ccitt import (
+        _EXT_2D,
+        _UNC_ENTRY_1D,
+        _UNC_EXT_TYPE,
+        _UNC_FIVE,
+        _UNC_RUN,
+    )
+
+    for n in range(5):
+        assert T4_UNCOMPRESSED_RUN["0" * n + "1"] == _UNC_RUN[n]
+    assert T4_UNCOMPRESSED_RUN["00000"] == _UNC_FIVE
+    for n, code in T4_UNCOMPRESSED_EXIT.items():
+        assert code == "0" * (6 + n) + "1"
+    assert _EXT_2D + _UNC_EXT_TYPE == "0000001111"
+    assert _UNC_ENTRY_1D == "000000001111"
+
+
+def test_t4_uncompressed_codes_are_uniquely_decodable():
+    """Within uncompressed mode the run codes plus every exit code
+    (with either tag bit) form a prefix-free set; and the 1-D entry
+    code collides with no white/black run code and no EOL prefix —
+    the structural facts the decoder's bit-at-a-time reads rely on."""
+    from twilio_event_streams_reporting_example_spark.operators.ccitt import (
+        _BLACK_MAKEUP,
+        _BLACK_TERM,
+        _EOL,
+        _EXT_MAKEUP,
+        _UNC_ENTRY_1D,
+        _UNC_FIVE,
+        _UNC_RUN,
+        _WHITE_MAKEUP,
+        _WHITE_TERM,
+    )
+
+    unc = list(_UNC_RUN) + [_UNC_FIVE] + [
+        "0" * (6 + n) + "1" + t for n in range(5) for t in ("0", "1")
+    ]
+    for a in unc:
+        for b in unc:
+            if a != b:
+                assert not b.startswith(a), (a, b)
+    all_runs = (
+        list(_WHITE_TERM) + list(_WHITE_MAKEUP.values())
+        + list(_BLACK_TERM) + list(_BLACK_MAKEUP.values())
+        + list(_EXT_MAKEUP.values())
+    )
+    for c in all_runs:
+        assert not c.startswith(_UNC_ENTRY_1D), c
+        assert not _UNC_ENTRY_1D.startswith(c), c
+    assert not _EOL.startswith(_UNC_ENTRY_1D)
+    assert not _UNC_ENTRY_1D.startswith(_EOL)

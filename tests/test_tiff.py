@@ -520,3 +520,98 @@ def test_old_style_jpeg_rejects_strips_on_encode():
     img = _flat_rgb(16, 8, 2)
     with pytest.raises(ValueError, match="interchange"):
         encode_tiff(img, 6, compression=6, rows_per_strip=8)
+
+
+# ---------------------------------------------------------------- tiled §15
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiled_byte_codec_roundtrip(comp, big_endian):
+    """§15 tiled layout, byte codecs: a 37×29 RGB image on a 16×16
+    grid (edge tiles padded by replication, cropped on decode) must
+    round-trip bit-exact and match the strip-layout decode."""
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(37, 29, 3)).astype(np.uint8)
+    tiled = encode_tiff(
+        img, 2, big_endian=big_endian, compression=comp, tile=(16, 16)
+    )
+    assert np.array_equal(decode_tiff(tiled), img)
+    striped = encode_tiff(img, 2, big_endian=big_endian, compression=comp)
+    assert np.array_equal(decode_tiff(tiled), decode_tiff(striped))
+
+
+def test_tiled_ifd_carries_tile_tags_not_strip_tags():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    payload = encode_tiff(img, 2, tile=(16, 16))
+    # tags 322/323 (SHORT) and 324/325 (LONG) present; 273/278/279 absent
+    for tag, typ in ((322, 3), (323, 3), (324, 4), (325, 4)):
+        assert struct.pack("<HHI", tag, typ, 1) in payload
+    for tag in (273, 278, 279):
+        assert struct.pack("<HH", tag, 3) not in payload
+        assert struct.pack("<HH", tag, 4) not in payload
+
+
+def test_tiled_lzw_predictor2_roundtrip():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(40, 50, 3)).astype(np.uint8)
+    payload = encode_tiff(img, 2, compression=5, predictor=2, tile=(32, 16))
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_tiled_gray_roundtrip():
+    g = np.arange(18 * 20, dtype=np.uint8).reshape(18, 20) % 251
+    payload = encode_tiff(g, 1, compression=8, tile=(16, 16))
+    out = decode_tiff(payload)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+@pytest.mark.parametrize("comp,t4", [(2, 0), (3, 1), (4, 0)])
+def test_tiled_ccitt_roundtrip(comp, t4):
+    """Each tile is an independent CCITT coded segment; pm 0
+    (WhiteIsZero) maps codec white → 255 exactly as the strip path."""
+    rng = np.random.RandomState(43)
+    bm = (rng.rand(20, 45) < 0.3).astype(np.uint8)
+    tiled = encode_tiff(bm, 0, compression=comp, t4_options=t4, tile=(16, 16))
+    striped = encode_tiff(bm, 0, compression=comp, t4_options=t4)
+    assert np.array_equal(decode_tiff(tiled), decode_tiff(striped))
+    want = ((1 - bm) * 255).astype(np.uint8)
+    assert np.array_equal(decode_tiff(tiled)[:, :, 0], want)
+
+
+@pytest.mark.parametrize("photometric", [2, 6])
+def test_tiled_jpeg_close_to_strip_decode(photometric):
+    """Comp-7 tiles: each tile is its own JPEG stream. Lossy, so
+    assert near-equality to the source and to the strip-layout
+    decode (replicated edge padding keeps tile borders clean)."""
+    rng = np.random.RandomState(44)
+    base = rng.randint(60, 196, size=(3, 4, 3)).astype(np.uint8)
+    img = np.kron(base, np.ones((12, 12, 1))).astype(np.uint8)  # 36x48
+    tiled = decode_tiff(
+        encode_tiff(img, photometric, compression=7, tile=(16, 16))
+    )
+    assert tiled.shape == img.shape
+    assert np.max(np.abs(tiled.astype(int) - img.astype(int))) <= 20
+    striped = decode_tiff(encode_tiff(img, photometric, compression=7))
+    assert np.mean(np.abs(tiled.astype(int) - striped.astype(int))) <= 4.0
+
+
+def test_tiled_encode_rejects_bad_args():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, 2, tile=(8, 16))
+    with pytest.raises(ValueError, match="rows_per_strip"):
+        encode_tiff(img, 2, tile=(16, 16), rows_per_strip=8)
+    with pytest.raises(ValueError, match="cannot tile"):
+        encode_tiff(img, 6, compression=6, tile=(16, 16))
+
+
+def test_tiled_decode_rejects_wrong_tile_count():
+    img = np.zeros((20, 20, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, 2, tile=(16, 16)))
+    # shrink the claimed height to 16 → grid becomes 1x2, not 2x2
+    i = payload.find(struct.pack("<HHI", 257, 3, 1))
+    assert i > 0
+    struct.pack_into("<H", payload, i + 8, 16)
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(bytes(payload))

@@ -42,10 +42,17 @@ bitmaps are uint8 arrays with 0 = white, 1 = black. The TIFF layer
 (0 = WhiteIsZero → bit 0 renders white; 1 = BlackIsZero → inverted)
 and FillOrder (tag 266: 2 = bits of each byte reversed).
 
-Not implemented (documented gates, never wrong output): T.4/T.6
-"uncompressed mode" (T4Options/T6Options bit 1 — rarely written; the
-extension code 0000001 raises NotImplementedError) and byte-aligned
-EOL fill beyond leading zero-bit tolerance on decode.
+Uncompressed mode (T.4 §2.2.5, Table 5; T6Options/T4Options bit 1) is
+implemented as of round 12 — entry via the 2-D extension code
+0000001 + type 111 or the 12-bit 1-D entry code, literal pixel
+patterns, exit codes with the next-run colour tag; the encoder can
+force it per line (``uncompressed=True``), which is the escape hatch
+real encoders use on noisy lines where run coding expands. Reserved
+2-D extension types other than 111 still raise NotImplementedError.
+One caveat, same class as PLANS.md #18's provenance rule: T.4 prints
+no worked uncompressed-mode example, so the exit-code pixel-position
+resume convention is certified by round-trip + prefix-freeness + the
+transcribed Table 5 codewords, not by third-party bytes.
 
 Scale note: like the sibling codecs this runs inside Arrow-batched
 ``mapInPandas`` kernels (operators/multimodal.py) — per-item Python
@@ -135,7 +142,23 @@ _MODE_PASS = "0001"
 _MODE_HORIZ = "001"
 _MODE_V = {0: "1", 1: "011", 2: "000011", 3: "0000011",
            -1: "010", -2: "000010", -3: "0000010"}
-_EXT_2D = "0000001"  # uncompressed-mode entry (T.4 §2.2.5) — gated
+_EXT_2D = "0000001"  # 2-D extensions prefix (T.4 §2.2.4/Table 1)
+
+# T.4 §2.2.5 Table 5 — uncompressed mode code words. Image-pattern
+# codes are literal pixels (0 = white, 1 = black): n ≤ 4 white pixels
+# followed by one black pixel code as n zeros + '1'; five whites with
+# no black are '000001'. Exit code words carry 0-4 pending white
+# pixels as extra leading zeros — (6+n) zeros, a '1', then the tag bit
+# T giving the colour of the next normally-coded run (0 = white,
+# 1 = black). Entry: in 2-D coding the extension code 0000001 followed
+# by the 3-bit extension type 111; in 1-D (MH) coding the 12-bit code
+# below (prefix-unique against every Table 2/3/4 run code — pinned in
+# tests/test_spec_vectors.py — and distinguishable from EOL, which has
+# 11 leading zeros).
+_UNC_RUN = ["1", "01", "001", "0001", "00001"]  # n whites + one black
+_UNC_FIVE = "000001"  # five whites, no terminating black
+_UNC_EXT_TYPE = "111"  # extension type bits selecting uncompressed
+_UNC_ENTRY_1D = "000000001111"
 
 _EOL = "000000000001"
 
@@ -246,13 +269,58 @@ def _read_mode(r: _BitReader):
         ln += 1
         hit = _MODE_DECODE.get((ln, code))
         if hit:
-            if hit[0] == "ext":
-                raise NotImplementedError(
-                    "CCITT uncompressed mode (T.4 §2.2.5 extension) is "
-                    "not implemented"
-                )
             return hit
     raise ValueError("CCITT: invalid 2-D mode code")
+
+
+def _decode_uncompressed(
+    r: _BitReader, pos: int, white: bool, cur: list[int], w: int
+) -> tuple[int, bool]:
+    """T.4 §2.2.5 uncompressed mode: literal pixel coding from ``pos``
+    with current run colour ``white``, appending changing elements to
+    ``cur``, until an exit code. Returns (resume position, colour of
+    the next normally-coded run — the exit code's tag bit)."""
+
+    def emit(black: bool) -> None:
+        nonlocal pos, white
+        if pos >= w:
+            raise ValueError("CCITT: uncompressed data overruns the line")
+        if black == white:  # literal pixel differs from run colour
+            cur.append(pos)
+            white = not white
+        pos += 1
+
+    while True:
+        zeros = 0
+        while not r.read1():
+            zeros += 1
+            if zeros > 10:
+                raise ValueError("CCITT: invalid uncompressed code")
+        if zeros <= 4:  # n whites then one black
+            for _ in range(zeros):
+                emit(False)
+            emit(True)
+        elif zeros == 5:  # five whites, run continues
+            for _ in range(5):
+                emit(False)
+        else:  # exit: zeros-6 pending whites, then the colour tag
+            for _ in range(zeros - 6):
+                emit(False)
+            next_white = r.read1() == 0
+            if next_white != white and pos < w:
+                # the new colour's run starts here: a changing element
+                cur.append(pos)
+            return pos, next_white
+
+
+def _try_read(r: _BitReader, code: str) -> bool:
+    """Consume ``code`` if it is exactly the next bits; else restore."""
+    save = r.pos
+    for ch in code:
+        if r.bits_left() == 0 or r.read1() != (ch == "1"):
+            r.pos = save
+            return False
+    return True
 
 
 def _read_run(r: _BitReader, white: bool) -> int:
@@ -314,6 +382,16 @@ def _decode_2d_line(r: _BitReader, ref: list[int], w: int) -> list[int]:
         b2 = ref[idx + 1] if idx + 1 < n else w
 
         mode, d = _read_mode(r)
+        if mode == "ext":
+            ext = (r.read1() << 2) | (r.read1() << 1) | r.read1()
+            if ext != 0b111:
+                raise NotImplementedError(
+                    f"CCITT: 2-D extension type {ext:03b} is reserved "
+                    "(only 111 = uncompressed mode is defined)"
+                )
+            pos = a0 if a0 > 0 else 0
+            a0, white = _decode_uncompressed(r, pos, white, cur, w)
+            continue
         if mode == "pass":
             a0 = b2
             continue
@@ -356,10 +434,8 @@ def decode_ccitt(
         data = bytes(_FILL_REVERSE[b] for b in data)
     elif fillorder != 1:
         raise ValueError(f"CCITT: unsupported FillOrder {fillorder}")
-    if scheme == 3 and t4_options & 0b10:
-        raise NotImplementedError(
-            "CCITT uncompressed mode (T4Options bit 1) is not implemented"
-        )
+    # t4_options bit 1 ("uncompressed mode allowed") needs no gate:
+    # the decoder recognises the entry codes wherever they appear
     two_d_allowed = scheme == 3 and (t4_options & 1)
     r = _BitReader(data)
     rows = np.zeros((h, w), dtype=np.uint8)
@@ -394,11 +470,17 @@ def decode_ccitt(
 
 
 def _read_1d_boundaries(r: _BitReader, w: int) -> list[int]:
-    """One MH-coded line → cumulative run-end positions (last == w)."""
+    """One MH-coded line → cumulative change positions (a final
+    boundary at ``w`` appears when the line ends mid-run). Uncompressed
+    segments (T.4 §2.2.5, 12-bit 1-D entry code) may appear before any
+    run and code literal pixels until their exit code."""
     boundaries: list[int] = []
     pos = 0
     white = True
     while pos < w:
+        if _try_read(r, _UNC_ENTRY_1D):
+            pos, white = _decode_uncompressed(r, pos, white, boundaries, w)
+            continue
         run = _read_run(r, white)
         pos += run
         if pos > w:
@@ -482,13 +564,39 @@ def _encode_2d_line(
         a0 = a2
 
 
+def _encode_uncompressed_line(
+    wtr: _BitWriter, row: np.ndarray, two_d: bool
+) -> None:
+    """One whole line in T.4 §2.2.5 uncompressed mode: the entry code
+    for the current coding context, the literal pixel patterns, and an
+    exit code carrying the trailing white pixels (T = 0: the encoder
+    exits at end of line, where the next run is the next line's
+    leading white by convention)."""
+    wtr.write(_EXT_2D + _UNC_EXT_TYPE if two_d else _UNC_ENTRY_1D)
+    zeros = 0
+    for px in row:
+        if px:
+            wtr.write(_UNC_RUN[zeros])
+            zeros = 0
+        else:
+            zeros += 1
+            if zeros == 5:
+                wtr.write(_UNC_FIVE)
+                zeros = 0
+    wtr.write("0" * (6 + zeros) + "1" + "0")  # exit, T = white
+
+
 def encode_ccitt(
-    bitmap, scheme: int, t4_options: int = 0,
+    bitmap, scheme: int, t4_options: int = 0, uncompressed: bool = False,
 ) -> bytes:
     """Encode an (h, w) 0/1 bitmap (0 = white) with TIFF compression
     ``scheme`` 2 (MH byte-aligned rows), 3 (G3: EOL per line; with
     ``t4_options`` bit 0 the first line is 1-D and the rest 2-D) or
-    4 (G4/MMR, EOFB-terminated)."""
+    4 (G4/MMR, EOFB-terminated). ``uncompressed=True`` codes every
+    line's pixels in T.4 §2.2.5 uncompressed mode (entry code, literal
+    pixel patterns, exit code) — the escape hatch real encoders use
+    when run coding would expand noisy data; pair it with T4Options/
+    T6Options bit 1 at the TIFF layer."""
     row_arr = np.asarray(bitmap, dtype=np.uint8)
     if row_arr.ndim != 2:
         raise ValueError("CCITT: bitmap must be 2-D")
@@ -499,7 +607,10 @@ def encode_ccitt(
     if scheme == 2:
         for y in range(h):
             wtr.align()
-            _encode_1d_line(wtr, row_arr[y], w)
+            if uncompressed:
+                _encode_uncompressed_line(wtr, row_arr[y], two_d=False)
+            else:
+                _encode_1d_line(wtr, row_arr[y], w)
         return wtr.flush()
     if scheme == 3:
         two_d = bool(t4_options & 1)
@@ -509,18 +620,33 @@ def encode_ccitt(
             if two_d:
                 if y == 0:
                     wtr.write("1")  # tag: 1-D line
-                    _encode_1d_line(wtr, row_arr[y], w)
+                    if uncompressed:
+                        _encode_uncompressed_line(
+                            wtr, row_arr[y], two_d=False
+                        )
+                    else:
+                        _encode_1d_line(wtr, row_arr[y], w)
                 else:
                     wtr.write("0")  # tag: 2-D line
-                    _encode_2d_line(wtr, row_arr[y], ref, w)
+                    if uncompressed:
+                        _encode_uncompressed_line(
+                            wtr, row_arr[y], two_d=True
+                        )
+                    else:
+                        _encode_2d_line(wtr, row_arr[y], ref, w)
                 ref = _row_to_changes(row_arr[y])
+            elif uncompressed:
+                _encode_uncompressed_line(wtr, row_arr[y], two_d=False)
             else:
                 _encode_1d_line(wtr, row_arr[y], w)
         return wtr.flush()
     if scheme == 4:
         ref = []
         for y in range(h):
-            _encode_2d_line(wtr, row_arr[y], ref, w)
+            if uncompressed:
+                _encode_uncompressed_line(wtr, row_arr[y], two_d=True)
+            else:
+                _encode_2d_line(wtr, row_arr[y], ref, w)
             ref = _row_to_changes(row_arr[y])
         wtr.write(_EOL)
         wtr.write(_EOL)  # EOFB

@@ -720,13 +720,14 @@ def duplicated_substring_spans(
     Output: (doc_id, span_start, span_end, n_grams), 1-based inclusive
     character positions."""
     n = min_len
-    cand, dup = _span_candidates(docs, n, grams)
-    hits = cand.join(dup, "g").select("doc_id", "start")
+    cand, dup = _span_candidates(docs, n, grams, cache=True)
+    hits = cand.join(F.broadcast(dup), "g").select("doc_id", "start")
     return _finish_spans(hits, n, n)
 
 
 def _span_candidates(
-    docs: DataFrame, n: int, grams: DataFrame | None = None
+    docs: DataFrame, n: int, grams: DataFrame | None = None,
+    cache: bool = False,
 ):
     """(cand, dup): the two-level EXACT cross-doc gram test (the
     100 TB knob PLANS.md #16 named): the full-corpus shuffle carries
@@ -751,6 +752,11 @@ def _span_candidates(
         .select("h")
     )
     cand = gh.join(dup_h, "h").select("doc_id", "start", "g")
+    if cache:
+        # caller will read cand twice (confirm agg + hits probe): keep
+        # the corpus-character-sized gram explode single-run. cand is
+        # hash-survivor rows only — boilerplate-sized, safe to cache.
+        cand = track(cand.cache())
     dup = (
         cand.groupBy("g")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
@@ -784,20 +790,23 @@ def sampled_substring_spans(
     enough to contain a selected gram is still found; span bounds are
     approximate to the sampling pitch, so islands merge with a
     ``SPAN_SAMPLE_GAP`` tolerance. Deterministic (md5), hence
-    oracle-certifiable: the exact same selection runs in DuckDB."""
+    oracle-certifiable: the exact same selection runs in DuckDB.
+
+    UNCACHED by design (round 12): the sampled gram set is read twice
+    (dup aggregate, then the hits probe side), but at corpus scale
+    caching 1/8 of the gram explosion is memory-infeasible while the
+    re-read is a shuffle-free scan→generate→filter recompute — the
+    standard trade on a cluster. The dup aggregate stays a groupBy
+    (map-side partial agg — a count/min window by gram text would
+    route every copy of a hot boilerplate gram to one task) and the
+    join-back broadcasts the tiny cross-doc gram set."""
     n = min_len
     if grams is None:
         grams = _span_grams(docs, n)
-    # cached: BOTH consumers below (the dup aggregation and the hits
-    # join) read the sampled set — without it the upstream gram
-    # explode + md5 runs twice (for the in-gate scale proof that means
-    # generating and hashing the whole gram corpus twice)
-    sampled = track(
-        grams.filter(
-            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
-            % SPAN_SAMPLE_MOD
-            == 0
-        ).cache()
+    sampled = grams.filter(
+        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+        % SPAN_SAMPLE_MOD
+        == 0
     )
     dup = (
         sampled.groupBy("g")
@@ -805,7 +814,7 @@ def sampled_substring_spans(
         .where("lo != hi")
         .select("g")
     )
-    hits = sampled.join(dup, "g").select("doc_id", "start")
+    hits = sampled.join(F.broadcast(dup), "g").select("doc_id", "start")
     return _finish_spans(hits, n, n + SPAN_SAMPLE_GAP)
 
 
@@ -1060,9 +1069,10 @@ def _ngram_jaccard_oracle() -> str:
         "merged with the sampling-pitch tolerance; 8x less shuffle, "
         "deterministic, certified by the identical selection in DuckDB. "
         "`spans_scale`: the in-gate SCALE PROOF for the sampled pass — "
-        "1,250 generated docs (~0.4M grams; budgeted round-10 from "
-        "5k/1.6M, the proof's value being the planted-pair structure, "
-        "not raw gram count) with 125 planted pairs sharing "
+        f"{SPANS_SCALE_DOCS} generated docs (budgeted down round-10/11 "
+        "from 5k/1.6M grams, the proof's value being the planted-pair "
+        f"structure, not raw gram count) with {SPANS_SCALE_PAIRS} "
+        "planted pairs sharing "
         "a 204-char block at DIFFERENT offsets (the phase case that "
         "breaks positional striding; filler embeds the doc id every 12 "
         "chars so nothing else collides), reduced to five summary rows "
@@ -1075,21 +1085,34 @@ def _ngram_jaccard_oracle() -> str:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sh = track(_shingles(docs, "doc_id", "text").cache())
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.selectExpr("doc_id AS doc_a", "shingle_hash")
-    b = sh.selectExpr("doc_id AS doc_b", "shingle_hash")
-    pairs = (
+    # jaccard_pairs: per-doc shingle counts ride ALONG the rows via a
+    # doc-partitioned count window (round 12 — replaces a separate
+    # sizes aggregate plus two shuffle joins back onto the pair table:
+    # 4 exchanges for the section instead of 8; min() is exact because
+    # n_sh is constant per doc). The cache sits ABOVE the count window
+    # so the window and everything below it compute once and the
+    # self-join's two sides read the cached counted rows (measured
+    # round 12: relying on ReusedExchange instead of a cache is WORSE
+    # under AQE — adaptive replanning breaks subtree identity).
+    shn = track(
+        _shingles(docs, "doc_id", "text")
+        .selectExpr(
+            "doc_id", "shingle_hash",
+            "COUNT(*) OVER (PARTITION BY doc_id) AS n_sh",
+        )
+        .cache()
+    )
+    a = shn.selectExpr("doc_id AS doc_a", "shingle_hash", "n_sh AS n_a")
+    b = shn.selectExpr("doc_id AS doc_b", "shingle_hash", "n_sh AS n_b")
+    pair_rows = (
         a.join(b, ["shingle_hash"])
         .where("doc_a < doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.selectExpr("doc_id AS doc_a", "n_sh AS n_a")
-    sb = sizes.selectExpr("doc_id AS doc_b", "n_sh AS n_b")
-    pair_rows = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .selectExpr("*", "n_a + n_b - inter AS uni")
         .where(f"inter * 100 >= uni * {JACCARD_MIN_PCT}")
         .selectExpr(
@@ -1100,44 +1123,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uni AS m2",
         )
     )
-    # ONE two-level hash pass feeds BOTH span sections: the confirmed
-    # cross-doc candidates (tiny — boilerplate blocks only) are cached,
-    # the exhaustive section reads them directly, and the SAMPLED
-    # section derives from the SAME candidates: content-keyed md5
-    # selection is all-in/all-out per gram text, so the sampled pass'
-    # dup grams are exactly the exhaustive dup grams whose md5 bucket
-    # is 0 and its hits are exactly the candidate rows of those grams
-    # (certified identical to the standalone sampled plan in
-    # tests/test_dup_spans.py). Standalone 100 TB callers keep
-    # :func:`sampled_substring_spans` — a 1/8-shuffle with NO
-    # exhaustive pass — this derivation is only the right plan when
-    # the exhaustive pass already runs in the same query.
+    # ONE two-level hash pass feeds BOTH span sections, and BOTH flow
+    # through ONE island-merge window chain (round 12 — the r11 plan
+    # still ran two chains + a join/groupBy pair per section; PLANS.md
+    # #19 showed stage count, not data, is the cost at bench scale):
+    #   1. groupBy(xxhash64) finds recurring-hash grams — the only
+    #      full-corpus shuffle, 16 bytes/row (PLANS.md #16);
+    #   2. survivors join back (broadcast — boilerplate-sized);
+    #   3. groupBy(g) confirms by FULL text (map-side partial agg —
+    #      skew-safe where a by-text window would hotspot a hot gram)
+    #      and carries each gram's md5 sample bucket;
+    #   4. every confirmed hit row explodes into its section tags —
+    #      'dup_spans' always, 'dup_spans_sampled' iff bucket 0 (the
+    #      md5 selection is all-in/all-out per gram text, so this IS
+    #      the sampled pass' hit set — certified against the
+    #      standalone plan in tests/test_dup_spans.py);
+    #   5. ONE gaps-and-islands window partitioned by (section, doc)
+    #      merges both sections with their own gap tolerances, and ONE
+    #      groupBy emits the spans.
+    # No caches: every node has exactly one consumer. Standalone
+    # 100 TB callers keep :func:`sampled_substring_spans` — a
+    # 1/8-shuffle with NO exhaustive pass.
     n = SPAN_MIN_CHARS
-    cand, dup = _span_candidates(docs, n)
-    cand = track(cand.cache())
-    dup = track(dup.cache())
-    span_rows = _finish_spans(
-        cand.join(dup, "g").select("doc_id", "start"), n, n
-    ).selectExpr(
-        "'dup_spans' AS section",
-        "doc_id AS k1",
-        "span_start AS k2",
-        "span_end AS m1",
-        "n_grams AS m2",
-    )
-    dup_s = dup.where(
+    cand, dup = _span_candidates(docs, n, cache=True)
+    dup_b = dup.selectExpr(
+        "g",
         "CAST(conv(substring(md5(g), 1, 4), 16, 10) AS LONG) % "
-        f"{SPAN_SAMPLE_MOD} = 0"
+        f"{SPAN_SAMPLE_MOD} AS bkt",
     )
-    sampled_rows = _finish_spans(
-        cand.join(dup_s, "g").select("doc_id", "start"),
-        n, n + SPAN_SAMPLE_GAP,
+    tagged = (
+        cand.join(F.broadcast(dup_b), "g")
+        .selectExpr(
+            "explode(CASE WHEN bkt = 0 THEN"
+            " array('dup_spans', 'dup_spans_sampled')"
+            " ELSE array('dup_spans') END) AS section",
+            "doc_id",
+            "start",
+        )
+    )
+    gap = (
+        f"CASE WHEN section = 'dup_spans_sampled'"
+        f" THEN {n + SPAN_SAMPLE_GAP} ELSE {n} END"
+    )
+    isl = tagged.selectExpr(
+        "*",
+        "CASE WHEN lag(start) OVER"
+        " (PARTITION BY section, doc_id ORDER BY start) IS NULL"
+        " OR start > lag(start) OVER"
+        f" (PARTITION BY section, doc_id ORDER BY start) + {gap}"
+        " THEN 1 ELSE 0 END AS new_isl",
     ).selectExpr(
-        "'dup_spans_sampled' AS section",
-        "doc_id AS k1",
-        "span_start AS k2",
-        "span_end AS m1",
-        "n_grams AS m2",
+        "*",
+        "SUM(new_isl) OVER (PARTITION BY section, doc_id ORDER BY start"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island",
+    )
+    span_rows = (
+        isl.groupBy("section", "doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + (n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .selectExpr(
+            "section",
+            "doc_id AS k1",
+            "span_start AS k2",
+            "span_end AS m1",
+            "n_grams AS m2",
+        )
     )
     scale_rows = _spans_scale_summary(spark).selectExpr(
         "'spans_scale' AS section",
@@ -1146,11 +1199,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value AS m1",
         "CAST(NULL AS LONG) AS m2",
     )
-    return (
-        pair_rows.unionByName(span_rows)
-        .unionByName(sampled_rows)
-        .unionByName(scale_rows)
-    )
+    return pair_rows.unionByName(span_rows).unionByName(scale_rows)
 
 
 # --------------------------------------------------------- 3. MinHash + LSH

@@ -999,7 +999,22 @@ CCITT_N_ITEMS = 48
 
 def _ccitt_item_spec(i: int):
     """(scheme, t4_options, fillorder, photometric, big_endian,
-    rows_per_strip, w, h) for fax item i."""
+    rows_per_strip, w, h, uncompressed) for fax item i. Items 0-47 are
+    the round-11 run-coded grid (byte-stable — fixture payloads pin
+    them); items 48+ are the round-12 UNCOMPRESSED-MODE variants
+    (T.4 §2.2.5: every line coded as literal pixel patterns between
+    entry/exit codes, T4Options/T6Options bit 1 set) over the G3-1D /
+    G3-2D / G4 schemes with both fill orders."""
+    if i >= _CCITT_UNC_FROM:
+        k = i - _CCITT_UNC_FROM
+        scheme, t4 = ((3, 2), (3, 3), (4, 0))[k % 3]
+        fillorder = 1 + (k // 3) % 2
+        photometric = (0, 1)[(k // 6) % 2]
+        big_endian = bool((k // 12) % 2)
+        rps = (0, 9)[(k // 2) % 2]
+        w = 18 + (k * 11) % 21
+        h = 10 + (k * 3) % 9
+        return scheme, t4, fillorder, photometric, big_endian, rps, w, h, True
     scheme, t4 = ((2, 0), (3, 0), (3, 1), (4, 0))[i % 4]
     fillorder = 1 + (i // 4) % 2
     photometric = (0, 1)[(i // 8) % 2]
@@ -1007,7 +1022,7 @@ def _ccitt_item_spec(i: int):
     rps = (0, 7, 11)[(i // 3) % 3]  # 0 → single strip
     w = 20 + (i * 7) % 23
     h = 12 + (i * 5) % 11
-    return scheme, t4, fillorder, photometric, big_endian, rps, w, h
+    return scheme, t4, fillorder, photometric, big_endian, rps, w, h, False
 
 
 def _ccitt_bit(i: int, x: int, y: int) -> int:
@@ -3069,9 +3084,13 @@ def decode_real_media(payload: bytes, fmt: str):
         import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "compressed-audio/video decode needs a media runtime "
-            "(libav/ffmpeg); this environment ships none — the "
-            "fake decoder below exercises the identical Spark plumbing"
+            "transform-coded decode (MP3/AAC/H.264) is gated: the "
+            "entropy/synthesis layers are normative binary tables "
+            "with no printed closed form — see PLANS.md #18/#22 for "
+            "the per-format blockers. Needs a media runtime "
+            "(libav/ffmpeg) or provenance-bearing tables; this "
+            "environment ships neither — the fake decoder below "
+            "exercises the identical Spark plumbing"
         ) from e
     raise NotImplementedError("wire the real decoder here")  # pragma: no cover
 

@@ -433,12 +433,9 @@ def decode_tiff(payload: bytes, page: int = 0):
             raise ValueError("TIFF: predictor is not defined for CCITT")
         fillorder = one(_T_FILLORDER, 1)
         t4opts = one(_T_T4OPTIONS, 0)
-        t6opts = one(_T_T6OPTIONS, 0)
-        if comp == 4 and t6opts & 0b10:
-            raise NotImplementedError(
-                "TIFF: T.6 uncompressed mode (T6Options bit 1) is not "
-                "implemented"
-            )
+        # T4Options/T6Options bit 1 (uncompressed mode allowed) needs
+        # no special handling: the codec recognises the entry codes
+        # wherever they appear (round 12 — gate removed)
         rps = one(_T_ROWS_PER_STRIP, h)
         if len(offsets) != (h + rps - 1) // rps:
             raise ValueError(
@@ -679,6 +676,7 @@ def encode_tiff(
     rows_per_strip: int | None = None, colormap=None,
     compression: int = 1, predictor: int = 1,
     t4_options: int = 0, fillorder: int = 1,
+    tile: tuple[int, int] | None = None, uncompressed: bool = False,
 ) -> bytes:
     """Baseline TIFF writer. ``img``: (h, w, 3) uint8 for photometric
     2; (h, w) uint8 gray for 0/1; (h, w) uint8 indices for 3 (with
@@ -689,11 +687,17 @@ def encode_tiff(
     Bilevel fax pages: ``compression`` 2 (CCITT MH), 3 (G3 — with
     ``t4_options`` bit 0 for 2-D lines) or 4 (G4/MMR) take an (h, w)
     0/1 bitmap with photometric 0/1; ``fillorder`` 2 writes
-    bit-reversed bytes plus the FillOrder tag."""
+    bit-reversed bytes plus the FillOrder tag. ``uncompressed=True``
+    (compression 3/4 only) codes every line in T.4 §2.2.5 uncompressed
+    mode and sets T4Options/T6Options bit 1. ``tile=(tw, th)``
+    (multiples of 16) writes the §15 tiled layout — tags 322-325,
+    no strip tags — with edge tiles padded by replication; mutually
+    exclusive with ``rows_per_strip`` and compression 6."""
     e = ">" if big_endian else "<"
     blob, ifd_off, next_ptr = _build_page(
         img, photometric, e, rows_per_strip, colormap, compression,
         predictor, base=8, t4_options=t4_options, fillorder=fillorder,
+        tile=tile, uncompressed=uncompressed,
     )
     head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
         e + "I", ifd_off
@@ -739,7 +743,7 @@ def _build_page(
     img, photometric: int, e: str, rows_per_strip: int | None,
     colormap, compression: int, predictor: int, base: int,
     t4_options: int = 0, fillorder: int = 1,
-    tile: tuple[int, int] | None = None,
+    tile: tuple[int, int] | None = None, uncompressed: bool = False,
 ):
     """One page's ``strips | IFD | extra`` blob with all offsets
     absolute to a file where the blob starts at ``base``. Returns
@@ -762,6 +766,13 @@ def _build_page(
     ccitt = compression in (2, 3, 4)
     if ccitt and photometric not in (0, 1):
         raise ValueError("CCITT compression writes bilevel photometric 0/1")
+    if uncompressed and compression not in (3, 4):
+        raise ValueError(
+            "uncompressed mode is signalled via T4Options/T6Options "
+            "bit 1 — compression 3 or 4 only"
+        )
+    if uncompressed and compression == 3:
+        t4_options |= 0b10  # signal: uncompressed mode may appear
     if fillorder not in (1, 2):
         raise ValueError(f"unsupported FillOrder {fillorder}")
     if fillorder == 2 and not ccitt:
@@ -796,7 +807,8 @@ def _build_page(
             from .ccitt import _FILL_REVERSE, encode_ccitt
 
             coded = encode_ccitt(
-                blk[:, :, 0], compression, t4_options=t4_options
+                blk[:, :, 0], compression, t4_options=t4_options,
+                uncompressed=uncompressed,
             )
             if fillorder == 2:
                 coded = bytes(_FILL_REVERSE[b] for b in coded)
@@ -880,12 +892,20 @@ def _build_page(
         add(_T_FILLORDER, 3, [2])
     if compression == 3 and t4_options:
         add(_T_T4OPTIONS, 4, [t4_options])
+    if compression == 4 and uncompressed:
+        add(_T_T6OPTIONS, 4, [0b10])  # uncompressed mode allowed
     if predictor == 2:
         add(_T_PREDICTOR, 3, [2])
     if compression == 6:
         add(512, 3, [1])  # JPEGProc = 1 (baseline)
         add(513, 4, [strip_offsets[0]])  # JPEGInterchangeFormat
         add(514, 4, [strip_bytes[0]])  # JPEGInterchangeFormatLength
+    elif tile is not None:
+        # §15: tiled pages carry tags 322-325 and NO strip tags.
+        add(_T_TILE_WIDTH, 3, [tile[0]])
+        add(_T_TILE_LENGTH, 3, [tile[1]])
+        add(_T_TILE_OFFSETS, 4, strip_offsets)
+        add(_T_TILE_BYTES, 4, strip_bytes)
     else:
         add(_T_STRIP_OFFSETS, 4, strip_offsets)
         add(_T_ROWS_PER_STRIP, 3, [rps])
