@@ -72,6 +72,14 @@ def budget_overages(
         the honest estimator of that session overhead; a single broken
         query cannot move the median, so a genuine 10x regression
         still reds (proven by the negative-control test).
+
+    The median floor is self-referential, so a UNIFORM whole-run
+    regression (e.g. a session-level cache loss slowing every query
+    6-10x together) inflates every floor in lockstep and no per-query
+    budget ever reds (round-12 advisor finding). Guarded separately:
+    the run's TOTAL wall time must stay within 3·ratio of the
+    recorded sf0.1 cold total — a global slowdown cannot hide from
+    its own sum. Reported as the "__total__" key in `over`.
     """
     import statistics
 
@@ -92,6 +100,14 @@ def budget_overages(
         budget = max(2.0 * host_ratio * rec, 5.0 * host_ratio, floor)
         if got > budget:
             over[name] = (round(got, 3), round(budget, 3))
+    rec_total = recorded.get("cold_total") or sum(
+        v for v in recorded_cold.values() if v and v > 0
+    )
+    if rec_total > 0 and live_times:
+        total_budget = 3.0 * host_ratio * rec_total
+        total_live = sum(live_times)
+        if total_live > total_budget:
+            over["__total__"] = (round(total_live, 3), round(total_budget, 3))
     return over, host_ratio, floor
 
 

@@ -28,6 +28,10 @@ def bench_result():
         SPARK_GRAFT_BENCH_REPEATS="1",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_NO_ARTIFACT="1",  # don't clobber BENCH_FULL.json
+        # this is a CONTRACT test, not a record: the loadavg-refusal
+        # guard (exit 2 with a one-line refusal JSON) must not fail the
+        # whole module on a loaded box (round-12 advisor finding)
+        SPARK_GRAFT_BENCH_FORCE="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -37,7 +41,10 @@ def bench_result():
         text=True,
         timeout=1800,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.returncode == 0, (
+        f"rc={out.returncode}\nstdout: {out.stdout[-1000:]}\n"
+        f"stderr: {out.stderr[-2000:]}"
+    )
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert lines, "no stdout"
     return json.loads(lines[-1])
@@ -120,6 +127,25 @@ def test_budget_guard_negative_control_broken_plan():
     assert "heavy" in over, (over, floor)
     # and the single outlier must not have dragged the median floor up
     assert floor <= 6.0 * 2.0 + 1e-9
+
+
+def test_budget_guard_negative_control_uniform_regression():
+    """Round-12 advisor finding: the 6x median-live floor is
+    self-referential — if EVERY query slows 6-10x together (a
+    session-level cache loss), every floor inflates in lockstep and no
+    per-query budget reds. The total-wall-time budget must catch it:
+    all queries at ~5.3x their recorded cold, probe flat (not a host
+    change), must red on __total__ even though no single query does."""
+    sys.path.insert(0, _REPO)
+    from bench import budget_overages
+
+    rec = _synthetic_record()
+    live = {n: 8.0 for n in rec["queries"]}  # uniform global slowdown
+    over, ratio, floor = budget_overages(live, 0.31, rec)
+    assert ratio == 1.0  # probe flat: genuinely same host
+    assert "__total__" in over, (over, floor)
+    per_query = {k: v for k, v in over.items() if k != "__total__"}
+    assert not per_query  # demonstrates the blindness the total fixes
 
 
 def test_budget_guard_cold_overhead_floor_absorbs_session_cost():

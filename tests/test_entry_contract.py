@@ -1,0 +1,73 @@
+"""Entry-point contract smoke — the <60s, no-Spark guard.
+
+Round-12 post-mortem: a half-finished edit left an undefined name
+inside `_ccitt_item_spec`; `oracle_sql()` raised NameError at import
+of the oracle map, the driver wrote `{}` to CORRECTNESS_r12.json, and
+the board went 50/50 → 0/50 — yet no test under a minute would have
+caught it, because nothing outside the (35-min) oracle harness ever
+CALLED `oracle_sql()` or materialized the worker-side spec items.
+
+This module is that guard. It must stay cheap (no SparkSession, no
+parquet reads) and is ALSO invoked by tools/pre_snapshot_gate.py's
+always-on fast path, so an entry-point exception can never again
+reach a snapshot without a red test.
+"""
+
+import importlib
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # pytest rootdir already has it; the gate's
+    sys.path.insert(0, REPO)  # in-process import path may not
+
+
+def _entry():
+    return importlib.import_module("__spark_entry__")
+
+
+def test_queries_and_oracles_align():
+    e = _entry()
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) == 50, f"queries() must expose the pinned 50, got {len(q)}"
+    assert set(o) <= set(q), f"orphan oracles: {set(o) - set(q)}"
+    for name, sql in o.items():
+        assert isinstance(sql, str) and sql.strip(), f"empty oracle: {name}"
+    assert all(callable(fn) for fn in q.values())
+
+
+def test_worker_side_spec_code_executes():
+    """Materialize one item per closed-form certification family whose
+    spec code runs on Python WORKERS inside the registered query — the
+    exact code path that broke in round 12 (workers re-import the
+    module, so an import-time-fine but call-time-broken spec only
+    explodes inside executor tracebacks)."""
+    mm = importlib.import_module(
+        "twilio_event_streams_reporting_example_spark.operators.multimodal"
+    )
+    # last CCITT item: exercises the newest branch of _ccitt_item_spec
+    payload, expect, black = mm._ccitt_item(mm.CCITT_N_ITEMS - 1)
+    assert payload[:2] in (b"II", b"MM") and black > 0
+    assert expect.ndim == 3
+    # first + last stored-fixture payloads: drives every _STORED_*_FROM
+    # range-map branch that the fixture sampler unpacks
+    rows = mm.media_fixture_rows()
+    assert len(rows) == mm.STORED_N_ITEMS
+    for j in (0, mm.STORED_N_ITEMS - 1):
+        m = mm._stored_payload_formula(j)
+        assert len(m) == 3
+    # one oracle-rows render per VALUES-backed family that f-strings
+    # into oracle_sql() — a raise here is exactly the r12 blast radius
+    assert mm._ccitt_oracle_rows().count("(") == mm.CCITT_N_ITEMS
+
+
+def test_oracle_sql_renders_ccitt_window():
+    """The tiff_ccitt VALUES block must carry every certified item —
+    catches a spec/count drift between kernel and oracle."""
+    e = _entry()
+    mm = importlib.import_module(
+        "twilio_event_streams_reporting_example_spark.operators.multimodal"
+    )
+    sql = e.oracle_sql()["multimodal_media_ops"]
+    assert f"({mm.CCITT_N_ITEMS - 1}, " in sql

@@ -35,8 +35,31 @@ def _run(label: str, cmd: list[str]) -> bool:
     return rc == 0
 
 
+def fast_contract_check() -> bool:
+    """The ALWAYS-ON <60s path (round-12 lesson: the full 35-min gate
+    was skipped under turn pressure and an entry-point NameError
+    reached the snapshot, zeroing the driver board). Runs the entry
+    contract smoke — queries()/oracle_sql() shape + worker-side spec
+    materialization — with no SparkSession. Run this even when the
+    full gate is consciously skipped."""
+    return _run(
+        "fast-contract",
+        [
+            sys.executable, "-m", "pytest",
+            "tests/test_entry_contract.py", "-q",
+        ],
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    if not fast_contract_check():
+        print("[gate] RED (fast contract) — do NOT snapshot")
+        return 1
+    if "--fast-only" in sys.argv:
+        print("[gate] fast contract GREEN (--fast-only; full gate skipped)")
+        return 0
     ok = _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
     # run the oracle gate even if pytest is red: a snapshot decision
     # wants the full picture, not the first failure

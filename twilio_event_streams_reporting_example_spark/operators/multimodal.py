@@ -994,7 +994,9 @@ def _tiffc_item(i: int):
 # orders x three strip layouts; decode is lossless so the kernel
 # asserts bit-exactness and the oracle recomputes the pixel sums from
 # the closed-form bitmap formula.
-CCITT_N_ITEMS = 48
+_CCITT_UNC_FROM = 48  # items 48+: T.4 §2.2.5 uncompressed-mode grid
+CCITT_N_ITEMS = 72  # 48 run-coded (byte-stable) + 24 uncompressed
+#   (G3-1D / G3-2D / G4) x FillOrder 1/2 x photometric 0/1 x byte order
 
 
 def _ccitt_item_spec(i: int):
@@ -1037,7 +1039,7 @@ def _ccitt_bit(i: int, x: int, y: int) -> int:
 @_lru_cache(maxsize=None)
 def _ccitt_item_formula(i: int):
     """(gray_sum, black_count, top_half_gray_sum) for fax item i."""
-    _s, _t4, _fo, pm, _be, _rps, w, h = _ccitt_item_spec(i)
+    _s, _t4, _fo, pm, _be, _rps, w, h, _unc = _ccitt_item_spec(i)
     gray_sum = black = top = 0
     for y in range(h):
         for x in range(w):
@@ -1070,7 +1072,7 @@ def _ccitt_item(i: int):
 
     from .tiff import encode_tiff
 
-    scheme, t4, fo, pm, be, rps, w, h = _ccitt_item_spec(i)
+    scheme, t4, fo, pm, be, rps, w, h, unc = _ccitt_item_spec(i)
     x = np.arange(w)
     y = np.arange(h)
     bm = (((x[None, :] // 2 + y[:, None] // 3 + i) % 5) < 2).astype(
@@ -1080,6 +1082,7 @@ def _ccitt_item(i: int):
     payload = encode_tiff(
         bm, pm, big_endian=be, rows_per_strip=rps or None,
         compression=scheme, t4_options=t4, fillorder=fo,
+        uncompressed=unc,
     )
     g = ((1 - bm) * 255 if pm == 0 else bm * 255).astype(np.uint8)
     return payload, np.stack([g] * 3, axis=-1), int(bm.sum())
@@ -1706,7 +1709,7 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 88  # see the range map below
+STORED_N_ITEMS = 92  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
 _STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
 _STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
@@ -1715,6 +1718,8 @@ _STORED_MPTIFF_FROM = 78  # 78-79: multi-page TIFF (3-page IFD chains)
 _STORED_FAX_FROM = 80  # 80-85: CCITT fax TIFF (MH/G3-1D/G3-2D/G4 ×FO)
 _STORED_JO_FROM = 86  # 86-87: old-style JPEG-in-TIFF (§22, pm 6 and 2)
 _STORED_JO_SPECS = (0, 3)  # _tiffjo_item indices: (LE, pm6) and (BE, pm2)
+_STORED_FAXU_FROM = 88  # 88-91: T.4 §2.2.5 UNCOMPRESSED-mode fax (r13 —
+#   ccitt items 48..51: G3-1D / G3-2D / G4 at FillOrder 1 + G3-1D FO2)
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1732,12 +1737,19 @@ def media_fixture_rows() -> list:
     Deflate / Deflate+predictor2 in both byte orders, formula index
     j-60), items 72-77 APPENDED MJPEG-in-AVI clips (formula index
     j-72), items 80-85 APPENDED CCITT fax TIFFs (round 11 — all four
-    coding modes plus FillOrder-2 variants) and items 86-87 APPENDED
-    old-style JPEG-in-TIFF (§22 interchange, photometric 6 and 2) —
-    each new kind certified on data at rest without disturbing the
-    earlier items' committed bytes."""
+    coding modes plus FillOrder-2 variants), items 86-87 APPENDED
+    old-style JPEG-in-TIFF (§22 interchange, photometric 6 and 2) and
+    items 88-91 APPENDED T.4 §2.2.5 uncompressed-mode fax TIFFs
+    (round 13 — ccitt items 48..51) — each new kind certified on data
+    at rest without disturbing the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
+        if j >= _STORED_FAXU_FROM:
+            rows.append(
+                (j, "tifffax",
+                 _ccitt_item(_CCITT_UNC_FROM + j - _STORED_FAXU_FROM)[0])
+            )
+            continue
         if j >= _STORED_JO_FROM:
             rows.append(
                 (j, "tiffjo",
@@ -1782,7 +1794,7 @@ def _stored_fax_formula(k: int):
     """(gray_sum, zero_pixels, top_half_gray_sum) for stored fax item
     k — recomputed from the closed-form bitmap + photometric mapping,
     metrics chosen to be derivable from the decoded RGB alone."""
-    _s, _t4, _fo, pm, _be, _rps, w, h = _ccitt_item_spec(k)
+    _s, _t4, _fo, pm, _be, _rps, w, h, _unc = _ccitt_item_spec(k)
     gray_sum = zeros = top = 0
     for y in range(h):
         for x in range(w):
@@ -1798,6 +1810,8 @@ def _stored_fax_formula(k: int):
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_FAXU_FROM:
+        return _stored_fax_formula(_CCITT_UNC_FROM + j - _STORED_FAXU_FROM)
     if j >= _STORED_JO_FROM:
         return _tiffjo_item_formula(_STORED_JO_SPECS[j - _STORED_JO_FROM])
     if j >= _STORED_FAX_FROM:
