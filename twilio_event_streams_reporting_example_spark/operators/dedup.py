@@ -1085,34 +1085,33 @@ def _ngram_jaccard_oracle() -> str:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    # jaccard_pairs: per-doc shingle counts ride ALONG the rows via a
-    # doc-partitioned count window (round 12 — replaces a separate
-    # sizes aggregate plus two shuffle joins back onto the pair table:
-    # 4 exchanges for the section instead of 8; min() is exact because
-    # n_sh is constant per doc). The cache sits ABOVE the count window
-    # so the window and everything below it compute once and the
-    # self-join's two sides read the cached counted rows (measured
-    # round 12: relying on ReusedExchange instead of a cache is WORSE
-    # under AQE — adaptive replanning breaks subtree identity).
-    shn = track(
-        _shingles(docs, "doc_id", "text")
-        .selectExpr(
-            "doc_id", "shingle_hash",
-            "COUNT(*) OVER (PARTITION BY doc_id) AS n_sh",
-        )
-        .cache()
-    )
-    a = shn.selectExpr("doc_id AS doc_a", "shingle_hash", "n_sh AS n_a")
-    b = shn.selectExpr("doc_id AS doc_b", "shingle_hash", "n_sh AS n_b")
-    pair_rows = (
+    # jaccard_pairs: sizes as a SEPARATE tiny aggregate joined back
+    # onto the post-agg pair table — the round-11 shape, RESTORED in
+    # round 13 after an interleaved A/B (PLANS.md #19, round-13
+    # entry): round 12 fused the counts into a doc-partitioned count
+    # window riding the shingle rows, which cut the section's stage
+    # count but paid a full sort-exchange of the ENTIRE shingle table
+    # by doc_id — measured 1-2s SLOWER at sf0.1, and strictly worse
+    # at 100 TB (the window moves all shingle rows; the aggregate's
+    # map-side combine shuffles one row per (partition, doc), and the
+    # join-backs land on the far smaller pair aggregate, where AQE
+    # broadcasts the sizes side at bench scale and shuffle-joins at
+    # cluster scale — the adaptive right answer).
+    sh = track(_shingles(docs, "doc_id", "text").cache())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.selectExpr("doc_id AS doc_a", "shingle_hash")
+    b = sh.selectExpr("doc_id AS doc_b", "shingle_hash")
+    pairs = (
         a.join(b, ["shingle_hash"])
         .where("doc_a < doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.selectExpr("doc_id AS doc_a", "n_sh AS n_a")
+    sb = sizes.selectExpr("doc_id AS doc_b", "n_sh AS n_b")
+    pair_rows = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .selectExpr("*", "n_a + n_b - inter AS uni")
         .where(f"inter * 100 >= uni * {JACCARD_MIN_PCT}")
         .selectExpr(
