@@ -300,6 +300,19 @@ def test_span_family_single_island_chain(spark, sf_dir):
     assert len(lag_windows) == 2, f"{len(lag_windows)} island chains"
     fused = [ln for ln in lag_windows if "section" in ln]
     assert len(fused) == 1, "both dup sections must share ONE chain"
+    # jaccard_pairs sizes must stay a separate one-row-per-doc
+    # aggregate joined onto the pair table — NOT a count window riding
+    # the shingle rows (the round-12 shape: cut 4 stages but paid a
+    # second full exchange+sort of the entire shingle table by doc_id;
+    # measured and reverted in the round-13 A/B, PLANS.md #19).
+    count_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [count(1)" in ln and "doc_id" in ln
+    ]
+    assert not count_windows, (
+        "per-doc shingle counts regressed into a window over the "
+        f"shingle table: {count_windows[:1]}"
+    )
     from twilio_event_streams_reporting_example_spark.registry import (
         release_caches,
     )
