@@ -127,9 +127,20 @@ def encode_aiff(samples, sample_rate: int, bits: int = 16) -> bytes:
 
 
 def decode_aiff(payload: bytes):
-    """→ (samples int32 (n, channels), sample_rate, bits)."""
-    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
-        raise ValueError("not an AIFF stream")
+    """→ (samples int32 (n, channels), sample_rate, bits).
+
+    Accepts plain AIFF and AIFF-C (form type ``AIFC`` — the variant
+    every modern writer emits, including CPython's stdlib ``aifc``,
+    which is this path's external-conformance encoder): the AIFC COMM
+    chunk appends a 4-byte compression type + pascal-string name
+    after the 18-byte AIFF layout. Supported compressions: ``NONE``
+    (big-endian PCM, as AIFF), ``sowt`` (byte-swapped little-endian
+    PCM — the Apple-era variant common in the wild) and G.711
+    ``ulaw``/``ULAW``/``alaw``/``ALAW`` (one coded byte per sample,
+    expanded through the same published tables as the WAV and AU
+    branches). Anything else raises the documented ValueError gate."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFF-C stream")
     pos = 12
     end = 8 + struct.unpack(">L", payload[4:8])[0]
     comm = ssnd = None
@@ -146,10 +157,39 @@ def decode_aiff(payload: bytes):
         raise ValueError("AIFF: missing COMM or SSND chunk")
     channels, n_frames, bits = struct.unpack(">hLh", comm[:8])
     rate = f80_decode(comm[8:18])
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"AIFF: unsupported sample size {bits}")
+    comp = comm[18:22] if payload[8:12] == b"AIFC" and len(comm) >= 22 \
+        else b"NONE"
     offset, _block = struct.unpack(">LL", ssnd[:8])
     data = ssnd[8 + offset :]
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        from .multimodal import _g711_alaw_to_linear, _g711_ulaw_to_linear
+
+        coded = np.frombuffer(data, dtype=np.uint8)
+        lin = (
+            _g711_alaw_to_linear(coded)
+            if comp in (b"alaw", b"ALAW")
+            else _g711_ulaw_to_linear(coded)
+        )
+        n = min(lin.size // channels, n_frames) * channels
+        if n < n_frames * channels:
+            raise ValueError("AIFF-C: SSND shorter than COMM frame count")
+        return (
+            lin[:n].reshape(-1, channels).astype(np.int32),
+            int(round(rate)),
+            16,
+        )
+    if comp not in (b"NONE", b"sowt"):
+        raise ValueError(
+            f"AIFF-C: unsupported compression {comp!r} (supported: "
+            "NONE, sowt, ulaw/ULAW, alaw/ALAW)"
+        )
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"AIFF: unsupported sample size {bits}")
+    if comp == b"sowt":  # little-endian PCM: reverse each sample's bytes
+        nb = bits // 8
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: raw.size // nb * nb].reshape(-1, nb)[:, ::-1]
+        data = raw.tobytes()
     out = _be_pcm_unpack(data, bits, channels)[:n_frames]
     if out.shape[0] != n_frames:
         raise ValueError("AIFF: SSND shorter than COMM frame count")
