@@ -88,6 +88,23 @@ def test_stored_payloads_decode_to_closed_form(stored):
                 int(sums[1]) if ch == 2 else 0,
                 n * 10_000_000 + rate * 100 + bits,
             )
+        elif kind in ("aifc", "au"):
+            from twilio_event_streams_reporting_example_spark.operators.aiff import (
+                decode_aiff,
+                decode_au,
+            )
+
+            if kind == "aifc":
+                decoded, rate, _bits = decode_aiff(payload)
+            else:
+                decoded, rate, _name = decode_au(payload)
+            n, ch = decoded.shape
+            sums = decoded.astype(np.int64).sum(axis=0)
+            got = (
+                int(sums[0]),
+                int(sums[1]) if ch == 2 else 0,
+                n * 10_000_000 + rate * 100 + ch,
+            )
         else:
             decoded, rate = decode_real_media(payload, "audio/wav")
             n, ch = decoded.shape
@@ -105,7 +122,7 @@ def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
     assert kinds == {
         "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
-        "tiffmp", "tifffax", "tiffjo",
+        "tiffmp", "tifffax", "tiffjo", "aifc", "au",
     }
 
 
