@@ -47,6 +47,54 @@ def _cpu_probe() -> float:
 _LOAD_REFUSE_15MIN = 8.0  # 32-cpu box: 15-min load > 8 = co-tenant storm
 
 
+def refusal_payload(load15: float, sf) -> dict:
+    """The loadavg-refusal JSON. A refused run must still REPORT the
+    authoritative number: the committed quiet-window record
+    (BENCH_FULL.json, written only under --record). Rounds 12-13 both
+    refused and the driver board carried no usable bench number for two
+    rounds — so the refusal embeds the record's headline figures plus
+    provenance (probe, loadavg at record time, recorded_at) under
+    `committed_quiet_record`, making a refusal a pointer to the real
+    measurement rather than a void (round-13 judge ask #1). Top-level
+    `value` stays -1 and `queries` stays {} so nothing mistakes the
+    embedded record for a live run on this box."""
+    out = {
+        "metric": "total_query_wall_time",
+        "value": -1,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "refused": (
+            f"15-min loadavg {load15:.1f} > "
+            f"{_LOAD_REFUSE_15MIN}: this box is too loaded "
+            "for a meaningful record (rounds 10-11 lesson); "
+            "rerun when load decays or pass --force; see "
+            "committed_quiet_record for the authoritative numbers"
+        ),
+    }
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json",
+            )
+        ) as f:
+            rec = json.load(f)
+        out["committed_quiet_record"] = {
+            "source": "BENCH_FULL.json (committed, quiet-window)",
+            "value": rec.get("value"),
+            "cold_total": rec.get("cold_total"),
+            "cpu_probe_sec": rec.get("cpu_probe_sec"),
+            "sf": rec.get("sf"),
+            "loadavg_start": (rec.get("loadavg") or {}).get("start"),
+            "recorded_at": rec.get("recorded_at"),
+            "queries": rec.get("queries"),
+        }
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def budget_overages(
     live_queries: dict, live_probe: float, recorded: dict
 ) -> tuple[dict, float, float]:
@@ -131,23 +179,7 @@ def main() -> int:
     except OSError:
         load15 = 0.0
     if load15 > _LOAD_REFUSE_15MIN and not forced:
-        print(
-            json.dumps(
-                {
-                    "metric": "total_query_wall_time",
-                    "value": -1,
-                    "unit": "sec",
-                    "queries": {},
-                    "sf": sf,
-                    "refused": (
-                        f"15-min loadavg {load15:.1f} > "
-                        f"{_LOAD_REFUSE_15MIN}: this box is too loaded "
-                        "for a meaningful record (rounds 10-11 lesson); "
-                        "rerun when load decays or pass --force"
-                    ),
-                }
-            )
-        )
+        print(json.dumps(refusal_payload(load15, sf)))
         return 2
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -281,6 +313,9 @@ def main() -> int:
         "cpu_probe_sec": cpu_probe_sec,
         "rerun_outliers": rerun_outliers,
         "rerun_direction": rerun_direction,
+        # Provenance stamp surfaced by the refusal path so a refused
+        # driver run can point at exactly which record it substitutes.
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
 
     # Belt-and-braces copy for humans/judges even if stdout is mangled.

@@ -91,6 +91,32 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
     )
 
 
+def test_refusal_embeds_committed_quiet_record():
+    """Rounds 12-13: both driver bench artifacts were refusals carrying
+    no numbers at all. The refusal payload must now embed the committed
+    BENCH_FULL.json headline figures + provenance, while keeping the
+    top-level sentinel shape (value -1, empty queries) so a refusal can
+    never be mistaken for a live run."""
+    sys.path.insert(0, _REPO)
+    from bench import refusal_payload
+
+    d = refusal_payload(9.1, 0.1)
+    # sentinel contract unchanged
+    assert d["value"] == -1 and d["queries"] == {}
+    assert "committed_quiet_record" in d["refused"]
+    # the embedded record mirrors the committed artifact
+    with open(os.path.join(_REPO, "BENCH_FULL.json")) as f:
+        rec = json.load(f)
+    emb = d["committed_quiet_record"]
+    assert emb["value"] == rec["value"] > 0
+    assert emb["cold_total"] == rec["cold_total"] > 0
+    assert emb["cpu_probe_sec"] == rec["cpu_probe_sec"]
+    assert emb["queries"] == rec["queries"]
+    assert emb["sf"] == rec["sf"]
+    # and the whole thing still renders as one JSON line
+    assert "\n" not in json.dumps(d)
+
+
 def _synthetic_record():
     """A recorded BENCH_FULL shape mirroring real magnitudes: mostly
     sub-second warm queries, one cold-overhead-dominated one

@@ -13,8 +13,10 @@ always-on fast path, so an entry-point exception can never again
 reach a snapshot without a red test.
 """
 
+import builtins
 import importlib
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -58,8 +60,49 @@ def test_worker_side_spec_code_executes():
         m = mm._stored_payload_formula(j)
         assert len(m) == 3
     # one oracle-rows render per VALUES-backed family that f-strings
-    # into oracle_sql() — a raise here is exactly the r12 blast radius
-    assert mm._ccitt_oracle_rows().count("(") == mm.CCITT_N_ITEMS
+    # into oracle_sql() — a raise here is exactly the r12 blast
+    # radius. Count ROW-LEADING markers `(k, ` rather than every
+    # parenthesis, so a future value rendered with parens can't
+    # silently break the invariant's meaning (round-13 advisor note).
+    rows_txt = mm._ccitt_oracle_rows()
+    row_ids = [
+        int(m) for m in re.findall(r"(?m)^\s*\((\d+),", rows_txt)
+    ]
+    assert row_ids == list(range(mm.CCITT_N_ITEMS))
+
+
+def test_fixture_rows_survive_pep594_removal(monkeypatch):
+    """On Python >=3.13, aifc/sunau no longer exist (PEP 594) — the
+    third-party stored items 92-95 must then come from the committed
+    parquet, byte-identical to the builder output, so the always-on
+    entry smoke passes rather than errors on such a host. Simulate the
+    removal by making those imports raise."""
+    mm = importlib.import_module(
+        "twilio_event_streams_reporting_example_spark.operators.multimodal"
+    )
+    want = {
+        j: (k, p)
+        for j, k, p in mm.media_fixture_rows()
+        if j >= mm._STORED_XAU_FROM
+    }
+
+    real_import = builtins.__import__
+
+    def no_pep594(name, *a, **kw):
+        if name in ("aifc", "sunau", "audioop"):
+            raise ImportError(f"No module named {name!r} (simulated 3.13)")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_pep594)
+    mm._STORED_AT_REST_CACHE.clear()
+    try:
+        rows = mm.media_fixture_rows()
+    finally:
+        monkeypatch.undo()
+        mm._STORED_AT_REST_CACHE.clear()
+    got = {j: (k, p) for j, k, p in rows if j >= mm._STORED_XAU_FROM}
+    assert got == want, "parquet fallback must serve identical bytes"
+    assert len(rows) == mm.STORED_N_ITEMS
 
 
 def test_oracle_sql_renders_ccitt_window():

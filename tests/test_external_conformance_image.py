@@ -1,0 +1,276 @@
+"""External conformance, IMAGE side: cross this repo's PNG/TIFF codecs
+with the two reference C implementations the box ships as shared
+libraries — libpng 1.6 (simplified read/write API) and libtiff 6
+(TIFFOpen/TIFFReadScanline/TIFFWriteScanline) — in BOTH directions:
+
+  libpng/libtiff-encoded bytes -> our decoder   (container + filter +
+                                                 LZW/predictor layout)
+  our-encoded bytes -> libpng/libtiff decoder   (external decodability:
+                                                 all five PNG scanline
+                                                 filters, TIFF LZW /
+                                                 Deflate / PackBits /
+                                                 predictor-2, and the
+                                                 CCITT G3/G4 fax coder
+                                                 read back by libtiff's
+                                                 own fax decoder)
+
+This is the image analogue of tests/test_external_conformance.py
+(round-13 stdlib audio crossing); the round-14 stored fixture items
+96-101 certify the same encoders on data at rest. Skips cleanly when
+the shared libraries are absent (PLANS.md #24 records the environment
+probe: no Python imaging package, no CLI encoder — the .so files are
+the only independent producers on the box).
+"""
+
+import ctypes
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+try:
+    _libpng = ctypes.CDLL("libpng16.so.16")
+except OSError:  # pragma: no cover - env-dependent
+    _libpng = None
+try:
+    _libtiff = ctypes.CDLL("libtiff.so.6")
+except OSError:  # pragma: no cover - env-dependent
+    _libtiff = None
+
+from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+    _libpng_encode,
+    _libtiff_encode,
+    _PngImageStruct,
+    decode_png,
+    encode_png,
+)
+from twilio_event_streams_reporting_example_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+)
+
+requires_libpng = pytest.mark.skipif(_libpng is None, reason="no libpng16")
+requires_libtiff = pytest.mark.skipif(_libtiff is None, reason="no libtiff")
+
+
+def _grad(h, w, ch, mod=256, dtype=np.uint8, k=0):
+    a = np.empty((h, w, ch), dtype=dtype)
+    for c in range(ch):
+        yy = np.arange(h, dtype=np.int64)[:, None]
+        xx = np.arange(w, dtype=np.int64)[None, :]
+        a[:, :, c] = ((yy * 7 + xx * (3 + c) + c * 29 + k * 11) % mod).astype(dtype)
+    return a
+
+
+# ---------------- libpng -> our PNG decoder ----------------
+
+@requires_libpng
+@pytest.mark.parametrize(
+    "fmt,ch,mod,dtype",
+    [
+        (0, 1, 256, np.uint8),    # PNG_FORMAT_GRAY
+        (2, 3, 256, np.uint8),    # PNG_FORMAT_RGB
+        (3, 4, 256, np.uint8),    # PNG_FORMAT_RGBA
+        (6, 3, 65536, np.uint16), # PNG_FORMAT_LINEAR_RGB (16-bit)
+    ],
+)
+def test_libpng_written_png_decodes_bit_exact(fmt, ch, mod, dtype):
+    src = _grad(21, 33, ch, mod, dtype, k=fmt)
+    payload = _libpng_encode(src, fmt)
+    got = decode_png(payload)
+    assert got.shape == (21, 33, ch)
+    assert got.dtype == dtype
+    assert np.array_equal(got, src)
+
+
+# ---------------- our PNG encoder -> libpng reader ----------------
+
+def _libpng_read_rgb(payload: bytes):
+    """Decode a PNG with libpng's simplified read API, requesting
+    8-bit RGB output."""
+    PngImage = _PngImageStruct.get()
+    begin = _libpng.png_image_begin_read_from_memory
+    begin.restype = ctypes.c_int
+    begin.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    finish = _libpng.png_image_finish_read
+    finish.restype = ctypes.c_int
+    finish.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p,
+    ]
+    img = PngImage()
+    img.version = 1
+    if not begin(ctypes.byref(img), payload, len(payload)):
+        raise RuntimeError(f"libpng begin_read: {bytes(img.message)!r}")
+    img.format = 2  # PNG_FORMAT_RGB
+    h, w = img.height, img.width
+    buf = np.empty((h, w, 3), dtype=np.uint8)
+    if not finish(
+        ctypes.byref(img), None,
+        buf.ctypes.data_as(ctypes.c_void_p), 0, None,
+    ):
+        raise RuntimeError(f"libpng finish_read: {bytes(img.message)!r}")
+    return buf
+
+
+@requires_libpng
+def test_our_png_reads_back_through_libpng():
+    """encode_png cycles ALL FIVE scanline filters (row y uses filter
+    y % 5) — libpng reading it bit-exactly certifies every filter
+    writer against the reference unfilter implementation."""
+    src = _grad(25, 19, 3)  # 25 rows: each filter exercised 5 times
+    got = _libpng_read_rgb(encode_png(src))
+    assert np.array_equal(got, src)
+
+
+# ---------------- libtiff -> our TIFF decoder ----------------
+
+@requires_libtiff
+def test_libtiff_lzw_rgb_decodes_bit_exact():
+    src = _grad(18, 37, 3)
+    payload = _libtiff_encode(src, 0)
+    got = decode_tiff(payload)
+    assert np.array_equal(got, src)
+
+
+@requires_libtiff
+def test_libtiff_lzw_predictor2_gray_decodes_bit_exact():
+    src = _grad(16, 29, 1)
+    payload = _libtiff_encode(src, 2)
+    got = decode_tiff(payload)  # gray expands to 3 equal channels
+    assert got.shape == (16, 29, 3)
+    for c in range(3):
+        assert np.array_equal(got[:, :, c], src[:, :, 0])
+
+
+# ---------------- our TIFF encoder -> libtiff reader ----------------
+
+def _tiff_getfield_u32(tif, tag: int) -> int:
+    gf = _libtiff.TIFFGetField
+    gf.restype = ctypes.c_int
+    out = ctypes.c_uint32(0)
+    assert gf(tif, ctypes.c_uint32(tag), ctypes.byref(out)) == 1
+    return out.value
+
+
+def _libtiff_read_scanlines(payload: bytes):
+    """Read a (strip-based) TIFF with libtiff: returns (h, w, spp,
+    bits, rows) where rows[y] is the DECODED scanline bytes (libtiff
+    has applied decompression, predictor, and fax decoding)."""
+    _libtiff.TIFFSetErrorHandler(None)
+    _libtiff.TIFFSetWarningHandler(None)
+    _libtiff.TIFFOpen.restype = ctypes.c_void_p
+    _libtiff.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.write(fd, payload)
+    os.close(fd)
+    try:
+        tif = ctypes.c_void_p(_libtiff.TIFFOpen(path.encode(), b"r"))
+        assert tif, "libtiff refused to open our TIFF"
+        w = _tiff_getfield_u32(tif, 256)
+        h = _tiff_getfield_u32(tif, 257)
+        ssize = _libtiff.TIFFScanlineSize(tif)
+        rs = _libtiff.TIFFReadScanline
+        rs.restype = ctypes.c_int
+        rs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint16,
+        ]
+        rows = []
+        for y in range(h):
+            buf = ctypes.create_string_buffer(ssize)
+            assert rs(tif, buf, y, 0) == 1, f"libtiff scanline {y}"
+            rows.append(buf.raw)
+        _libtiff.TIFFClose.argtypes = [ctypes.c_void_p]
+        _libtiff.TIFFClose(tif)
+        return h, w, rows
+    finally:
+        os.unlink(path)
+
+
+@requires_libtiff
+@pytest.mark.parametrize(
+    "compression,predictor,big_endian",
+    [
+        (5, 1, False),   # LZW
+        (5, 2, False),   # LZW + horizontal differencing
+        (5, 2, True),    # LZW + predictor, big-endian container
+        (8, 1, False),   # Adobe Deflate
+        (8, 2, False),   # Deflate + predictor
+        (32773, 1, False),  # PackBits
+    ],
+)
+def test_our_compressed_tiff_reads_back_through_libtiff(
+    compression, predictor, big_endian
+):
+    """Our §13 LZW (early-change), Deflate and §9 PackBits WRITERS,
+    with and without predictor 2, decoded by the canonical libtiff
+    implementation — a shared encode/decode misconception in our LZW
+    pair cannot survive this."""
+    src = _grad(17, 23, 3, k=compression % 7)
+    payload = encode_tiff(
+        src, photometric=2, big_endian=big_endian,
+        rows_per_strip=5, compression=compression, predictor=predictor,
+    )
+    h, w, rows = _libtiff_read_scanlines(payload)
+    assert (h, w) == (17, 23)
+    got = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(17, 23, 3)
+    assert np.array_equal(got, src)
+
+
+def _fax_bitmap(h, w, k=0):
+    """Deterministic bilevel page with fax-typical run structure."""
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
+    return (((xx // (3 + (yy + k) % 5)) + yy // 2) % 2).astype(np.uint8)
+
+
+@requires_libtiff
+@pytest.mark.parametrize(
+    "compression,t4_options",
+    [
+        (2, 0),  # CCITT MH (modified Huffman)
+        (3, 0),  # G3 1-D
+        (3, 1),  # G3 2-D
+        (4, 0),  # G4 / MMR
+    ],
+)
+def test_our_ccitt_fax_reads_back_through_libtiff(
+    compression, t4_options
+):
+    """Our ITU-T T.4/T.6 fax ENCODER decoded by libtiff's own fax
+    codec (the reference implementation every fax TIFF in the wild is
+    read with). Photometric 0 (WhiteIsZero): bitmap 1 = black.
+
+    The T.4 §2.2.5 UNCOMPRESSED-mode variants are deliberately absent:
+    libtiff's fax decoder does not implement that optional extension
+    (Fax3Decode1D reports "Bad code word" at the 0000001111 entry
+    codeword — verified on this box, libtiff 6.0) — those encodings
+    are certified against the spec grid (ccitt items 48-71) and our
+    own decoder instead."""
+    bm = _fax_bitmap(20, 41, k=compression)
+    payload = encode_tiff(
+        bm, photometric=0, compression=compression,
+        t4_options=t4_options,
+    )
+    h, w, rows = _libtiff_read_scanlines(payload)
+    assert (h, w) == (20, 41)
+    packed = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    stride = (41 + 7) // 8
+    bits = np.unpackbits(packed.reshape(20, stride), axis=1)[:, :41]
+    assert np.array_equal(bits, bm)
+
+
+@requires_libtiff
+def test_our_gray_tiff_reads_back_through_libtiff():
+    src = _grad(13, 31, 1)
+    payload = encode_tiff(
+        src[:, :, 0], photometric=1, compression=5, predictor=2
+    )
+    h, w, rows = _libtiff_read_scanlines(payload)
+    assert (h, w) == (13, 31)
+    got = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(13, 31)
+    assert np.array_equal(got, src[:, :, 0])

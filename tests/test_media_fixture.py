@@ -51,6 +51,17 @@ def test_stored_payloads_decode_to_closed_form(stored):
             decoded = decode_real_media(payload, mime)
             sums = decoded.astype(np.int64).sum(axis=(0, 1))
             got = (int(sums[0]), int(sums[1]), int(sums[2]))
+        elif kind in ("xpng", "xtif"):
+            mime = "image/png" if kind == "xpng" else "image/tiff"
+            decoded = decode_real_media(payload, mime)
+            hh, ww, cc = decoded.shape
+            sums = decoded.astype(np.int64).sum(axis=(0, 1))
+            got = (
+                int(sums[0]),
+                int(sums[cc - 1]),
+                hh * 1_000_000 + ww * 1000 + cc * 10
+                + int(decoded.dtype == np.uint16),
+            )
         elif kind == "tifffax":
             decoded = decode_real_media(payload, "image/tiff")
             gray = decoded[:, :, 0].astype(np.int64)
@@ -122,7 +133,7 @@ def test_fixture_covers_all_kinds(stored):
     kinds = {k for k, _ in stored.values()}
     assert kinds == {
         "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
-        "tiffmp", "tifffax", "tiffjo", "aifc", "au",
+        "tiffmp", "tifffax", "tiffjo", "aifc", "au", "xpng", "xtif",
     }
 
 
@@ -138,5 +149,19 @@ def test_preexisting_items_byte_stable(stored):
     assert h.hexdigest() == PRE_FLAC_MD5
 
 
+def test_pre_round14_items_byte_stable(stored):
+    """Items 0-95 predate the round-14 third-party IMAGE append
+    (libpng/libtiff items 96-101); md5 of their concatenation was
+    recorded from the round-13 committed fixture at append time."""
+    import hashlib
+
+    h = hashlib.md5()
+    for j in range(96):
+        h.update(stored[j][1])
+    assert h.hexdigest() == PRE_XIMG_MD5
+
+
 # recorded from the round-8 committed fixture before the FLAC append
 PRE_FLAC_MD5 = "cb04db721f7214e8ab025d8eb3b035df"
+# recorded from the round-13 committed fixture before the image append
+PRE_XIMG_MD5 = "1b4c721fc31ecf70c07f1891c10312b9"

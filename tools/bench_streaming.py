@@ -43,6 +43,120 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def spool_sparse_touch(spark, outdir: str, n_dormant: int, n_active: int,
+                       n_batches: int, pad_len: int = 2000) -> int:
+    """Sparse-touch corpus: ``n_dormant`` tasks open (entered/
+    created/accepted) in batch 0 with FAT attributes (``pad_len`` bytes, default ~2 KB) and
+    never move again inside the run's event-time horizon, while
+    ``n_active`` tasks run full 5-event lifecycles spread over
+    the remaining batches. Every micro-batch touches nearly
+    every shard, but only the active tasks' state changes — the
+    shape where the blob shard re-serializes all co-resident
+    dormant fat state per batch and MapState rewrites only the
+    touched entries. Returns total event count."""
+    from pyspark.sql import functions as F
+
+    from twilio_event_streams_reporting_example_spark.session import (
+        scale_input_partitions,
+    )
+    from twilio_event_streams_reporting_example_spark.taskrouter.scale import (
+        BASE_EPOCH_S,
+    )
+
+    fat = json.dumps(
+        {"direction": "inbound", "pad": "x" * pad_len,
+         "conversations": {"channel": "Call"}}
+    )
+    np_ = scale_input_partitions(spark)
+
+    def emit(df, batch_idx):
+        path = os.path.join(outdir, f"b{batch_idx:03d}")
+        # 8 files per batch dir + maxFilesPerTrigger=8 in the
+        # reader => one micro-batch per dir, deterministically
+        df.coalesce(8).write.text(path)
+        mt = 1_700_000_000 + batch_idx * 10
+        for fn_ in os.listdir(path):
+            p = os.path.join(path, fn_)
+            os.utime(p, (mt, mt))
+
+    def payload(i, et, ts_expr, slot):
+        p = F.struct(
+            F.lit(et).alias("eventtype"),
+            F.date_format(ts_expr, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+                "timestamp"
+            ),
+            F.concat(F.lit("SPT-"), i).alias("task_sid"),
+            F.concat(F.lit("SPR-"), i).alias("reservation_sid"),
+            F.concat(F.lit("SPW-"), i % 50).alias("worker_sid"),
+            F.lit(fat).alias("task_attributes"),
+            F.lit("voice").alias("task_channel_unique_name"),
+            F.lit("Main").alias("workflow_name"),
+            F.lit("Support").alias("task_queue_name"),
+            F.lit("WQ-1").alias("task_queue_sid"),
+        )
+        env = F.struct(
+            F.concat(F.lit(f"SP-{et}-{slot}-"), i).alias("id"),
+            F.lit(f"com.twilio.taskrouter.{et}").alias("type"),
+            F.struct(p.alias("payload")).alias("data"),
+        )
+        return F.to_json(env)
+
+    # batch 0: dormant opens (3 events each, second-spread)
+    d = spark.range(0, n_dormant, 1, numPartitions=np_).select(
+        F.col("id").alias("i")
+    )
+    i = F.col("i")
+    t0 = F.timestamp_millis((F.lit(BASE_EPOCH_S)) * 1000 + i % 60_000)
+    rows = None
+    for slot, (et, off) in enumerate(
+        [("task-queue.entered", 0), ("reservation.created", 500),
+         ("reservation.accepted", 1500)]
+    ):
+        part = d.select(
+            payload(
+                i, et,
+                F.timestamp_millis(
+                    F.lit(BASE_EPOCH_S * 1000) + i % 60_000 + off
+                ),
+                slot,
+            ).alias("value")
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    emit(rows, 0)
+
+    # batches 1..n: active lifecycles, each task fully inside its
+    # batch window (window w starts at +90s + w*20s — inside the
+    # dormant deadlines' 10-minute horizon, so dormant state stays
+    # resident the whole run)
+    per = max(1, n_active // (n_batches - 1))
+    for b in range(1, n_batches):
+        lo, hi = (b - 1) * per, min(b * per, n_active)
+        if lo >= hi:
+            break
+        a = spark.range(n_dormant + lo, n_dormant + hi, 1,
+                        numPartitions=np_).select(F.col("id").alias("i"))
+        base_ms = (BASE_EPOCH_S + 90 + (b - 1) * 20) * 1000
+        rows = None
+        for slot, (et, off) in enumerate(
+            [("task-queue.entered", 0), ("reservation.created", 200),
+             ("reservation.accepted", 900),
+             ("reservation.completed", 4000),
+             ("reservation.wrapup", 5000)]
+        ):
+            part = a.select(
+                payload(
+                    F.col("i"), et,
+                    F.timestamp_millis(
+                        F.lit(base_ms) + (F.col("i") % 1000) + off
+                    ),
+                    slot,
+                ).alias("value")
+            )
+            rows = part if rows is None else rows.unionByName(part)
+        emit(rows, b)
+    return n_dormant * 3 + n_active * 5
+
+
 def main() -> int:
     from twilio_event_streams_reporting_example_spark.session import get_spark
     from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
@@ -244,118 +358,6 @@ def main() -> int:
                 }
             pipelines[name] = rec
 
-        def spool_sparse_touch(outdir: str, n_dormant: int, n_active: int,
-                               n_batches: int) -> int:
-            """Sparse-touch corpus: ``n_dormant`` tasks open (entered/
-            created/accepted) in batch 0 with FAT attributes (~2 KB) and
-            never move again inside the run's event-time horizon, while
-            ``n_active`` tasks run full 5-event lifecycles spread over
-            the remaining batches. Every micro-batch touches nearly
-            every shard, but only the active tasks' state changes — the
-            shape where the blob shard re-serializes all co-resident
-            dormant fat state per batch and MapState rewrites only the
-            touched entries. Returns total event count."""
-            from pyspark.sql import functions as F
-
-            from twilio_event_streams_reporting_example_spark.session import (
-                scale_input_partitions,
-            )
-            from twilio_event_streams_reporting_example_spark.taskrouter.scale import (
-                BASE_EPOCH_S,
-            )
-
-            fat = json.dumps(
-                {"direction": "inbound", "pad": "x" * 2000,
-                 "conversations": {"channel": "Call"}}
-            )
-            np_ = scale_input_partitions(spark)
-
-            def emit(df, batch_idx):
-                path = os.path.join(outdir, f"b{batch_idx:03d}")
-                # 8 files per batch dir + maxFilesPerTrigger=8 in the
-                # reader => one micro-batch per dir, deterministically
-                df.coalesce(8).write.text(path)
-                mt = 1_700_000_000 + batch_idx * 10
-                for fn_ in os.listdir(path):
-                    p = os.path.join(path, fn_)
-                    os.utime(p, (mt, mt))
-
-            def payload(i, et, ts_expr, slot):
-                p = F.struct(
-                    F.lit(et).alias("eventtype"),
-                    F.date_format(ts_expr, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
-                        "timestamp"
-                    ),
-                    F.concat(F.lit("SPT-"), i).alias("task_sid"),
-                    F.concat(F.lit("SPR-"), i).alias("reservation_sid"),
-                    F.concat(F.lit("SPW-"), i % 50).alias("worker_sid"),
-                    F.lit(fat).alias("task_attributes"),
-                    F.lit("voice").alias("task_channel_unique_name"),
-                    F.lit("Main").alias("workflow_name"),
-                    F.lit("Support").alias("task_queue_name"),
-                    F.lit("WQ-1").alias("task_queue_sid"),
-                )
-                env = F.struct(
-                    F.concat(F.lit(f"SP-{et}-{slot}-"), i).alias("id"),
-                    F.lit(f"com.twilio.taskrouter.{et}").alias("type"),
-                    F.struct(p.alias("payload")).alias("data"),
-                )
-                return F.to_json(env)
-
-            # batch 0: dormant opens (3 events each, second-spread)
-            d = spark.range(0, n_dormant, 1, numPartitions=np_).select(
-                F.col("id").alias("i")
-            )
-            i = F.col("i")
-            t0 = F.timestamp_millis((F.lit(BASE_EPOCH_S)) * 1000 + i % 60_000)
-            rows = None
-            for slot, (et, off) in enumerate(
-                [("task-queue.entered", 0), ("reservation.created", 500),
-                 ("reservation.accepted", 1500)]
-            ):
-                part = d.select(
-                    payload(
-                        i, et,
-                        F.timestamp_millis(
-                            F.lit(BASE_EPOCH_S * 1000) + i % 60_000 + off
-                        ),
-                        slot,
-                    ).alias("value")
-                )
-                rows = part if rows is None else rows.unionByName(part)
-            emit(rows, 0)
-
-            # batches 1..n: active lifecycles, each task fully inside its
-            # batch window (window w starts at +90s + w*20s — inside the
-            # dormant deadlines' 10-minute horizon, so dormant state stays
-            # resident the whole run)
-            per = max(1, n_active // (n_batches - 1))
-            for b in range(1, n_batches):
-                lo, hi = (b - 1) * per, min(b * per, n_active)
-                if lo >= hi:
-                    break
-                a = spark.range(n_dormant + lo, n_dormant + hi, 1,
-                                numPartitions=np_).select(F.col("id").alias("i"))
-                base_ms = (BASE_EPOCH_S + 90 + (b - 1) * 20) * 1000
-                rows = None
-                for slot, (et, off) in enumerate(
-                    [("task-queue.entered", 0), ("reservation.created", 200),
-                     ("reservation.accepted", 900),
-                     ("reservation.completed", 4000),
-                     ("reservation.wrapup", 5000)]
-                ):
-                    part = a.select(
-                        payload(
-                            F.col("i"), et,
-                            F.timestamp_millis(
-                                F.lit(base_ms) + (F.col("i") % 1000) + off
-                            ),
-                            slot,
-                        ).alias("value")
-                    )
-                    rows = part if rows is None else rows.unionByName(part)
-                emit(rows, b)
-            return n_dormant * 3 + n_active * 5
 
         def run_sparse(name: str, build, indir: str, n_events: int):
             pipelines[name] = _timed_runs(
@@ -399,7 +401,7 @@ def main() -> int:
         sp_dormant = int(os.environ.get("SPARK_GRAFT_SPARSE_DORMANT", "50000"))
         sp_active = int(os.environ.get("SPARK_GRAFT_SPARSE_ACTIVE", "10000"))
         sp_dir = os.path.join(work, "sparse_in")
-        sp_events = spool_sparse_touch(sp_dir, sp_dormant, sp_active, 20)
+        sp_events = spool_sparse_touch(spark, sp_dir, sp_dormant, sp_active, 20)
         run_sparse(
             "lifecycle_sparse_touch",
             lambda ev: conversation_segments_stream(ev, buckets=1024),

@@ -1709,7 +1709,7 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 96  # see the range map below
+STORED_N_ITEMS = 102  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
 _STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
 _STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
@@ -1724,6 +1724,12 @@ _STORED_XAU_FROM = 92  # 92-95: THIRD-PARTY-produced bytes (r13): AIFF-C
 #   and Sun AU written by CPython's independent stdlib codecs
 #   (aifc/sunau/audioop) — NONE + ulaw each; the one fixture class not
 #   produced by this repo's own encoders (the standing judge gap)
+_STORED_XIMG_FROM = 96  # 96-101: THIRD-PARTY-produced IMAGE bytes
+#   (r14): PNG written by libpng 1.6 (the reference implementation,
+#   via its simplified write API over ctypes — gray8/RGB8/RGBA8/
+#   linear-RGB16) and TIFF written by libtiff 6 (LZW RGB + LZW
+#   predictor-2 gray via TIFFWriteScanline) — closing the image side
+#   of the self-produced-bytes gap the way r13 closed audio
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1744,16 +1750,32 @@ def media_fixture_rows() -> list:
     coding modes plus FillOrder-2 variants), items 86-87 APPENDED
     old-style JPEG-in-TIFF (§22 interchange, photometric 6 and 2) and
     items 88-91 APPENDED T.4 §2.2.5 uncompressed-mode fax TIFFs
-    (round 13 — ccitt items 48..51) and items 92-95 APPENDED
+    (round 13 — ccitt items 48..51), items 92-95 APPENDED
     THIRD-PARTY-produced AIFF-C/AU payloads (round 13 — written by
     CPython's independent stdlib aifc/sunau/audioop codecs, NONE +
-    ulaw each: the one fixture class whose bytes this repo's encoders
-    did NOT produce) — each new kind certified on data at rest
-    without disturbing the earlier items' committed bytes."""
+    ulaw each) and items 96-101 APPENDED THIRD-PARTY-produced IMAGE
+    payloads (round 14 — PNG written by libpng 1.6's simplified API,
+    gray8/RGB8/RGBA8/linear-RGB16, and LZW TIFF written by libtiff 6,
+    RGB + predictor-2 gray, both over ctypes: the image analogue of
+    the r13 stdlib-audio items) — each new kind certified on data at
+    rest without disturbing the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
         if j >= _STORED_XAU_FROM:
-            kind, payload = _xaudio_payload(j - _STORED_XAU_FROM)
+            try:
+                if j >= _STORED_XIMG_FROM:
+                    kind, payload = _ximage_payload(j - _STORED_XIMG_FROM)
+                else:
+                    kind, payload = _xaudio_payload(j - _STORED_XAU_FROM)
+            except (ImportError, OSError):
+                # The third-party producer is absent at runtime:
+                # aifc/sunau are gone on Python >=3.13 (PEP 594), and
+                # libpng16/libtiff may not be installed. The bytes are
+                # pinned in the committed parquet, so serve these items
+                # from data at rest; only REBUILDING the fixture needs
+                # the producers (tests/test_media_fixture.py asserts
+                # stored == rebuilt wherever rebuild is possible).
+                kind, payload = _stored_at_rest(j)
             rows.append((j, kind, payload))
             continue
         if j >= _STORED_FAXU_FROM:
@@ -1891,6 +1913,33 @@ def _xaudio_payload(k: int) -> tuple:
     return kind, buf.getvalue()
 
 
+_STORED_AT_REST_CACHE: dict = {}
+
+
+def _stored_at_rest(j: int) -> tuple:
+    """(kind, payload) for stored item j read from the COMMITTED
+    parquet — the fallback path when a third-party producer is absent
+    at runtime (aifc/sunau gone on Python >=3.13 per PEP 594;
+    libpng16/libtiff shared libraries not installed). One pyarrow
+    read, cached; the bytes are md5-pinned by
+    tests/test_media_fixture.py so this is exactly the data the
+    builder wrote on a host that HAD the producers."""
+    if not _STORED_AT_REST_CACHE:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            MEDIA_FIXTURE_PATH, columns=["item_id", "kind", "payload"]
+        )
+        for i, k, p in zip(
+            t.column("item_id").to_pylist(),
+            t.column("kind").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            if i >= _STORED_XAU_FROM:
+                _STORED_AT_REST_CACHE[i] = (k, p)
+    return _STORED_AT_REST_CACHE[j]
+
+
 def _xaudio_formula(k: int):
     """(ch0 sum, ch1 sum|0, n*10_000_000 + rate*100 + ch) for
     third-party-encoded item k — pure closed-form signal math (the
@@ -1900,6 +1949,243 @@ def _xaudio_formula(k: int):
     s0 = sum(_xaudio_sample(k, 0, t) for t in range(n))
     s1 = sum(_xaudio_sample(k, 1, t) for t in range(n)) if ch == 2 else 0
     return s0, s1, n * 10_000_000 + rate * 100 + ch
+
+
+# -------- third-party IMAGE producers (stored items 96-101) ---------------
+#
+# Round-13 closed the "all fixture bytes are self-produced" gap for
+# audio via CPython's stdlib codecs; this is the image analogue. The
+# environment ships no Python imaging package and no CLI encoder
+# (PLANS.md #24 records the probe), but it DOES ship the two reference
+# C implementations as shared libraries: libpng 1.6.39 (simplified
+# write API, png.h `png_image_write_to_memory`) and libtiff 6.0
+# (TIFFOpen/TIFFSetField/TIFFWriteScanline). Binding them with ctypes
+# gives genuinely independent producers: libpng picks its own scanline
+# filters and zlib strategy; libtiff runs its own LZW coder (with
+# horizontal-differencing predictor on one item) — so decoding these
+# payloads crosses our PNG unfiltering + inflate path and our TIFF
+# §13 LZW + predictor path against the canonical encoders, on data at
+# rest. libjpeg is also present but REJECTED as a producer: its error
+# contract is a longjmp out of the library (default error_exit calls
+# exit()), which cannot be honored safely from a ctypes binding in the
+# Spark driver/worker process. Rebuild needs the shared libraries;
+# the query path reads the committed parquet (same gating as the
+# PEP-594 audio items).
+
+
+def _ximage_spec(k: int):
+    """(kind, variant, h, w, decoded_ch, is16) for third-party image
+    item k (0-5). `decoded_ch` is the channel count OUR decoder
+    returns (gray TIFF expands to 3; gray PNG stays 1)."""
+    return (
+        ("xpng", "gray8", 17, 23, 1, 0),
+        ("xpng", "rgb8", 19, 21, 3, 0),
+        ("xpng", "rgba8", 16, 16, 4, 0),
+        ("xpng", "rgb16", 11, 13, 3, 1),
+        ("xtif", "lzw_rgb", 15, 40, 3, 0),
+        ("xtif", "lzw_pred2_gray", 14, 33, 3, 0),
+    )[k]
+
+
+def _ximage_sample(k: int, y: int, x: int, c: int) -> int:
+    """Pixel value at (y, x, channel c) for item k — closed-form
+    integer math shared by the encoder input and the oracle, chosen so
+    every scanline differs (libpng's filter heuristics and libtiff's
+    LZW+predictor both get real work, not constant rows)."""
+    _kind, variant, _h, _w, _ch, is16 = _ximage_spec(k)
+    m = 65536 if is16 else 256
+    return (y * (7 + 4092 * is16) + x * (3 + c) + c * 29 + k * 11) % m
+
+
+def _ximage_pixels(k: int):
+    """The full pixel array for item k as the SOURCE channel layout
+    (before any decoder-side gray→RGB expansion)."""
+    import numpy as np
+
+    _kind, variant, h, w, _dch, is16 = _ximage_spec(k)
+    src_ch = {"gray8": 1, "rgb8": 3, "rgba8": 4, "rgb16": 3,
+              "lzw_rgb": 3, "lzw_pred2_gray": 1}[variant]
+    dt = np.uint16 if is16 else np.uint8
+    a = np.empty((h, w, src_ch), dtype=dt)
+    for c in range(src_ch):
+        yy = np.arange(h, dtype=np.int64)[:, None]
+        xx = np.arange(w, dtype=np.int64)[None, :]
+        a[:, :, c] = (
+            (yy * (7 + 4092 * is16) + xx * (3 + c) + c * 29 + k * 11)
+            % (65536 if is16 else 256)
+        ).astype(dt)
+    return a
+
+
+class _PngImageStruct:
+    """Lazy ctypes struct holder — built on first use so importing
+    this module never touches ctypes."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            import ctypes
+
+            class PngImage(ctypes.Structure):
+                # png.h png_image, PNG_IMAGE_VERSION 1 (libpng 1.6)
+                _fields_ = [
+                    ("opaque", ctypes.c_void_p),
+                    ("version", ctypes.c_uint32),
+                    ("width", ctypes.c_uint32),
+                    ("height", ctypes.c_uint32),
+                    ("format", ctypes.c_uint32),
+                    ("flags", ctypes.c_uint32),
+                    ("colormap_entries", ctypes.c_uint32),
+                    ("warning_or_error", ctypes.c_uint32),
+                    ("message", ctypes.c_char * 64),
+                ]
+
+            cls._cls = PngImage
+        return cls._cls
+
+
+def _libpng_encode(arr, fmt: int) -> bytes:
+    """Encode a numpy image with libpng's simplified write API
+    (png_image_write_to_memory, png.h): size-probe call with
+    memory=NULL, then the real write. Raises OSError when libpng16 is
+    not loadable (callers fall back to the committed parquet)."""
+    import ctypes
+
+    lib = ctypes.CDLL("libpng16.so.16")  # OSError if absent
+    PngImage = _PngImageStruct.get()
+    fn = lib.png_image_write_to_memory
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    import numpy as np
+
+    buf = np.ascontiguousarray(arr)
+
+    def call(mem, size):
+        img = PngImage()
+        img.version = 1  # PNG_IMAGE_VERSION
+        img.height, img.width = arr.shape[0], arr.shape[1]
+        img.format = fmt
+        ok = fn(ctypes.byref(img), mem, ctypes.byref(size), 0,
+                buf.ctypes.data_as(ctypes.c_void_p), 0, None)
+        if not ok:
+            raise RuntimeError(
+                f"libpng write failed: {bytes(img.message)!r}"
+            )
+        return size
+
+    size = call(None, ctypes.c_size_t(0))
+    mem = ctypes.create_string_buffer(size.value)
+    size = call(mem, size)
+    return mem.raw[: size.value]
+
+
+def _libtiff_encode(arr, predictor: int) -> bytes:
+    """Encode a numpy image as an LZW TIFF with libtiff's scanline API
+    via a temp file (libtiff has no public in-memory writer with a
+    stable ABI). Scanlines are passed as COPIES: with a predictor,
+    TIFFWriteScanline horizontally differences the caller's buffer in
+    place. Raises OSError when libtiff is not loadable."""
+    import ctypes
+    import os as _os
+    import tempfile
+
+    import numpy as np
+
+    lib = ctypes.CDLL("libtiff.so.6")  # OSError if absent
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    h, w = arr.shape[:2]
+    spp = arr.shape[2]
+    a = np.ascontiguousarray(arr.reshape(h, w * spp))
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    _os.close(fd)
+    try:
+        tif = ctypes.c_void_p(lib.TIFFOpen(path.encode(), b"w"))
+        if not tif:
+            raise RuntimeError("TIFFOpen(w) failed")
+        sf = lib.TIFFSetField  # varargs; ints promote correctly
+        sf.restype = ctypes.c_int
+        u32, i32 = ctypes.c_uint32, ctypes.c_int
+        sf(tif, u32(256), u32(w))            # ImageWidth
+        sf(tif, u32(257), u32(h))            # ImageLength
+        sf(tif, u32(258), i32(8))            # BitsPerSample
+        sf(tif, u32(277), i32(spp))          # SamplesPerPixel
+        sf(tif, u32(262), i32(2 if spp == 3 else 1))  # Photometric
+        sf(tif, u32(284), i32(1))            # PlanarConfig chunky
+        sf(tif, u32(259), i32(5))            # Compression = LZW
+        if predictor:
+            sf(tif, u32(317), i32(predictor))  # Predictor
+        sf(tif, u32(278), u32(max(1, h // 3)))  # RowsPerStrip
+        ws = lib.TIFFWriteScanline
+        ws.restype = ctypes.c_int
+        ws.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint16,
+        ]
+        for row in range(h):
+            r = a[row].copy()  # libtiff differences the buffer in place
+            if ws(tif, r.ctypes.data_as(ctypes.c_void_p), row, 0) != 1:
+                raise RuntimeError(f"TIFFWriteScanline failed @ {row}")
+        lib.TIFFClose.argtypes = [ctypes.c_void_p]
+        lib.TIFFClose(tif)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        _os.unlink(path)
+
+
+# png.h PNG_FORMAT_*: GRAY=0, RGB=COLOR(2), RGBA=COLOR|ALPHA(3),
+# LINEAR_RGB=COLOR|LINEAR(6) — linear formats carry 16-bit samples.
+_PNG_FMT_BY_VARIANT = {"gray8": 0, "rgb8": 2, "rgba8": 3, "rgb16": 6}
+
+
+def _ximage_payload(k: int) -> tuple:
+    """(kind, payload bytes) for stored item 96+k — bytes produced by
+    the THIRD-PARTY reference encoders (libpng / libtiff over ctypes),
+    not by this repo's code. Deterministic: fixed pixels, no
+    timestamps in either container, and both libraries' coders are
+    deterministic for fixed input and version. Raises
+    OSError/RuntimeError when the shared library is absent; callers
+    fall back to the committed parquet."""
+    kind, variant, _h, _w, _dch, _is16 = _ximage_spec(k)
+    px = _ximage_pixels(k)
+    if kind == "xpng":
+        return kind, _libpng_encode(px, _PNG_FMT_BY_VARIANT[variant])
+    return kind, _libtiff_encode(
+        px, 2 if variant == "lzw_pred2_gray" else 0
+    )
+
+
+def _ximage_formula(k: int):
+    """(ch0 sum, last-ch sum, h*1e6 + w*1000 + decoded_ch*10 + is16)
+    for third-party image item k — pure closed-form pixel math,
+    independent of every codec. Gray TIFF decodes to 3 equal channels,
+    so its last-channel sum equals its ch0 sum by construction."""
+    _kind, variant, h, w, dch, is16 = _ximage_spec(k)
+    src_ch = {"gray8": 1, "rgb8": 3, "rgba8": 4, "rgb16": 3,
+              "lzw_rgb": 3, "lzw_pred2_gray": 1}[variant]
+    s0 = sum(
+        _ximage_sample(k, y, x, 0) for y in range(h) for x in range(w)
+    )
+    last_src = src_ch - 1
+    s_last = (
+        s0
+        if last_src == 0
+        else sum(
+            _ximage_sample(k, y, x, last_src)
+            for y in range(h)
+            for x in range(w)
+        )
+    )
+    return s0, s_last, h * 1_000_000 + w * 1000 + dch * 10 + is16
 
 
 def _stored_fax_formula(k: int):
@@ -1922,6 +2208,8 @@ def _stored_fax_formula(k: int):
 def _stored_payload_formula(j: int):
     """(m1, m2, m3) the decode of stored item j must produce — pure
     closed-form / independent-scalar-reference math, no codec."""
+    if j >= _STORED_XIMG_FROM:
+        return _ximage_formula(j - _STORED_XIMG_FROM)
     if j >= _STORED_XAU_FROM:
         return _xaudio_formula(j - _STORED_XAU_FROM)
     if j >= _STORED_FAXU_FROM:
@@ -2204,6 +2492,20 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                     decoded = decode_real_media(payload, mime)
                     sums = decoded.astype(np.int64).sum(axis=(0, 1))
                     vals = (int(sums[0]), int(sums[1]), int(sums[2]))
+                elif kind in ("xpng", "xtif"):
+                    # third-party-encoded payloads (libpng / libtiff):
+                    # channel-count-tolerant metrics — gray PNG decodes
+                    # (H, W, 1), RGBA (H, W, 4), gray TIFF expands to 3
+                    mime = "image/png" if kind == "xpng" else "image/tiff"
+                    decoded = decode_real_media(payload, mime)
+                    hh, ww, cc = decoded.shape
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                    vals = (
+                        int(sums[0]),
+                        int(sums[cc - 1]),
+                        hh * 1_000_000 + ww * 1000 + cc * 10
+                        + int(decoded.dtype == np.uint16),
+                    )
                 elif kind == "tifffax":
                     decoded = decode_real_media(payload, "image/tiff")
                     gray = decoded[:, :, 0].astype(np.int64)
@@ -3890,13 +4192,20 @@ def _media_ops_oracle() -> str:
         "covered by the spec-vector tests against the published "
         "tables). "
         "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
-        "parquet fixture (fixtures/media_payloads.parquet) holding 80 "
-        "real container payloads in a binary column (BMP, PNG, PCM "
-        "WAV, IMA ADPCM, MS ADPCM, and — appended without disturbing "
-        "the earlier items' pinned bytes — FLAC, compressed TIFF "
-        "(LZW/Deflate/PackBits), MJPEG-in-AVI video, and 3-page "
-        "multi-page TIFF chains whose per-page decode + page-count "
-        "probe certify the IFD-chain walk on stored bytes) is scanned "
+        "parquet fixture (fixtures/media_payloads.parquet) holding "
+        "102 real container payloads in a binary column (BMP, PNG, "
+        "PCM WAV, IMA ADPCM, MS ADPCM, and — appended without "
+        "disturbing the earlier items' pinned bytes — FLAC, "
+        "compressed TIFF (LZW/Deflate/PackBits), MJPEG-in-AVI video, "
+        "3-page multi-page TIFF chains whose per-page decode + "
+        "page-count probe certify the IFD-chain walk on stored bytes, "
+        "big-endian AIFF/AU clips, and 10 THIRD-PARTY payloads: 4 "
+        "audio clips encoded by CPython's independent stdlib codecs — "
+        "AIFF-C NONE/sowt and AU µ-law/A-law — plus 6 images encoded "
+        "by the reference C implementations, libpng 1.6 PNGs at "
+        "gray8/RGB8/RGBA8/linear-RGB16 and libtiff 6 LZW TIFFs "
+        "RGB/predictor-2-gray, so the stored pass crosses encoder "
+        "implementations, not just our own bytes) is scanned "
         "and decoded through the "
         "same signature-dispatch kernel; the oracle is the same "
         "closed-form math, so the certification covers bytes that "
