@@ -61,8 +61,13 @@ def _pct(xs, f):
 
 
 def _batch_breakdown(q) -> dict:
+    """p50/p95 of every durationMs component and, PER STATE OPERATOR
+    (the lifecycle pipelines carry two: parse_stream's
+    dropDuplicatesWithinWatermark and the applyInPandasWithState /
+    transformWithState lifecycle), the commit/row/memory stats —
+    keyed by the operator's reported name."""
     durs: dict[str, list[float]] = {k: [] for k in _DUR_KEYS}
-    st: dict[str, list[float]] = {k: [] for k in _STATE_KEYS}
+    st: dict[str, dict[str, list[float]]] = {}
     n = 0
     for p in q.recentProgress:
         if not isinstance(p, dict):
@@ -72,19 +77,21 @@ def _batch_breakdown(q) -> dict:
         for k in _DUR_KEYS:
             if k in dm:
                 durs[k].append(float(dm[k]))
-        ops = p.get("stateOperators") or []
-        if ops:
+        for idx, op in enumerate(p.get("stateOperators") or []):
+            name = f"{idx}_{op.get('operatorName', 'state')}"
+            slot = st.setdefault(name, {k: [] for k in _STATE_KEYS})
             for k in _STATE_KEYS:
-                v = ops[0].get(k)
+                v = op.get(k)
                 if v is not None:
-                    st[k].append(float(v))
+                    slot[k].append(float(v))
     out = {"n_batches": n}
     for k, xs in durs.items():
         out[f"{k}_p50"] = _pct(xs, 0.5)
         out[f"{k}_p95"] = _pct(xs, 0.95)
-    for k, xs in st.items():
-        out[f"state_{k}_p50"] = _pct(xs, 0.5)
-        out[f"state_{k}_max"] = max(xs) if xs else None
+    for name, slots in st.items():
+        for k, xs in slots.items():
+            out[f"state[{name}].{k}_p50"] = _pct(xs, 0.5)
+            out[f"state[{name}].{k}_max"] = max(xs) if xs else None
     return out
 
 
@@ -130,8 +137,7 @@ def main() -> int:
         results[name] = rec
         print(f"-- {name}: {sec}s "
               f"(p50 batch {rec['triggerExecution_p50']}ms, "
-              f"addBatch {rec['addBatch_p50']}ms, "
-              f"stateCommit {rec['state_commitTimeMs_p50']}ms)",
+              f"addBatch {rec['addBatch_p50']}ms)",
               file=sys.stderr)
 
     try:
@@ -146,7 +152,17 @@ def main() -> int:
         n_nod = spool_sparse_touch(spark, nod_dir, 0, active, 20)
 
         run(
-            "stateless_floor",
+            "raw_floor",  # no parse, no shuffle, no state: pure
+            # micro-batch machinery (file listing, offset/commit log,
+            # planning, one map stage)
+            lambda ev: ev.filter(F.col("value").isNotNull()),
+            full_dir,
+            n_full,
+        )
+        run(
+            "parse_floor",  # + from_json projection + the
+            # dropDuplicatesWithinWatermark STATE op (parse_stream's
+            # tail) — isolates the dedup store's per-batch cost
             lambda ev: parse_stream(ev).filter(
                 F.col("task_sid").isNotNull()
             ),
@@ -155,28 +171,81 @@ def main() -> int:
         )
         run(
             "no_dormant",
-            lambda ev: conversation_segments_stream(ev, buckets=1024),
+            lambda ev: conversation_segments_stream(
+                parse_stream(ev), buckets=1024
+            ),
             nod_dir,
             n_nod,
         )
         run(
             "lean_pad0",
-            lambda ev: conversation_segments_stream(ev, buckets=1024),
+            lambda ev: conversation_segments_stream(
+                parse_stream(ev), buckets=1024
+            ),
             lean_dir,
             n_lean,
         )
         run(
             "full",
-            lambda ev: conversation_segments_stream(ev, buckets=1024),
+            lambda ev: conversation_segments_stream(
+                parse_stream(ev), buckets=1024
+            ),
             full_dir,
             n_full,
         )
         run(
             "buckets128",
-            lambda ev: conversation_segments_stream(ev, buckets=128),
+            lambda ev: conversation_segments_stream(
+                parse_stream(ev), buckets=128
+            ),
             full_dir,
             n_full,
         )
+        # amortization proof: the SAME events in ONE availableNow batch
+        # (no maxFilesPerTrigger) — if the sparse profile's cost is a
+        # per-batch constant, throughput should jump ~n_batches-fold
+        def one_batch_source(indir):
+            return spark.readStream.format("text").load(
+                os.path.join(indir, "b*")
+            )
+
+        ckpt = os.path.join(work, "ckpt_one_batch")
+        t0 = time.perf_counter()
+        q = (
+            conversation_segments_stream(
+                parse_stream(one_batch_source(full_dir)), buckets=1024
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.perf_counter() - t0, 3)
+        results["one_batch"] = {
+            "sec": sec,
+            "events_per_sec": round(n_full / sec, 1),
+            **_batch_breakdown(q),
+        }
+        print(f"-- one_batch: {sec}s", file=sys.stderr)
+
+        # per-instance commit-cost proof: same 21-batch profile with 8
+        # state partitions instead of 32 (new checkpoint => new state
+        # partitioning). If commit cost is per-instance-fixed, the
+        # summed commitTimeMs should drop ~4x.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            run(
+                "state_partitions8",
+                lambda ev: conversation_segments_stream(
+                    parse_stream(ev), buckets=1024
+                ),
+                full_dir,
+                n_full,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
