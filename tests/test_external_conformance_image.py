@@ -24,7 +24,9 @@ the only independent producers on the box).
 
 import ctypes
 import os
+import struct
 import tempfile
+import zlib
 
 import numpy as np
 import pytest
@@ -39,8 +41,11 @@ except OSError:  # pragma: no cover - env-dependent
     _libtiff = None
 
 from twilio_event_streams_reporting_example_spark.operators.multimodal import (
+    _ADAM7,
     _libpng_encode,
     _libtiff_encode,
+    _PNG_SIG,
+    _png_chunk,
     _PngImageStruct,
     decode_png,
     encode_png,
@@ -84,11 +89,11 @@ def test_libpng_written_png_decodes_bit_exact(fmt, ch, mod, dtype):
     assert np.array_equal(got, src)
 
 
-# ---------------- our PNG encoder -> libpng reader ----------------
+# ---------------- our PNG bytes -> libpng reader ----------------
 
-def _libpng_read_rgb(payload: bytes):
-    """Decode a PNG with libpng's simplified read API, requesting
-    8-bit RGB output."""
+def _libpng_read(payload: bytes, fmt: int, is16: bool = False):
+    """Decode a PNG with libpng's simplified read API in the requested
+    PNG_FORMAT_* (0 GRAY, 1 GA, 2 RGB, 3 RGBA; +4 = 16-bit linear)."""
     PngImage = _PngImageStruct.get()
     begin = _libpng.png_image_begin_read_from_memory
     begin.restype = ctypes.c_int
@@ -105,9 +110,10 @@ def _libpng_read_rgb(payload: bytes):
     img.version = 1
     if not begin(ctypes.byref(img), payload, len(payload)):
         raise RuntimeError(f"libpng begin_read: {bytes(img.message)!r}")
-    img.format = 2  # PNG_FORMAT_RGB
+    img.format = fmt
     h, w = img.height, img.width
-    buf = np.empty((h, w, 3), dtype=np.uint8)
+    ch = {0: 1, 1: 2, 2: 3, 3: 4, 4: 1, 6: 3, 7: 4}[fmt]
+    buf = np.empty((h, w, ch), dtype=np.uint16 if is16 else np.uint8)
     if not finish(
         ctypes.byref(img), None,
         buf.ctypes.data_as(ctypes.c_void_p), 0, None,
@@ -122,8 +128,114 @@ def test_our_png_reads_back_through_libpng():
     y % 5) — libpng reading it bit-exactly certifies every filter
     writer against the reference unfilter implementation."""
     src = _grad(25, 19, 3)  # 25 rows: each filter exercised 5 times
-    got = _libpng_read_rgb(encode_png(src))
+    got = _libpng_read(encode_png(src), 2)
     assert np.array_equal(got, src)
+
+
+def _build_png(img, depth, ctype, interlace, plte=None):
+    """Hand-built PNG (filter 0 rows) in the exact style of the
+    spec-grid synthesizers certified in tests/test_multimodal.py —
+    8/16-bit any color type, 1/2/4-bit gray/palette (MSB-first
+    packing), non-interlaced or Adam7 (each sub-image its own
+    scanline set)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ihdr = _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if depth == 8:
+        px = img.astype(np.uint8)
+    elif depth == 16:
+        px = img.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+    else:
+        px = img
+
+    def scanlines(sub):
+        if depth in (8, 16):
+            return b"".join(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+        out = []
+        for y in range(sub.shape[0]):
+            row = sub[y, :, 0]
+            bits = np.zeros(((row.size * depth + 7) // 8) * 8, np.uint8)
+            for i, v in enumerate(row):
+                for b in range(depth):
+                    bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+            out.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(out)
+
+    if interlace == 0:
+        scan = scanlines(px)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                parts.append(scanlines(sub))
+        scan = b"".join(parts)
+    chunks = ihdr
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte)
+    chunks += _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
+    return _PNG_SIG + chunks
+
+
+@requires_libpng
+@pytest.mark.parametrize("interlace", [0, 1])
+@pytest.mark.parametrize(
+    "ctype,ch,fmt",
+    [(0, 1, 0), (4, 2, 1), (2, 3, 2), (6, 4, 3)],  # gray/GA/RGB/RGBA
+)
+def test_our_8bit_png_grid_reads_back_through_libpng(ctype, ch, fmt, interlace):
+    """The 8-bit arm of the spec-legal synthesis grid — every color
+    type, non-interlaced AND Adam7 — read bit-exactly by libpng. The
+    grid is certified against OUR decoder in tests/test_multimodal;
+    this crosses the same bytes with the reference implementation, so
+    a shared build/decode misconception (e.g. a wrong Adam7 pass
+    order that round-trips internally) cannot survive."""
+    src = _grad(13, 9, ch, k=ctype)  # 13x9: partial Adam7 passes
+    got = _libpng_read(_build_png(src, 8, ctype, interlace), fmt)
+    assert np.array_equal(got, src)
+
+
+@requires_libpng
+@pytest.mark.parametrize("interlace", [0, 1])
+@pytest.mark.parametrize("ctype,ch,fmt", [(0, 1, 4), (2, 3, 6)])
+def test_our_16bit_png_grid_reads_back_through_libpng(ctype, ch, fmt, interlace):
+    """16-bit gray and RGB (big-endian samples), both interlace modes,
+    through libpng's 16-bit linear formats — pass-through bit-exact
+    (no gAMA chunk, so the simplified API applies no transform)."""
+    src = _grad(11, 7, ch, mod=65536, dtype=np.uint16, k=ctype)
+    got = _libpng_read(_build_png(src, 16, ctype, interlace), fmt, is16=True)
+    assert np.array_equal(got, src)
+
+
+@requires_libpng
+@pytest.mark.parametrize("interlace", [0, 1])
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_our_subbyte_png_reads_back_through_libpng(depth, interlace):
+    """1/2/4-bit gray (MSB-first packed, per-pass repacking under
+    Adam7): libpng expands sub-byte samples with the spec scaling
+    v * 255 / (2^d - 1); our packed scanlines must produce exactly
+    those values."""
+    src = _grad(9, 17, 1, mod=1 << depth, k=depth)
+    got = _libpng_read(_build_png(src, depth, 0, interlace), 0)
+    exp = (src.astype(np.uint32) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+
+@requires_libpng
+def test_our_palette_png_reads_back_through_libpng():
+    """Palette (color type 3) indices expand through PLTE identically
+    in libpng and in our decoder."""
+    pal = _grad(1, 16, 3)[0]  # 16 RGB entries
+    idx = _grad(6, 7, 1, mod=16, k=3)
+    got = _libpng_read(_build_png(idx, 8, 3, 0, plte=pal.tobytes()), 2)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+    ours = decode_png(_build_png(idx, 8, 3, 0, plte=pal.tobytes()))
+    assert np.array_equal(ours, pal[idx[:, :, 0]])
 
 
 # ---------------- libtiff -> our TIFF decoder ----------------
