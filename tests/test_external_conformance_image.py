@@ -1,7 +1,9 @@
-"""External conformance, IMAGE side: cross this repo's PNG/TIFF codecs
-with the two reference C implementations the box ships as shared
-libraries — libpng 1.6 (simplified read/write API) and libtiff 6
-(TIFFOpen/TIFFReadScanline/TIFFWriteScanline) — in BOTH directions:
+"""External conformance, IMAGE side: cross this repo's PNG/TIFF/GIF
+codecs with the reference C implementations the box ships as shared
+libraries — libpng 1.6 (simplified read/write API), libtiff 6
+(TIFFOpen/TIFFReadScanline/TIFFWriteScanline/TIFFReadDirectory) and
+giflib 5 (DGifOpen/DGifSlurp) — in BOTH directions where a producer
+exists:
 
   libpng/libtiff-encoded bytes -> our decoder   (container + filter +
                                                  LZW/predictor layout)
@@ -39,6 +41,10 @@ try:
     _libtiff = ctypes.CDLL("libtiff.so.6")
 except OSError:  # pragma: no cover - env-dependent
     _libtiff = None
+try:
+    _libgif = ctypes.CDLL("libgif.so.7")
+except OSError:  # pragma: no cover - env-dependent
+    _libgif = None
 
 from twilio_event_streams_reporting_example_spark.operators.multimodal import (
     _ADAM7,
@@ -50,13 +56,18 @@ from twilio_event_streams_reporting_example_spark.operators.multimodal import (
     decode_png,
     encode_png,
 )
+from twilio_event_streams_reporting_example_spark.operators.gif import (
+    encode_gif,
+)
 from twilio_event_streams_reporting_example_spark.operators.tiff import (
     decode_tiff,
     encode_tiff,
+    encode_tiff_multipage,
 )
 
 requires_libpng = pytest.mark.skipif(_libpng is None, reason="no libpng16")
 requires_libtiff = pytest.mark.skipif(_libtiff is None, reason="no libtiff")
+requires_libgif = pytest.mark.skipif(_libgif is None, reason="no libgif")
 
 
 def _grad(h, w, ch, mod=256, dtype=np.uint8, k=0):
@@ -374,6 +385,218 @@ def test_our_ccitt_fax_reads_back_through_libtiff(
     stride = (41 + 7) // 8
     bits = np.unpackbits(packed.reshape(20, stride), axis=1)[:, :41]
     assert np.array_equal(bits, bm)
+
+
+@requires_libtiff
+def test_our_multipage_tiff_walks_through_libtiff():
+    """encode_tiff_multipage's IFD chain walked by libtiff's
+    TIFFReadDirectory: every page's scanlines decode bit-exactly and
+    the chain ends exactly at page count."""
+    pages = [_grad(7 + p, 11 + 2 * p, 3, k=p) for p in range(3)]
+    payload = encode_tiff_multipage(pages, compression=5, predictor=2)
+    _libtiff.TIFFSetErrorHandler(None)
+    _libtiff.TIFFSetWarningHandler(None)
+    _libtiff.TIFFOpen.restype = ctypes.c_void_p
+    _libtiff.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.write(fd, payload)
+    os.close(fd)
+    try:
+        tif = ctypes.c_void_p(_libtiff.TIFFOpen(path.encode(), b"r"))
+        assert tif, "libtiff refused our multi-page TIFF"
+        rs = _libtiff.TIFFReadScanline
+        rs.restype = ctypes.c_int
+        rs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint16,
+        ]
+        for p, src in enumerate(pages):
+            w = _tiff_getfield_u32(tif, 256)
+            h = _tiff_getfield_u32(tif, 257)
+            assert (h, w) == src.shape[:2], f"page {p} dims"
+            ssize = _libtiff.TIFFScanlineSize(tif)
+            rows = []
+            for y in range(h):
+                buf = ctypes.create_string_buffer(ssize)
+                assert rs(tif, buf, y, 0) == 1, f"page {p} row {y}"
+                rows.append(buf.raw)
+            got = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+                h, w, 3
+            )
+            assert np.array_equal(got, src), f"page {p} pixels"
+            has_next = _libtiff.TIFFReadDirectory(tif)
+            assert has_next == (1 if p < len(pages) - 1 else 0), p
+        _libtiff.TIFFClose.argtypes = [ctypes.c_void_p]
+        _libtiff.TIFFClose(tif)
+    finally:
+        os.unlink(path)
+
+
+# ---------------- our GIF encoder -> giflib reader ----------------
+#
+# giflib struct layout per gif_lib.h (GIFLIB 5 ABI, libgif.so.7):
+# GifWord is int; DGifSlurp stores RasterBits already DE-interlaced
+# (verified empirically — an interlaced frame's raster equals the
+# display-order image, not the file pass order).
+
+_GifWord = ctypes.c_int
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int),
+                ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", _GifWord), ("Top", _GifWord),
+                ("Width", _GifWord), ("Height", _GifWord),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _ExtensionBlock(ctypes.Structure):
+    _fields_ = [("ByteCount", ctypes.c_int),
+                ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                ("Function", ctypes.c_int)]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock))]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", _GifWord), ("SHeight", _GifWord),
+                ("SColorResolution", _GifWord),
+                ("SBackGroundColor", _GifWord),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int),
+                ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock)),
+                ("Error", ctypes.c_int),
+                ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+_GIF_INPUT_FUNC = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(_GifFileType),
+    ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+)
+
+
+def _giflib_slurp(payload: bytes):
+    """Decode a whole GIF with giflib (DGifOpen + DGifSlurp over an
+    in-memory read callback): returns (screen_w, screen_h,
+    global_palette, frames) with frames = [(left, top, index_array,
+    local_palette|None)] in display row order."""
+    pos = [0]
+
+    def read(_gif, buf, n):
+        take = payload[pos[0]: pos[0] + n]
+        ctypes.memmove(buf, take, len(take))
+        pos[0] += len(take)
+        return len(take)
+
+    cb = _GIF_INPUT_FUNC(read)
+    err = ctypes.c_int(0)
+    _libgif.DGifOpen.restype = ctypes.POINTER(_GifFileType)
+    _libgif.DGifOpen.argtypes = [
+        ctypes.c_void_p, _GIF_INPUT_FUNC, ctypes.POINTER(ctypes.c_int),
+    ]
+    g = _libgif.DGifOpen(None, cb, ctypes.byref(err))
+    assert g, f"DGifOpen failed: error {err.value}"
+    _libgif.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+    assert _libgif.DGifSlurp(g) == 1, (
+        f"DGifSlurp failed: error {g.contents.Error}"
+    )
+    gf = g.contents
+
+    def pal_of(cmp_):
+        if not cmp_:
+            return None
+        cm = cmp_.contents
+        return np.array(
+            [[cm.Colors[i].Red, cm.Colors[i].Green, cm.Colors[i].Blue]
+             for i in range(cm.ColorCount)],
+            np.uint8,
+        )
+
+    gpal = pal_of(gf.SColorMap)
+    frames = []
+    for fi in range(gf.ImageCount):
+        si = gf.SavedImages[fi]
+        d = si.ImageDesc
+        raster = np.ctypeslib.as_array(
+            si.RasterBits, shape=(d.Height * d.Width,)
+        ).reshape(d.Height, d.Width).copy()
+        frames.append((d.Left, d.Top, raster, pal_of(d.ColorMap)))
+    out = (gf.SWidth, gf.SHeight, gpal, frames)
+    _libgif.DGifCloseFile.argtypes = [
+        ctypes.POINTER(_GifFileType), ctypes.POINTER(ctypes.c_int),
+    ]
+    _libgif.DGifCloseFile(g, ctypes.byref(err))
+    return out
+
+
+@requires_libgif
+@pytest.mark.parametrize("n_colors", [2, 5, 16, 256])
+def test_our_gif_reads_back_through_giflib(n_colors):
+    """Our variable-width LSB-first GIF-LZW writer decoded by giflib
+    (the reference GIF implementation) across palette sizes that
+    exercise LZW minimum code sizes 2..8 — indices and palette
+    bit-exact."""
+    pal = _grad(1, n_colors, 3, k=n_colors)[0]
+    idx = _grad(14, 23, 1, mod=n_colors, k=1)[:, :, 0]
+    w, h, gpal, frames = _giflib_slurp(encode_gif(idx, pal))
+    assert (w, h) == (23, 14)
+    assert np.array_equal(gpal[:n_colors], pal)
+    left, top, raster, lpal = frames[0]
+    assert (left, top, lpal) == (0, 0, None)
+    assert np.array_equal(raster, idx)
+
+
+@requires_libgif
+def test_our_interlaced_gif_reads_back_through_giflib():
+    """4-pass interlaced frame: giflib's slurped raster is display
+    order, so bit-equality certifies our pass writer end to end."""
+    pal = _grad(1, 8, 3)[0]
+    idx = _grad(11, 17, 1, mod=8, k=2)[:, :, 0]
+    _w, _h, _gpal, frames = _giflib_slurp(
+        encode_gif(idx, pal, interlace=True)
+    )
+    assert np.array_equal(frames[0][2], idx)
+
+
+@requires_libgif
+def test_our_animated_gif_reads_back_through_giflib():
+    """GIF89a animation: per-frame geometry (offsets, sub-screen
+    frames), transparency and disposal extensions present — every
+    frame's indices decode bit-exactly and placement survives."""
+    pal = _grad(1, 8, 3)[0]
+    f0 = _grad(9, 13, 1, mod=8, k=3)[:, :, 0]
+    f1 = _grad(4, 5, 1, mod=8, k=4)[:, :, 0]
+    payload = encode_gif(
+        [f0, f1], pal, delays_ms=[100, 50], transparent=3,
+        disposals=[0, 2], offsets=[(0, 0), (2, 3)],
+    )
+    w, h, _gpal, frames = _giflib_slurp(payload)
+    assert (w, h) == (13, 9)
+    assert np.array_equal(frames[0][2], f0)
+    left, top, raster, _ = frames[1]
+    assert (top, left) == (2, 3)
+    assert np.array_equal(raster, f1)
 
 
 @requires_libtiff
