@@ -62,6 +62,22 @@ def test_stored_payloads_decode_to_closed_form(stored):
                 hh * 1_000_000 + ww * 1000 + cc * 10
                 + int(decoded.dtype == np.uint16),
             )
+        elif kind == "xtifmp":
+            from twilio_event_streams_reporting_example_spark.operators.tiff import (
+                decode_tiff,
+                tiff_page_count,
+            )
+
+            n_pages = tiff_page_count(payload)
+            pages = [
+                decode_tiff(payload, page=p).astype(np.int64)
+                for p in range(n_pages)
+            ]
+            got = (
+                int(pages[0][:, :, 0].sum()),
+                int(sum(p[:, :, 1].sum() for p in pages)),
+                n_pages * 10 + int(payload[:2] == b"MM"),
+            )
         elif kind == "tifffax":
             decoded = decode_real_media(payload, "image/tiff")
             gray = decoded[:, :, 0].astype(np.int64)
@@ -134,6 +150,7 @@ def test_fixture_covers_all_kinds(stored):
     assert kinds == {
         "bmp", "png", "wav", "ima", "ms", "flac", "tiff", "avi",
         "tiffmp", "tifffax", "tiffjo", "aifc", "au", "xpng", "xtif",
+        "xtifmp",
     }
 
 
@@ -161,7 +178,20 @@ def test_pre_round14_items_byte_stable(stored):
     assert h.hexdigest() == PRE_XIMG_MD5
 
 
+def test_pre_multipage_append_items_byte_stable(stored):
+    """Items 0-101 predate the libtiff multi-page append (items
+    102-103); md5 recorded at append time."""
+    import hashlib
+
+    h = hashlib.md5()
+    for j in range(102):
+        h.update(stored[j][1])
+    assert h.hexdigest() == PRE_XTIFMP_MD5
+
+
 # recorded from the round-8 committed fixture before the FLAC append
 PRE_FLAC_MD5 = "cb04db721f7214e8ab025d8eb3b035df"
 # recorded from the round-13 committed fixture before the image append
 PRE_XIMG_MD5 = "1b4c721fc31ecf70c07f1891c10312b9"
+# recorded mid-round-14 before the libtiff multi-page append
+PRE_XTIFMP_MD5 = "5b46d93ca4fec75f90e51469224e1b24"

@@ -1709,7 +1709,7 @@ def _flac_item(i: int):
 # tools/build_media_fixture.py from `media_fixture_rows()` below and
 # committed; tests/test_media_fixture.py pins stored bytes == builder
 # output so formula drift cannot silently diverge from the file.
-STORED_N_ITEMS = 102  # see the range map below
+STORED_N_ITEMS = 104  # see the range map below
 _STORED_KINDS = ["bmp", "png", "wav", "ima", "ms"]
 _STORED_FLAC_FROM = 50  # 50-59: FLAC (formula index j - 50)
 _STORED_TIFF_FROM = 60  # 60-71: compressed TIFF (LZW/Deflate/PackBits)
@@ -1724,12 +1724,14 @@ _STORED_XAU_FROM = 92  # 92-95: THIRD-PARTY-produced bytes (r13): AIFF-C
 #   and Sun AU written by CPython's independent stdlib codecs
 #   (aifc/sunau/audioop) — NONE + ulaw each; the one fixture class not
 #   produced by this repo's own encoders (the standing judge gap)
-_STORED_XIMG_FROM = 96  # 96-101: THIRD-PARTY-produced IMAGE bytes
+_STORED_XIMG_FROM = 96  # 96-103: THIRD-PARTY-produced IMAGE bytes
 #   (r14): PNG written by libpng 1.6 (the reference implementation,
 #   via its simplified write API over ctypes — gray8/RGB8/RGBA8/
-#   linear-RGB16) and TIFF written by libtiff 6 (LZW RGB + LZW
-#   predictor-2 gray via TIFFWriteScanline) — closing the image side
-#   of the self-produced-bytes gap the way r13 closed audio
+#   linear-RGB16), TIFF written by libtiff 6 (LZW RGB + LZW
+#   predictor-2 gray via TIFFWriteScanline), and 3-page IFD chains
+#   written by libtiff's own TIFFWriteDirectory in BOTH byte orders
+#   (items 102-103) — closing the image side of the
+#   self-produced-bytes gap the way r13 closed audio
 
 MEDIA_FIXTURE_PATH = str(
     __import__("pathlib").Path(__file__).resolve().parents[2]
@@ -1975,8 +1977,11 @@ def _xaudio_formula(k: int):
 
 def _ximage_spec(k: int):
     """(kind, variant, h, w, decoded_ch, is16) for third-party image
-    item k (0-5). `decoded_ch` is the channel count OUR decoder
-    returns (gray TIFF expands to 3; gray PNG stays 1)."""
+    item k (0-7). `decoded_ch` is the channel count OUR decoder
+    returns (gray TIFF expands to 3; gray PNG stays 1). Items 6-7 are
+    3-page IFD chains written by libtiff itself (TIFFWriteDirectory) —
+    little- and big-endian ("w"/"wb" open modes); h/w are PAGE-0 dims,
+    later pages grow by _XTIFMP_GROW each."""
     return (
         ("xpng", "gray8", 17, 23, 1, 0),
         ("xpng", "rgb8", 19, 21, 3, 0),
@@ -1984,34 +1989,51 @@ def _ximage_spec(k: int):
         ("xpng", "rgb16", 11, 13, 3, 1),
         ("xtif", "lzw_rgb", 15, 40, 3, 0),
         ("xtif", "lzw_pred2_gray", 14, 33, 3, 0),
+        ("xtifmp", "mp_le", 9, 14, 3, 0),
+        ("xtifmp", "mp_be", 8, 12, 3, 0),
     )[k]
 
 
-def _ximage_sample(k: int, y: int, x: int, c: int) -> int:
-    """Pixel value at (y, x, channel c) for item k — closed-form
-    integer math shared by the encoder input and the oracle, chosen so
-    every scanline differs (libpng's filter heuristics and libtiff's
-    LZW+predictor both get real work, not constant rows)."""
+_XTIFMP_PAGES = 3
+_XTIFMP_GROW = 2  # page p is (h + 2p) x (w + 2p)
+
+
+def _ximage_sample(k: int, y: int, x: int, c: int, page: int = 0) -> int:
+    """Pixel value at (y, x, channel c[, page]) for item k —
+    closed-form integer math shared by the encoder input and the
+    oracle, chosen so every scanline differs (libpng's filter
+    heuristics and libtiff's LZW+predictor both get real work, not
+    constant rows)."""
     _kind, variant, _h, _w, _ch, is16 = _ximage_spec(k)
     m = 65536 if is16 else 256
-    return (y * (7 + 4092 * is16) + x * (3 + c) + c * 29 + k * 11) % m
+    return (
+        y * (7 + 4092 * is16) + x * (3 + c) + c * 29 + k * 11 + page * 53
+    ) % m
 
 
-def _ximage_pixels(k: int):
-    """The full pixel array for item k as the SOURCE channel layout
-    (before any decoder-side gray→RGB expansion)."""
+def _ximage_src_ch(variant: str) -> int:
+    return {"gray8": 1, "rgb8": 3, "rgba8": 4, "rgb16": 3,
+            "lzw_rgb": 3, "lzw_pred2_gray": 1,
+            "mp_le": 3, "mp_be": 3}[variant]
+
+
+def _ximage_pixels(k: int, page: int = 0):
+    """The full pixel array for item k (page ``page`` of a multi-page
+    item) as the SOURCE channel layout (before any decoder-side
+    gray→RGB expansion)."""
     import numpy as np
 
     _kind, variant, h, w, _dch, is16 = _ximage_spec(k)
-    src_ch = {"gray8": 1, "rgb8": 3, "rgba8": 4, "rgb16": 3,
-              "lzw_rgb": 3, "lzw_pred2_gray": 1}[variant]
+    h, w = h + _XTIFMP_GROW * page, w + _XTIFMP_GROW * page
+    src_ch = _ximage_src_ch(variant)
     dt = np.uint16 if is16 else np.uint8
     a = np.empty((h, w, src_ch), dtype=dt)
     for c in range(src_ch):
         yy = np.arange(h, dtype=np.int64)[:, None]
         xx = np.arange(w, dtype=np.int64)[None, :]
         a[:, :, c] = (
-            (yy * (7 + 4092 * is16) + xx * (3 + c) + c * 29 + k * 11)
+            (yy * (7 + 4092 * is16) + xx * (3 + c) + c * 29 + k * 11
+             + page * 53)
             % (65536 if is16 else 256)
         ).astype(dt)
     return a
@@ -2086,11 +2108,21 @@ def _libpng_encode(arr, fmt: int) -> bytes:
 
 
 def _libtiff_encode(arr, predictor: int) -> bytes:
-    """Encode a numpy image as an LZW TIFF with libtiff's scanline API
-    via a temp file (libtiff has no public in-memory writer with a
-    stable ABI). Scanlines are passed as COPIES: with a predictor,
-    TIFFWriteScanline horizontally differences the caller's buffer in
-    place. Raises OSError when libtiff is not loadable."""
+    """Single-page form of :func:`_libtiff_encode_pages`."""
+    return _libtiff_encode_pages([arr], predictor)
+
+
+def _libtiff_encode_pages(
+    pages, predictor: int, big_endian: bool = False
+) -> bytes:
+    """Encode numpy images as an LZW TIFF (one IFD per page, chained
+    with TIFFWriteDirectory) with libtiff's scanline API via a temp
+    file (libtiff has no public in-memory writer with a stable ABI).
+    ``big_endian`` uses libtiff's "wb" open mode — an MM-order file
+    written by the reference implementation. Scanlines are passed as
+    COPIES: with a predictor, TIFFWriteScanline horizontally
+    differences the caller's buffer in place. Raises OSError when
+    libtiff is not loadable."""
     import ctypes
     import os as _os
     import tempfile
@@ -2102,38 +2134,45 @@ def _libtiff_encode(arr, predictor: int) -> bytes:
     lib.TIFFSetWarningHandler(None)
     lib.TIFFOpen.restype = ctypes.c_void_p
     lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-    h, w = arr.shape[:2]
-    spp = arr.shape[2]
-    a = np.ascontiguousarray(arr.reshape(h, w * spp))
     fd, path = tempfile.mkstemp(suffix=".tif")
     _os.close(fd)
     try:
-        tif = ctypes.c_void_p(lib.TIFFOpen(path.encode(), b"w"))
+        mode = b"wb" if big_endian else b"w"
+        tif = ctypes.c_void_p(lib.TIFFOpen(path.encode(), mode))
         if not tif:
             raise RuntimeError("TIFFOpen(w) failed")
         sf = lib.TIFFSetField  # varargs; ints promote correctly
         sf.restype = ctypes.c_int
         u32, i32 = ctypes.c_uint32, ctypes.c_int
-        sf(tif, u32(256), u32(w))            # ImageWidth
-        sf(tif, u32(257), u32(h))            # ImageLength
-        sf(tif, u32(258), i32(8))            # BitsPerSample
-        sf(tif, u32(277), i32(spp))          # SamplesPerPixel
-        sf(tif, u32(262), i32(2 if spp == 3 else 1))  # Photometric
-        sf(tif, u32(284), i32(1))            # PlanarConfig chunky
-        sf(tif, u32(259), i32(5))            # Compression = LZW
-        if predictor:
-            sf(tif, u32(317), i32(predictor))  # Predictor
-        sf(tif, u32(278), u32(max(1, h // 3)))  # RowsPerStrip
         ws = lib.TIFFWriteScanline
         ws.restype = ctypes.c_int
         ws.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
             ctypes.c_uint16,
         ]
-        for row in range(h):
-            r = a[row].copy()  # libtiff differences the buffer in place
-            if ws(tif, r.ctypes.data_as(ctypes.c_void_p), row, 0) != 1:
-                raise RuntimeError(f"TIFFWriteScanline failed @ {row}")
+        wd = lib.TIFFWriteDirectory
+        wd.restype = ctypes.c_int
+        wd.argtypes = [ctypes.c_void_p]
+        for p, arr in enumerate(pages):
+            h, w = arr.shape[:2]
+            spp = arr.shape[2]
+            a = np.ascontiguousarray(arr.reshape(h, w * spp))
+            sf(tif, u32(256), u32(w))            # ImageWidth
+            sf(tif, u32(257), u32(h))            # ImageLength
+            sf(tif, u32(258), i32(8))            # BitsPerSample
+            sf(tif, u32(277), i32(spp))          # SamplesPerPixel
+            sf(tif, u32(262), i32(2 if spp == 3 else 1))  # Photometric
+            sf(tif, u32(284), i32(1))            # PlanarConfig chunky
+            sf(tif, u32(259), i32(5))            # Compression = LZW
+            if predictor:
+                sf(tif, u32(317), i32(predictor))  # Predictor
+            sf(tif, u32(278), u32(max(1, h // 3)))  # RowsPerStrip
+            for row in range(h):
+                r = a[row].copy()  # libtiff differences it in place
+                if ws(tif, r.ctypes.data_as(ctypes.c_void_p), row, 0) != 1:
+                    raise RuntimeError(f"TIFFWriteScanline failed @ {row}")
+            if p < len(pages) - 1 and wd(tif) != 1:
+                raise RuntimeError(f"TIFFWriteDirectory failed @ {p}")
         lib.TIFFClose.argtypes = [ctypes.c_void_p]
         lib.TIFFClose(tif)
         with open(path, "rb") as f:
@@ -2156,22 +2195,45 @@ def _ximage_payload(k: int) -> tuple:
     OSError/RuntimeError when the shared library is absent; callers
     fall back to the committed parquet."""
     kind, variant, _h, _w, _dch, _is16 = _ximage_spec(k)
-    px = _ximage_pixels(k)
     if kind == "xpng":
-        return kind, _libpng_encode(px, _PNG_FMT_BY_VARIANT[variant])
+        return kind, _libpng_encode(
+            _ximage_pixels(k), _PNG_FMT_BY_VARIANT[variant]
+        )
+    if kind == "xtifmp":
+        pages = [_ximage_pixels(k, page=p) for p in range(_XTIFMP_PAGES)]
+        return kind, _libtiff_encode_pages(
+            pages, 2, big_endian=(variant == "mp_be")
+        )
     return kind, _libtiff_encode(
-        px, 2 if variant == "lzw_pred2_gray" else 0
+        _ximage_pixels(k), 2 if variant == "lzw_pred2_gray" else 0
     )
 
 
 def _ximage_formula(k: int):
-    """(ch0 sum, last-ch sum, h*1e6 + w*1000 + decoded_ch*10 + is16)
-    for third-party image item k — pure closed-form pixel math,
-    independent of every codec. Gray TIFF decodes to 3 equal channels,
-    so its last-channel sum equals its ch0 sum by construction."""
-    _kind, variant, h, w, dch, is16 = _ximage_spec(k)
-    src_ch = {"gray8": 1, "rgb8": 3, "rgba8": 4, "rgb16": 3,
-              "lzw_rgb": 3, "lzw_pred2_gray": 1}[variant]
+    """Closed-form oracle metrics for third-party image item k,
+    independent of every codec. Single-page items: (ch0 sum, last-ch
+    sum, h*1e6 + w*1000 + decoded_ch*10 + is16); gray TIFF decodes to
+    3 equal channels, so its last-channel sum equals ch0's by
+    construction. Multi-page items (kind xtifmp) mirror the stored
+    tiffmp convention: (page-0 ch0 sum, sum over ALL pages of ch1
+    sums, n_pages*10 + big_endian)."""
+    kind, variant, h, w, dch, is16 = _ximage_spec(k)
+    if kind == "xtifmp":
+        s0 = sum(
+            _ximage_sample(k, y, x, 0, page=0)
+            for y in range(h)
+            for x in range(w)
+        )
+        s1 = 0
+        for p in range(_XTIFMP_PAGES):
+            ph, pw = h + _XTIFMP_GROW * p, w + _XTIFMP_GROW * p
+            s1 += sum(
+                _ximage_sample(k, y, x, 1, page=p)
+                for y in range(ph)
+                for x in range(pw)
+            )
+        return s0, s1, _XTIFMP_PAGES * 10 + int(variant == "mp_be")
+    src_ch = _ximage_src_ch(variant)
     s0 = sum(
         _ximage_sample(k, y, x, 0) for y in range(h) for x in range(w)
     )
@@ -2505,6 +2567,21 @@ def _stored_payload_rows(spark: SparkSession) -> DataFrame:
                         int(sums[cc - 1]),
                         hh * 1_000_000 + ww * 1000 + cc * 10
                         + int(decoded.dtype == np.uint16),
+                    )
+                elif kind == "xtifmp":
+                    # libtiff-PRODUCED multi-page IFD chain: same walk
+                    # + metric convention as the self-produced tiffmp
+                    from .tiff import decode_tiff, tiff_page_count
+
+                    n_pages = tiff_page_count(payload)
+                    pages = [
+                        decode_tiff(payload, page=p).astype(np.int64)
+                        for p in range(n_pages)
+                    ]
+                    vals = (
+                        int(pages[0][:, :, 0].sum()),
+                        int(sum(p[:, :, 1].sum() for p in pages)),
+                        n_pages * 10 + int(payload[:2] == b"MM"),
                     )
                 elif kind == "tifffax":
                     decoded = decode_real_media(payload, "image/tiff")
@@ -4193,18 +4270,19 @@ def _media_ops_oracle() -> str:
         "tables). "
         "`stored_payload_decode`: the DATA-AT-REST pass — a COMMITTED "
         "parquet fixture (fixtures/media_payloads.parquet) holding "
-        "102 real container payloads in a binary column (BMP, PNG, "
+        "104 real container payloads in a binary column (BMP, PNG, "
         "PCM WAV, IMA ADPCM, MS ADPCM, and — appended without "
         "disturbing the earlier items' pinned bytes — FLAC, "
         "compressed TIFF (LZW/Deflate/PackBits), MJPEG-in-AVI video, "
         "3-page multi-page TIFF chains whose per-page decode + "
         "page-count probe certify the IFD-chain walk on stored bytes, "
-        "big-endian AIFF/AU clips, and 10 THIRD-PARTY payloads: 4 "
+        "big-endian AIFF/AU clips, and 12 THIRD-PARTY payloads: 4 "
         "audio clips encoded by CPython's independent stdlib codecs — "
         "AIFF-C NONE/sowt and AU µ-law/A-law — plus 6 images encoded "
         "by the reference C implementations, libpng 1.6 PNGs at "
         "gray8/RGB8/RGBA8/linear-RGB16 and libtiff 6 LZW TIFFs "
-        "RGB/predictor-2-gray, so the stored pass crosses encoder "
+        "RGB/predictor-2-gray plus 3-page IFD chains libtiff wrote "
+        "itself in both byte orders, so the stored pass crosses encoder "
         "implementations, not just our own bytes) is scanned "
         "and decoded through the "
         "same signature-dispatch kernel; the oracle is the same "
