@@ -388,6 +388,58 @@ def test_our_ccitt_fax_reads_back_through_libtiff(
 
 
 @requires_libtiff
+@pytest.mark.parametrize("compression,predictor", [(5, 2), (8, 1)])
+def test_our_tiled_tiff_reads_back_through_libtiff(compression, predictor):
+    """encode_tiff's §15 TILED layout (tags 322-325, edge tiles padded
+    by replication) read tile-by-tile with TIFFReadEncodedTile — the
+    reference reader must reassemble our 37x53 image from 16x16 tiles
+    bit-exactly under LZW+predictor and Deflate."""
+    src = _grad(37, 53, 3, k=compression)
+    payload = encode_tiff(
+        src, tile=(16, 16), compression=compression, predictor=predictor
+    )
+    _libtiff.TIFFSetErrorHandler(None)
+    _libtiff.TIFFSetWarningHandler(None)
+    _libtiff.TIFFOpen.restype = ctypes.c_void_p
+    _libtiff.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.write(fd, payload)
+    os.close(fd)
+    try:
+        tif = ctypes.c_void_p(_libtiff.TIFFOpen(path.encode(), b"r"))
+        assert tif, "libtiff refused our tiled TIFF"
+        w, h = _tiff_getfield_u32(tif, 256), _tiff_getfield_u32(tif, 257)
+        tw, th = _tiff_getfield_u32(tif, 322), _tiff_getfield_u32(tif, 323)
+        assert (h, w, tw, th) == (37, 53, 16, 16)
+        _libtiff.TIFFTileSize.restype = ctypes.c_long
+        tsize = _libtiff.TIFFTileSize(tif)
+        _libtiff.TIFFComputeTile.restype = ctypes.c_uint32
+        ret = _libtiff.TIFFReadEncodedTile
+        ret.restype = ctypes.c_long
+        ret.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+            ctypes.c_long,
+        ]
+        out = np.zeros((37, 53, 3), np.uint8)
+        for ty in range(0, 37, 16):
+            for tx in range(0, 53, 16):
+                idx = _libtiff.TIFFComputeTile(
+                    tif, ctypes.c_uint32(tx), ctypes.c_uint32(ty), 0, 0
+                )
+                buf = ctypes.create_string_buffer(tsize)
+                n = ret(tif, idx, buf, tsize)
+                assert n > 0, (tx, ty)
+                t = np.frombuffer(buf.raw[:n], np.uint8).reshape(16, 16, 3)
+                hh, ww = min(16, 37 - ty), min(16, 53 - tx)
+                out[ty:ty + hh, tx:tx + ww] = t[:hh, :ww]
+        _libtiff.TIFFClose.argtypes = [ctypes.c_void_p]
+        _libtiff.TIFFClose(tif)
+    finally:
+        os.unlink(path)
+    assert np.array_equal(out, src)
+
+
+@requires_libtiff
 def test_our_multipage_tiff_walks_through_libtiff():
     """encode_tiff_multipage's IFD chain walked by libtiff's
     TIFFReadDirectory: every page's scanlines decode bit-exactly and
