@@ -148,6 +148,8 @@ def _rgb_from_planes(ycc: np.ndarray) -> np.ndarray:
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) from a DHT-style (BITS, HUFFVAL) spec
     (T.81 Annex C code assignment)."""
+    if sum(bits) > len(symbols):
+        raise ValueError("corrupt DHT: BITS counts exceed HUFFVAL data")
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -628,9 +630,14 @@ def decode_jpeg(payload: bytes, color_transform: bool = True) -> np.ndarray:
             if h is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            sof_ids = {cid for cid, _, _, _ in comps}
             scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in sof_ids:
+                    raise ValueError(
+                        f"corrupt SOS: component {cid} not in SOF"
+                    )
                 scan_comps.append((cid, tabs >> 4, tabs & 0xF))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
@@ -666,6 +673,13 @@ def decode_jpeg(payload: bytes, color_transform: bool = True) -> np.ndarray:
             reader = _BitReader(payload[data_start:])
             pred = {cid: 0 for cid, _, _ in scan_comps}
             eobrun = 0
+            # corrupt streams may reference never-defined tables: fail
+            # as ValueError up front, not KeyError mid-scan
+            for cid, dc_id, ac_id in scan_comps:
+                if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+                    raise ValueError(f"corrupt SOS: no DC table {dc_id}")
+                if se >= 1 and (1, ac_id) not in huff:
+                    raise ValueError(f"corrupt SOS: no AC table {ac_id}")
             count = 0
             for group in _scan_units(scan_comps, info, w, h, hmax, vmax, mcux, mcuy):
                 if restart_interval and count and count % restart_interval == 0:
@@ -713,6 +727,8 @@ def decode_jpeg(payload: bytes, color_transform: bool = True) -> np.ndarray:
 
     full = []
     for cid, hi, vi, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"corrupt JPEG: no quantization table {tq}")
         q = qtabs[tq].astype(np.int64)
         blocks = coef[cid]
         bh_t, bw_t, _ = blocks.shape

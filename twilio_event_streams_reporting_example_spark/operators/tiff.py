@@ -251,6 +251,8 @@ def _packbits_encode_row(row: bytes) -> bytes:
 def _ifd_offsets(buf: bytes, e: str) -> list[int]:
     """Walk the IFD chain (multi-page TIFF): offsets of every IFD."""
     offs: list[int] = []
+    if len(buf) < 8:
+        raise ValueError("TIFF: truncated header")
     off = struct.unpack(e + "I", buf[4:8])[0]
     while off:
         if off + 2 > len(buf):
