@@ -85,6 +85,73 @@ def test_truncation_and_bitflips_fail_controlled(kind):
         )
 
 
+def _gif_payload():
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.gif import (
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    f0 = rng.integers(0, 16, (13, 17), np.uint8)
+    f1 = rng.integers(0, 16, (6, 7), np.uint8)
+    return encode_gif(
+        [f0, f1], pal, delays_ms=[50, 50], transparent=2,
+        disposals=[0, 2], offsets=[(0, 0), (3, 4)],
+    )
+
+
+def _jpeg_payloads():
+    import numpy as np
+
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 33, 3), np.uint8)
+    return encode_jpeg(img), encode_jpeg_progressive(img)
+
+
+@pytest.mark.parametrize("which", ["gif", "jpeg_baseline", "jpeg_progressive"])
+def test_entropy_coded_decoders_fail_controlled(which):
+    """The decoders NOT represented in the stored fixture, with the
+    densest entropy coding (GIF variable-width LZW; JPEG baseline and
+    progressive Huffman/DCT scans): 120 deterministic mutations each.
+    Corrupt code streams must terminate with a controlled exception —
+    the round-14 probe caught a truncated-SOS IndexError in the
+    progressive path this test now pins."""
+    from twilio_event_streams_reporting_example_spark.operators.gif import (
+        decode_gif,
+    )
+    from twilio_event_streams_reporting_example_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+
+    if which == "gif":
+        payload, dec = _gif_payload(), decode_gif
+    else:
+        base, prog = _jpeg_payloads()
+        payload = base if which == "jpeg_baseline" else prog
+        dec = decode_jpeg
+    rng = random.Random(11)
+    for trial in range(120):
+        b = bytearray(payload)
+        if trial % 2 == 0:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+        t0 = time.perf_counter()
+        try:
+            dec(bytes(b))
+        except ALLOWED:
+            pass
+        assert time.perf_counter() - t0 < 5.0, (which, trial)
+
+
 @pytest.mark.parametrize("kind", sorted(_BY_KIND))
 def test_empty_and_garbage_prefix_fail_controlled(kind):
     """Degenerate inputs: empty bytes, a lone signature byte, and 64

@@ -630,6 +630,8 @@ def decode_jpeg(payload: bytes, color_transform: bool = True) -> np.ndarray:
             if h is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("corrupt SOS: truncated header")
             sof_ids = {cid for cid, _, _, _ in comps}
             scan_comps = []
             for c in range(ns):
