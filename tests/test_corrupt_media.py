@@ -64,7 +64,9 @@ def test_truncation_and_bitflips_fail_controlled(kind):
     Rice/Huffman stream must terminate, not spin)."""
     payload = _BY_KIND[kind]
     dec = _decoder(kind)
-    rng = random.Random(0xC0FFEE ^ hash(kind) & 0xFFFF)
+    # crc32, NOT hash(): str hash is salted per process (PYTHONHASHSEED)
+    # and would make the mutation set — and any failure — unreproducible.
+    rng = random.Random(0xC0FFEE ^ zlib.crc32(kind.encode()))
     for trial in range(60):
         b = bytearray(payload)
         if trial % 2 == 0:

@@ -105,6 +105,37 @@ def test_fixture_rows_survive_pep594_removal(monkeypatch):
     assert len(rows) == mm.STORED_N_ITEMS
 
 
+def test_fixture_rows_survive_broken_image_library(monkeypatch):
+    """A host where libpng/libtiff LOAD but the encode call FAILS (ABI
+    drift, broken install) raises RuntimeError from _ximage_payload —
+    the documented contract — and media_fixture_rows() must fall back
+    to the committed parquet for items 96-103 exactly as it does for
+    an absent library (round-14 advisor finding: the fallback caught
+    only ImportError/OSError)."""
+    mm = importlib.import_module(
+        "twilio_event_streams_reporting_example_spark.operators.multimodal"
+    )
+    want = {
+        j: (k, p)
+        for j, k, p in mm.media_fixture_rows()
+        if j >= mm._STORED_XIMG_FROM
+    }
+
+    def broken(_k):
+        raise RuntimeError("libpng write failed: simulated broken lib")
+
+    monkeypatch.setattr(mm, "_ximage_payload", broken)
+    mm._STORED_AT_REST_CACHE.clear()
+    try:
+        rows = mm.media_fixture_rows()
+    finally:
+        monkeypatch.undo()
+        mm._STORED_AT_REST_CACHE.clear()
+    got = {j: (k, p) for j, k, p in rows if j >= mm._STORED_XIMG_FROM}
+    assert got == want, "parquet fallback must serve identical bytes"
+    assert len(rows) == mm.STORED_N_ITEMS
+
+
 def test_oracle_sql_renders_ccitt_window():
     """The tiff_ccitt VALUES block must carry every certified item —
     catches a spec/count drift between kernel and oracle."""

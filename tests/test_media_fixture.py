@@ -13,7 +13,10 @@ import pytest
 from twilio_event_streams_reporting_example_spark.operators.multimodal import (
     MEDIA_FIXTURE_PATH,
     STORED_N_ITEMS,
+    _STORED_XIMG_FROM,
+    _XIMG_BUILD_VERSIONS,
     _stored_payload_formula,
+    _ximage_runtime_versions,
     decode_real_media,
     media_fixture_rows,
 )
@@ -34,13 +37,52 @@ def stored():
     }
 
 
+def _ximg_versions_match_build() -> bool:
+    """True when the runtime libpng/libtiff/zlib are the exact
+    versions that wrote the committed x* image bytes. When they
+    differ, compressed output may legitimately differ byte-for-byte
+    (deflate filter heuristics, LZW coder details), so byte-equality
+    degrades to decode-level equality."""
+    try:
+        return _ximage_runtime_versions() == _XIMG_BUILD_VERSIONS
+    except OSError:
+        # Library absent: media_fixture_rows() served the committed
+        # parquet bytes, so byte-equality holds trivially anyway.
+        return True
+
+
 def test_stored_bytes_match_builder(stored):
     rows = media_fixture_rows()
     assert len(rows) == len(stored) == STORED_N_ITEMS
+    ximg_exact = _ximg_versions_match_build()
     for j, kind, payload in rows:
         skind, spayload = stored[j]
         assert skind == kind, j
-        assert spayload == payload, (j, kind)
+        if spayload == payload:
+            continue
+        # Third-party image items rebuilt by a DIFFERENT library
+        # version than the fixture-build host: the compressed stream
+        # may differ while the pixels are identical — require
+        # decode-level equality instead of failing.
+        assert j >= _STORED_XIMG_FROM and not ximg_exact, (j, kind)
+        mime = "image/png" if kind == "xpng" else "image/tiff"
+        if kind == "xtifmp":
+            from twilio_event_streams_reporting_example_spark.operators.tiff import (
+                decode_tiff,
+                tiff_page_count,
+            )
+
+            assert tiff_page_count(payload) == tiff_page_count(spayload)
+            for p in range(tiff_page_count(spayload)):
+                assert np.array_equal(
+                    decode_tiff(payload, page=p),
+                    decode_tiff(spayload, page=p),
+                ), (j, kind, p)
+        else:
+            assert np.array_equal(
+                decode_real_media(payload, mime),
+                decode_real_media(spayload, mime),
+            ), (j, kind)
 
 
 def test_stored_payloads_decode_to_closed_form(stored):
@@ -143,6 +185,71 @@ def test_stored_payloads_decode_to_closed_form(stored):
             )
             got = (int(sums[0]), int(sums[1]) if ch == 2 else 0, m3)
         assert got == tuple(want), (j, kind)
+
+
+def test_version_drift_falls_back_to_decode_equality(stored, monkeypatch):
+    """Proves the version-mismatch branch of
+    test_stored_bytes_match_builder is live: a host whose libpng/zlib
+    differ from the fixture-build versions produces pixel-identical
+    but byte-different compressed streams. Simulated here by
+    recompressing item 96's IDAT at a different zlib level (exactly
+    what a different deflate implementation does) under a forced
+    version mismatch — decode-level equality must accept it, and the
+    same bytes must FAIL when versions match (a real regression)."""
+    import struct
+    import zlib
+
+    j = 96
+    kind, spayload = stored[j]
+    assert kind == "xpng"
+    # Split the PNG into chunks, recompress the concatenated IDAT.
+    pos, chunks, idat = 8, [], b""
+    while pos < len(spayload):
+        (ln,) = struct.unpack(">I", spayload[pos:pos + 4])
+        ctype = spayload[pos + 4:pos + 8]
+        data = spayload[pos + 8:pos + 8 + ln]
+        if ctype == b"IDAT":
+            idat += data
+        else:
+            chunks.append((ctype, data))
+        pos += 12 + ln
+    recompressed = zlib.compress(zlib.decompress(idat), 1)
+    assert recompressed != idat  # byte-different stream
+    out = bytearray(spayload[:8])
+    for ctype, data in chunks:
+        if ctype == b"IEND":
+            d = recompressed
+            out += struct.pack(">I", len(d)) + b"IDAT" + d
+            out += struct.pack(
+                ">I", zlib.crc32(b"IDAT" + d) & 0xFFFFFFFF
+            )
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    mutated = bytes(out)
+    assert np.array_equal(
+        decode_real_media(mutated, "image/png"),
+        decode_real_media(spayload, "image/png"),
+    )
+
+    import tests.test_media_fixture as tmf
+
+    fake_rows = [
+        (i, k, mutated if i == j else p)
+        for i, k, p in media_fixture_rows()
+    ]
+    monkeypatch.setattr(tmf, "media_fixture_rows", lambda: fake_rows)
+
+    # Versions match the build host -> byte drift is a REAL failure.
+    monkeypatch.setattr(
+        tmf, "_ximg_versions_match_build", lambda: True
+    )
+    with pytest.raises(AssertionError):
+        test_stored_bytes_match_builder(stored)
+    # Versions differ -> decode-level equality accepts the drift.
+    monkeypatch.setattr(
+        tmf, "_ximg_versions_match_build", lambda: False
+    )
+    test_stored_bytes_match_builder(stored)
 
 
 def test_fixture_covers_all_kinds(stored):

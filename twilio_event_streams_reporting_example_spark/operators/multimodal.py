@@ -1755,11 +1755,12 @@ def media_fixture_rows() -> list:
     (round 13 — ccitt items 48..51), items 92-95 APPENDED
     THIRD-PARTY-produced AIFF-C/AU payloads (round 13 — written by
     CPython's independent stdlib aifc/sunau/audioop codecs, NONE +
-    ulaw each) and items 96-101 APPENDED THIRD-PARTY-produced IMAGE
+    ulaw each) and items 96-103 APPENDED THIRD-PARTY-produced IMAGE
     payloads (round 14 — PNG written by libpng 1.6's simplified API,
-    gray8/RGB8/RGBA8/linear-RGB16, and LZW TIFF written by libtiff 6,
-    RGB + predictor-2 gray, both over ctypes: the image analogue of
-    the r13 stdlib-audio items) — each new kind certified on data at
+    gray8/RGB8/RGBA8/linear-RGB16, LZW TIFF written by libtiff 6,
+    RGB + predictor-2 gray, and 3-page IFD chains libtiff wrote
+    itself in both byte orders, all over ctypes: the image analogue
+    of the r13 stdlib-audio items) — each new kind certified on data at
     rest without disturbing the earlier items' committed bytes."""
     rows = []
     for j in range(STORED_N_ITEMS):
@@ -1769,13 +1770,16 @@ def media_fixture_rows() -> list:
                     kind, payload = _ximage_payload(j - _STORED_XIMG_FROM)
                 else:
                     kind, payload = _xaudio_payload(j - _STORED_XAU_FROM)
-            except (ImportError, OSError):
-                # The third-party producer is absent at runtime:
-                # aifc/sunau are gone on Python >=3.13 (PEP 594), and
-                # libpng16/libtiff may not be installed. The bytes are
-                # pinned in the committed parquet, so serve these items
-                # from data at rest; only REBUILDING the fixture needs
-                # the producers (tests/test_media_fixture.py asserts
+            except (ImportError, OSError, RuntimeError):
+                # The third-party producer is absent OR broken at
+                # runtime: aifc/sunau are gone on Python >=3.13
+                # (PEP 594), libpng16/libtiff may not be installed
+                # (OSError from CDLL), or the library loads but the
+                # call fails (RuntimeError — _ximage_payload's
+                # documented contract). The bytes are pinned in the
+                # committed parquet, so serve these items from data at
+                # rest; only REBUILDING the fixture needs working
+                # producers (tests/test_media_fixture.py asserts
                 # stored == rebuilt wherever rebuild is possible).
                 kind, payload = _stored_at_rest(j)
             rows.append((j, kind, payload))
@@ -1996,6 +2000,38 @@ def _ximage_spec(k: int):
 
 _XTIFMP_PAGES = 3
 _XTIFMP_GROW = 2  # page p is (h + 2p) x (w + 2p)
+
+# Versions of the third-party producers that wrote the COMMITTED x*
+# image bytes (items 96-103). Compressed output (deflate filter
+# heuristics, LZW coder details) is stable only at fixed versions, so
+# byte-equality between a fresh rebuild and the committed parquet is
+# meaningful only when the runtime versions match these; on other
+# hosts tests fall back to decode-level equality (the pixels, not the
+# compressed stream, are the invariant).
+_XIMG_BUILD_VERSIONS = {
+    "libpng": 10639,                      # png_access_version_number()
+    "libtiff": "LIBTIFF, Version 4.5.0",  # TIFFGetVersion() line 1
+    "zlib": "1.2.13",                     # zlib.ZLIB_RUNTIME_VERSION
+}
+
+
+def _ximage_runtime_versions() -> dict:
+    """Runtime versions of the third-party image producers, queried
+    the same way the build host recorded _XIMG_BUILD_VERSIONS. Raises
+    OSError when a library is absent (callers are then on the parquet
+    fallback anyway and never compare rebuilt bytes)."""
+    import ctypes
+    import zlib as _zlib
+
+    png = ctypes.CDLL("libpng16.so.16")
+    png.png_access_version_number.restype = ctypes.c_uint32
+    tif = ctypes.CDLL("libtiff.so.6")
+    tif.TIFFGetVersion.restype = ctypes.c_char_p
+    return {
+        "libpng": int(png.png_access_version_number()),
+        "libtiff": tif.TIFFGetVersion().decode().splitlines()[0],
+        "zlib": _zlib.ZLIB_RUNTIME_VERSION,
+    }
 
 
 def _ximage_sample(k: int, y: int, x: int, c: int, page: int = 0) -> int:
@@ -4278,7 +4314,8 @@ def _media_ops_oracle() -> str:
         "page-count probe certify the IFD-chain walk on stored bytes, "
         "big-endian AIFF/AU clips, and 12 THIRD-PARTY payloads: 4 "
         "audio clips encoded by CPython's independent stdlib codecs — "
-        "AIFF-C NONE/sowt and AU µ-law/A-law — plus 6 images encoded "
+        "AIFF-C NONE/µ-law and AU linear-16/µ-law — plus 6 images "
+        "encoded "
         "by the reference C implementations, libpng 1.6 PNGs at "
         "gray8/RGB8/RGBA8/linear-RGB16 and libtiff 6 LZW TIFFs "
         "RGB/predictor-2-gray plus 3-page IFD chains libtiff wrote "
