@@ -61,6 +61,13 @@ def test_bench_emits_one_parseable_json_line(bench_result):
     assert not errored, f"queries errored at sf0.001: {errored}"
     assert d["runs"] and all(len(v) >= 1 for v in d["runs"].values())
     assert "cold" in d and "cold_total" in d
+    # round-15 record-format additions (present on EVERY run so the
+    # schema cannot fork between casual and --record runs; at
+    # repeats=1 medians fall back to the only run and the spread's
+    # rep-totals list is simply empty)
+    assert set(d["medians"]) == set(d["queries"])
+    assert isinstance(d["median_total"], (int, float))
+    assert "warm_rep_totals" in d["window_spread"]
 
 
 def test_bench_budget_vs_recorded_full_scale(bench_result):
@@ -89,6 +96,44 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
         f"(probe ratio {host_ratio:.2f}, median-cold floor "
         f"{floor:.2f}s): {over}"
     )
+
+
+def test_warm_stats_median_of_three_and_window_spread():
+    """Pins the round-15 record semantics: medians come from WARM reps
+    only (run 0 is cold), virtual-record totals use only rep indices
+    every non-errored query completed, and `rel` measures the
+    within-window spread of those totals."""
+    sys.path.insert(0, _REPO)
+    from bench import warm_stats
+
+    all_runs = {
+        # 1 cold + 3 warm; warm median of (2.0, 3.0, 2.5) = 2.5
+        "a": [9.0, 2.0, 3.0, 2.5],
+        # outlier-rerun appended a 4TH warm rep: median over all four
+        # warm reps, but rep_totals must ignore index 3 (incomplete)
+        "b": [5.0, 1.0, 1.2, 1.1, 1.3],
+    }
+    medians, median_total, spread = warm_stats(all_runs)
+    assert medians == {"a": 2.5, "b": 1.15}
+    assert median_total == 3.65
+    assert spread["warm_rep_totals"] == [3.0, 4.2, 3.6]
+    assert spread["rel"] == round((4.2 - 3.0) / 3.6, 4)
+
+
+def test_warm_stats_errored_and_single_rep_fallbacks():
+    sys.path.insert(0, _REPO)
+    from bench import warm_stats
+
+    # errored query (sentinel -1): median falls back to -1, excluded
+    # from the total; single-rep run (repeats=1): median = the run,
+    # and no virtual-record totals exist
+    medians, median_total, spread = warm_stats(
+        {"a": [4.0], "bad": [-1.0]}
+    )
+    assert medians == {"a": 4.0, "bad": -1.0}
+    assert median_total == 4.0
+    assert spread["warm_rep_totals"] == []
+    assert "rel" not in spread
 
 
 def test_refusal_embeds_committed_quiet_record():
