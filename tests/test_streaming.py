@@ -1192,3 +1192,46 @@ def test_keying_parity_under_cross_batch_disorder(spark, tmp_path, seed):
     for name, df in (("bucketed", bkt), ("tws-bucketed", tws_b), ("tws-per-task", tws_p)):
         g = {tuple(r) for r in df.collect()}
         assert g == b, (name, len(g), len(b), list(g - b)[:3], list(b - g)[:3])
+
+
+def test_scale_stream_summary_matches_closed_form(spark, tmp_path):
+    """The streaming scale certificate's MACHINERY at a test-sized N:
+    the same harness the registered 1M-task section runs (ordered
+    multi-batch replay, RocksDB state, bucketed lifecycle, durable
+    parquet sink, distributive summary) must reproduce the generator's
+    closed form exactly — counts, distinct ids, measure sums, and the
+    date range — with no third segment kind (a spurious CORRUPTED
+    CONVERSATION would add one)."""
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter_queries import (
+        _scale_stream_summary_golden_rows,
+        scale_stream_summary,
+    )
+
+    n = 300  # >= 50 so the distinct-agent count hits its plateau
+    got = {r["segment_kind"]: r.asDict() for r in scale_stream_summary(
+        spark, n_tasks=n
+    ).collect()}
+    want = {r["segment_kind"]: r for r in _scale_stream_summary_golden_rows(n)}
+    assert sorted(got) == sorted(want) == ["CONVERSATION", "QUEUE"]
+    for kind, w in want.items():
+        for col, v in w.items():
+            assert got[kind][col] == v, (kind, col, got[kind][col], v)
+
+
+def test_scale_stream_restores_session_conf(spark, tmp_path):
+    """run_scale_stream overrides the state-store provider and shuffle
+    partitions for the stream and MUST restore both — later queries in
+    the shared driver session run on the configuration they were
+    certified with."""
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        run_scale_stream,
+    )
+
+    shuffle_key = "spark.sql.shuffle.partitions"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before_shuffle = spark.conf.get(shuffle_key)
+    before_provider = spark.conf.get(provider_key, None)
+    seg = run_scale_stream(spark, str(tmp_path / "cert"), n_tasks=60, files=3)
+    assert seg.count() == 120  # 2 terminal segments per task
+    assert spark.conf.get(shuffle_key) == before_shuffle
+    assert spark.conf.get(provider_key, None) == before_provider

@@ -427,6 +427,54 @@ def main() -> int:
             else:
                 spark.conf.set(provider_key, prev_provider)
         run("hourly_window", hourly_event_counts_stream, lag_probe=True)
+
+        # The round-15 streaming scale CERTIFICATE path, measured: the
+        # exact harness behind the registered `bucketed_scale` oracle
+        # section (ordered 8-batch replay, RocksDB state, durable
+        # parquet sink, distributive summary) at its certification
+        # volume — wall time covers generate+spool+stream+sink+reduce,
+        # so events/s here is END-TO-END, not the stateful stage alone
+        # (the `lifecycle_bucketed` row remains the stage-isolated
+        # number). Median of the same ``repeats`` as every other row.
+        from twilio_event_streams_reporting_example_spark.plans.taskrouter_queries import (
+            SCALE_STREAM_TASKS,
+            _scale_stream_summary_golden_rows,
+            scale_stream_summary,
+        )
+
+        cert_tasks = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_CERT_TASKS", str(SCALE_STREAM_TASKS)
+            )
+        )
+        cert_secs: list[float] = []
+        verified = False
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            got = {
+                r["segment_kind"]: r.asDict()
+                for r in scale_stream_summary(spark, n_tasks=cert_tasks).collect()
+            }
+            cert_secs.append(round(time.perf_counter() - t0, 3))
+            want = {
+                r["segment_kind"]: r
+                for r in _scale_stream_summary_golden_rows(cert_tasks)
+            }
+            verified = sorted(got) == sorted(want) and all(
+                got[k][c] == v for k, w in want.items()
+                for c, v in w.items() if c != "keying"
+            )
+        s = sorted(cert_secs)
+        med = s[len(s) // 2]
+        pipelines["scale_certificate_e2e"] = {
+            "n_events": cert_tasks * 5,
+            "sec": med,
+            "sec_runs": cert_secs,
+            "sec_min": s[0],
+            "sec_max": s[-1],
+            "events_per_sec": round(cert_tasks * 5 / med, 1),
+            "summary_matches_closed_form": verified,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

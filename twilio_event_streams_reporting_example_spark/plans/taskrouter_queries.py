@@ -567,11 +567,195 @@ def _stream_golden_rows_keyed() -> list[dict]:
     ]
 
 
+# ------------------------------------------- streaming scale certificate
+
+SCALE_STREAM_TASKS = 1_000_000  # 5M CloudEvents -> 2M terminal segments
+
+
+def _scale_stream_summary_golden_rows(n_tasks: int) -> list[dict]:
+    """Closed-form expected SUMMARY of the bucketed lifecycle's output
+    over the scale generator at ``n_tasks`` conversations (5 events
+    each — the streaming analogue of ``taskrouter_segments_scale``):
+    exactly 2 terminal segments per task with measures and dates
+    closed-form in the task index (taskrouter/scale.py docstring).
+
+    One row per expected segment kind, in the stream family's own
+    column shape (the `dedup_exact_documents` scale-section pattern):
+    the VARCHAR id columns carry the audit fingerprint, measure SUMS
+    ride their own BIGINT columns, the date range rides date (max, as
+    TIMESTAMP) and abandon_time (min, as epoch seconds).
+
+    The fingerprint is a SINGLE-PASS, O(1)-state design — the way a
+    100 TB audit actually runs (the first cut used 4 countDistincts,
+    whose 5-way expand held ~10M high-cardinality strings in
+    concurrent partial hash maps and OOMed the 1g driver-contract
+    JVM; exact distinct counts are NOT needed when ids are
+    closed-form):
+      - task-id MOMENTS per kind: count, sum(i), sum(i*i), min(i),
+        max(i) for i parsed from 'TKS-i'. Exactly one segment per
+        task per kind pins all five to the closed form; any
+        drop+duplicate compensation must zero BOTH the first and
+        second moment under a pinned count — impossible for distinct
+        ids;
+      - per-row INVARIANT COUNTERS, all expected 0: reservation_sid
+        != 'RSS-i', agent_uuid != 'WKS-(i%50)', date != closed-form
+        timestamp(i), measures != the kind's closed-form values —
+        field-level validation of every one of the 2M rows at zero
+        aggregation state.
+    Any dropped, duplicated, late-dropped or spuriously timed-out
+    event among the 5M breaks a moment, a counter, or a sum — and a
+    CORRUPTED CONVERSATION anywhere adds a third kind row the oracle
+    does not contain."""
+    base = dt.datetime(2024, 6, 1)  # taskrouter.scale.BASE_EPOCH_S, UTC
+    base_epoch = 1_717_200_000
+    last = base + dt.timedelta(seconds=60 * (n_tasks - 1))
+    n = n_tasks
+    common = {
+        "conversation_id": (
+            f"rows={n};id_sum={n * (n - 1) // 2};"
+            f"id_sumsq={(n - 1) * n * (2 * n - 1) // 6}"
+        ),
+        "reservation_sid": f"id_min=0;id_max={n - 1}",
+        "agent_uuid": "bad_res=0;bad_agent=0;bad_date=0;bad_measures=0",
+        "abandoned": None,
+        "keying": "bucketed_scale",
+    }
+    return [
+        {
+            **common,
+            "segment_kind": "QUEUE",
+            "date": last,
+            "queue_time": 15 * n_tasks,
+            "ring_time": None,
+            "talk_time": None,
+            "wrapup_time": None,
+            "abandon_time": base_epoch,
+        },
+        {
+            **common,
+            "segment_kind": "CONVERSATION",
+            "date": last + dt.timedelta(seconds=15),
+            "queue_time": 15 * n_tasks,
+            "ring_time": 10 * n_tasks,
+            "talk_time": 300 * n_tasks,
+            "wrapup_time": 45 * n_tasks,
+            "abandon_time": base_epoch + 15,
+        },
+    ]
+
+
+def scale_stream_summary(
+    spark: SparkSession, n_tasks: int = SCALE_STREAM_TASKS
+) -> DataFrame:
+    """Run the bucketed streaming lifecycle over ``n_tasks``
+    closed-form conversations (streaming/taskrouter_stream.py::
+    run_scale_stream — ordered multi-batch replay, RocksDB state,
+    durable parquet sink) and reduce the 2*n_tasks result rows
+    DISTRIBUTIVELY to one summary row per segment kind in the stream
+    family's column shape. The reduction happens before the sink's
+    tempdir vanishes; the 2-row result is localCheckpointed (the
+    ``taskrouter_segments_incremental`` pattern)."""
+    import tempfile
+
+    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+    from ..streaming.taskrouter_stream import run_scale_stream
+
+    from ..taskrouter.scale import BASE_EPOCH_S, SPACING_S
+
+    sc = spark.sparkContext
+    before = set(persistent_rdd_entries(sc))
+    with tempfile.TemporaryDirectory() as d:
+        seg = run_scale_stream(spark, d, n_tasks)
+        # Single-pass audit expressions (see the golden-rows docstring
+        # for why moments + per-row counters replace countDistincts:
+        # O(1) aggregation state vs an OOM-ing 5-way distinct expand).
+        i = F.substring("conversation_id", 5, 20).cast("long")
+        is_conv = F.col("segment_kind") == "CONVERSATION"
+        expected_date = F.timestamp_seconds(
+            F.lit(BASE_EPOCH_S)
+            + i * SPACING_S
+            + F.when(is_conv, F.lit(15)).otherwise(F.lit(0))
+        )
+        measures_ok = F.when(
+            is_conv,
+            (F.col("queue_time") == 15)
+            & (F.col("ring_time") == 10)
+            & (F.col("talk_time") == 300)
+            & (F.col("wrapup_time") == 45),
+        ).otherwise(
+            (F.col("queue_time") == 15)
+            & F.col("ring_time").isNull()
+            & F.col("talk_time").isNull()
+            & F.col("wrapup_time").isNull()
+        )
+
+        def _bad(cond) -> F.Column:
+            return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+        out = (
+            seg.groupBy("segment_kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(i).alias("id_sum"),
+                F.sum(i * i).alias("id_sumsq"),
+                F.min(i).alias("id_min"),
+                F.max(i).alias("id_max"),
+                _bad(
+                    F.col("reservation_sid")
+                    != F.concat(F.lit("RSS-"), i.cast("string"))
+                ).alias("bad_res"),
+                _bad(
+                    F.col("agent_uuid")
+                    != F.concat(F.lit("WKS-"), (i % 50).cast("string"))
+                ).alias("bad_agent"),
+                _bad(F.col("date") != expected_date).alias("bad_date"),
+                _bad(~measures_ok).alias("bad_measures"),
+                F.max("date").alias("max_date"),
+                F.min("date").alias("min_date"),
+                F.sum("queue_time").alias("sum_queue"),
+                F.sum("ring_time").alias("sum_ring"),
+                F.sum("talk_time").alias("sum_talk"),
+                F.sum("wrapup_time").alias("sum_wrapup"),
+            )
+            .select(
+                "segment_kind",
+                F.concat(
+                    F.lit("rows="), F.col("n_rows").cast("string"),
+                    F.lit(";id_sum="), F.col("id_sum").cast("string"),
+                    F.lit(";id_sumsq="), F.col("id_sumsq").cast("string"),
+                ).alias("conversation_id"),
+                F.concat(
+                    F.lit("id_min="), F.col("id_min").cast("string"),
+                    F.lit(";id_max="), F.col("id_max").cast("string"),
+                ).alias("reservation_sid"),
+                F.concat(
+                    F.lit("bad_res="), F.col("bad_res").cast("string"),
+                    F.lit(";bad_agent="), F.col("bad_agent").cast("string"),
+                    F.lit(";bad_date="), F.col("bad_date").cast("string"),
+                    F.lit(";bad_measures="),
+                    F.col("bad_measures").cast("string"),
+                ).alias("agent_uuid"),
+                F.col("max_date").alias("date"),
+                F.col("sum_queue").alias("queue_time"),
+                F.col("sum_ring").alias("ring_time"),
+                F.col("sum_talk").alias("talk_time"),
+                F.col("sum_wrapup").alias("wrapup_time"),
+                F.lit(None).cast("string").alias("abandoned"),
+                F.unix_timestamp("min_date").alias("abandon_time"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    pin_new_checkpoints(sc, before)
+    return out.withColumn("keying", F.lit("bucketed_scale"))
+
+
 @register(
     "streaming_taskrouter_segments",
     bench=False,
     oracle=golden_values_sql(
-        _stream_golden_rows_keyed(), _STREAM_COLS + [("keying", "VARCHAR")]
+        _stream_golden_rows_keyed()
+        + _scale_stream_summary_golden_rows(SCALE_STREAM_TASKS),
+        _STREAM_COLS + [("keying", "VARCHAR")],
     ),
     doc=(
         "Structured Streaming lifecycle over the fixture (watermark + "
@@ -583,10 +767,20 @@ def _stream_golden_rows_keyed() -> list[dict]:
         "events/s, exact timeout parity via per-task deadline vs current "
         "watermark). The oracle is the batch simulator's terminal "
         "segments duplicated per keying — streaming/batch parity AND "
-        "keying equivalence ARE the correctness claim."
+        "keying equivalence ARE the correctness claim. The "
+        "'bucketed_scale' section is the STREAMING SCALE CERTIFICATE "
+        "(round 15): 1M closed-form conversations — 5M CloudEvents, "
+        "250x the fixture — through the ordered multi-batch replay, "
+        "RocksDB state and the durable parquet sink, reduced "
+        "distributively to one summary row per segment kind "
+        "(counts, distinct ids, measure sums, date range) and checked "
+        "against the generator's closed form: the streaming analogue "
+        "of taskrouter_segments_scale, with a full hash oracle."
     ),
 )
-def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_taskrouter_segments(
+    spark: SparkSession, sf_dir: str, include_scale_section: bool = True
+) -> DataFrame:
     import tempfile
 
     from ..streaming.taskrouter_stream import run_fixture_stream
@@ -599,7 +793,13 @@ def streaming_taskrouter_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         bucketed = run_fixture_stream(spark, d2, buckets=8).withColumn(
             "keying", F.lit("bucketed")
         )
-    return per_task.unionByName(bucketed)
+    out = per_task.unionByName(bucketed)
+    # Default-ON so the registered query's result set is a pure
+    # function of (sf_dir) — the driver and its oracle always see the
+    # scale section (the dedup_exact_documents precedent).
+    if include_scale_section:
+        out = out.unionByName(scale_stream_summary(spark))
+    return out
 
 
 def _stream_golden_rows_wide() -> list[dict]:

@@ -1068,6 +1068,129 @@ def run_fixture_stream(
     return out
 
 
+def run_scale_stream(
+    spark: SparkSession,
+    workdir: str,
+    n_tasks: int,
+    files: int = 16,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Streaming scale-certificate harness: ``n_tasks`` closed-form
+    happy-path conversations (``taskrouter.scale.synthetic_events`` —
+    5 CloudEvents each, the SAME generator behind the batch
+    ``taskrouter_segments_scale`` proof) pushed through the full
+    streaming pipeline at volume, and the resulting segments returned
+    as a lazy batch DataFrame over the durable sink for the caller to
+    reduce against the generator's closed form.
+
+    Deliberate choices, each load-bearing at scale:
+
+    - **Event-time-ordered spool, ``files`` micro-batches, ZERO
+      shuffle**: ``spark.range`` partitions are contiguous id ranges
+      and explode preserves per-partition row order, so generating at
+      ``num_partitions=files`` writes ``files`` arrival-ordered text
+      files directly — no repartitionByRange (a 2 GB shuffle whose 16
+      concurrent fetch+write tasks OOMed a warmed 1g driver-contract
+      JVM; ordering that is free by construction must not be
+      re-bought with a shuffle). Per-file ascending mtimes +
+      ``maxFilesPerTrigger=1`` then yield cross-batch watermark
+      advancement and dedup-state eviction — a single giant batch
+      would certify the state machine but not the streaming
+      machinery. Event time is monotone across files (skew within
+      the arrival order is <= 300.2s — task i's completed event at
+      60i+360.2 arrives before task i+6's entry at 60i+360.1 —
+      bounded under both the 10-minute watermark delay and the
+      10-minute conversation timeout, so nothing is dropped as late
+      and no happy-path conversation is ever timed out as CORRUPTED;
+      the closed form is exactly 2 terminal segments per task). File
+      boundaries align to task boundaries (a contiguous task slice
+      per file); MID-CONVERSATION cross-batch state carry is
+      certified by the fixture streams' 6-file chronological spool
+      and the replay-split tests, not re-proven here.
+    - **Bucketed lifecycle** (``buckets`` defaulting to
+      ``lifecycle_buckets`` at this session's core count): the
+      throughput keying is the one a 100 TB deployment runs, so it is
+      the one the certificate exercises.
+    - **RocksDB state store + 16 shuffle partitions for the stream**:
+      the CloudEvent-id dedup state alone holds a micro-batch of ids
+      (~n_tasks*5/files) before the watermark evicts it — off-heap in
+      RocksDB so the driver-contract 1g JVM never carries it. 16
+      state partitions (not the session's 200, not even 32): fewer
+      state instances collapse per-batch commit cost (PLANS #24), and
+      — measured the hard way — the stateful+sink stage's UNMANAGED
+      per-task memory (JSON strings, sort buffers, Arrow batches,
+      parquet writers) scales with CONCURRENT tasks, so 32 tasks at
+      625k events/batch OOMed a 1g driver-contract JVM that 11 prior
+      queries had already warmed, while 16 tasks at 312k events/batch
+      (files=16) hold comfortable headroom. Both settings are
+      restored after the run.
+    - **Durable parquet sink, not the memory sink**: 2*n_tasks result
+      rows never touch the driver (the memory sink materializes in
+      the driver heap); the caller reads the sink back and reduces
+      distributively. This also runs the S5 streaming sink path at
+      volume. No date partitioning here: the synthetic corpus spans
+      ~694 days at n_tasks=1M and a per-day layout would shatter into
+      tens of thousands of tiny files — a real deployment partitions
+      by date because a day holds gigabytes, not 3 rows.
+    """
+    import os
+
+    from ..taskrouter.scale import synthetic_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if buckets is None:
+        cores = spark.sparkContext.defaultParallelism
+        buckets = lifecycle_buckets(16, cores=cores)
+    indir = os.path.join(workdir, "in")
+    outdir = os.path.join(workdir, "segments")
+    ckpt = os.path.join(workdir, "ckpt")
+    (
+        synthetic_events(spark, n_tasks, num_partitions=files)
+        .select("raw")
+        .write.text(indir)
+    )
+    parts = sorted(f for f in os.listdir(indir) if f.startswith("part-"))
+    for k, fn in enumerate(parts):
+        mt = 1_700_000_000 + k * 10
+        os.utime(os.path.join(indir, fn), (mt, mt))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_provider = spark.conf.get(provider_key, None)
+    prev_shuffle = spark.conf.get(shuffle_key)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(shuffle_key, "16")
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(indir)
+        )
+        seg = conversation_segments_stream(
+            parse_stream(raw), buckets=buckets
+        )
+        q = (
+            seg.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        spark.conf.set(shuffle_key, prev_shuffle)
+    return spark.read.parquet(outdir)
+
+
 def hourly_event_counts_stream(events: DataFrame) -> DataFrame:
     """Watermark + tumbling-window aggregation — the canonical Structured
     Streaming pattern (the declared BASELINE approach), over the parsed

@@ -37,16 +37,30 @@ _EVENT_SPECS = [
 _TASK_ATTRS_JSON = '{"direction":"inbound","from":"+15550000","to":"+15551111"}'
 
 
-def synthetic_events(spark: SparkSession, n_tasks: int) -> DataFrame:
+def synthetic_events(
+    spark: SparkSession, n_tasks: int, num_partitions: int | None = None
+) -> DataFrame:
     """(arrival_idx, raw CloudEvent JSON) for n_tasks happy-path
     conversations — generated executor-side, ONE narrow stage: the five
     per-task events come from one explode over the spec array (an
     earlier 5-way union of range scans scheduled 5× the tasks for the
-    same rows)."""
+    same rows).
+
+    ``num_partitions`` overrides the default sizing when the CALLER
+    owns the layout: ``spark.range`` partitions are contiguous id
+    ranges and explode preserves per-partition row order, so partition
+    k is a complete, arrival-ordered slice of tasks — writing at
+    ``num_partitions=K`` yields K event-time-ordered files with NO
+    shuffle (the streaming scale certificate's spool: a
+    repartitionByRange of the same 5M rows cost a 2 GB shuffle whose
+    16 concurrent fetch+write tasks OOMed a warmed 1g driver-contract
+    JVM — ordering that is free by construction should never be
+    re-bought with a shuffle)."""
     from ..session import scale_input_partitions
 
     base = spark.range(
-        0, n_tasks, 1, numPartitions=scale_input_partitions(spark)
+        0, n_tasks, 1,
+        numPartitions=num_partitions or scale_input_partitions(spark),
     ).select(F.col("id").alias("i"))
     specs = F.array(
         *[
