@@ -136,6 +136,28 @@ def test_warm_stats_errored_and_single_rep_fallbacks():
     assert "rel" not in spread
 
 
+def test_committed_record_carries_median_schema():
+    """BENCH_FULL.json — the committed quiet-window record — must
+    carry the round-15 format: per-query warm medians covering every
+    benched query, their total, and >= 3 COMPLETE warm virtual-record
+    totals with the measured relative spread (the field
+    round-over-round claims are bounded by)."""
+    with open(os.path.join(_REPO, "BENCH_FULL.json")) as f:
+        rec = json.load(f)
+    assert set(rec["medians"]) == set(rec["queries"])
+    assert rec["median_total"] > 0
+    ws = rec["window_spread"]
+    assert len(ws["warm_rep_totals"]) >= 3
+    assert 0.0 <= ws["rel"] < 1.0
+    # medians must be real medians of warm reps, not copies of the min
+    from bench import warm_stats
+
+    med, med_total, spread = warm_stats(rec["runs"])
+    assert med == rec["medians"]
+    assert med_total == rec["median_total"]
+    assert spread == ws
+
+
 def test_refusal_embeds_committed_quiet_record():
     """Rounds 12-13: both driver bench artifacts were refusals carrying
     no numbers at all. The refusal payload must now embed the committed
