@@ -1235,3 +1235,93 @@ def test_scale_stream_restores_session_conf(spark, tmp_path):
     assert seg.count() == 120  # 2 terminal segments per task
     assert spark.conf.get(shuffle_key) == before_shuffle
     assert spark.conf.get(provider_key, None) == before_provider
+
+
+def test_segment_audit_detects_corruption(spark):
+    """Negative controls for the scale certificate's fingerprint: the
+    audit reduction must MOVE when the segment set is corrupted in
+    each of the ways the golden-rows docstring claims it catches —
+    including the compensated drop+duplicate that preserves count AND
+    first moment (drop tasks {1,4}, duplicate {2,3}: id_sum unchanged,
+    id_sumsq must differ), the case simple count/sum audits miss."""
+    import datetime as dt
+
+    from twilio_event_streams_reporting_example_spark.plans.taskrouter_queries import (
+        segment_audit_summary,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    n = 10
+    schema = (
+        "segment_kind string, conversation_id string, "
+        "reservation_sid string, agent_uuid string, date timestamp, "
+        "queue_time long, ring_time long, talk_time long, "
+        "wrapup_time long"
+    )
+
+    def rows(n_tasks):
+        out = []
+        for i in range(n_tasks):
+            ids = (f"TKS-{i}", f"RSS-{i}", f"WKS-{i % 50}")
+            entry = base + dt.timedelta(seconds=60 * i)
+            out.append(("QUEUE", *ids, entry, 15, None, None, None))
+            out.append((
+                "CONVERSATION", *ids,
+                entry + dt.timedelta(seconds=15), 15, 10, 300, 45,
+            ))
+        return out
+
+    def audit(data):
+        return {
+            r["segment_kind"]: r.asDict()
+            for r in segment_audit_summary(
+                spark.createDataFrame(data, schema)
+            ).collect()
+        }
+
+    clean = audit(rows(n))
+    assert clean["QUEUE"]["conversation_id"] == (
+        f"rows={n};id_sum={n * (n - 1) // 2};"
+        f"id_sumsq={(n - 1) * n * (2 * n - 1) // 6}"
+    )
+    assert clean["CONVERSATION"]["agent_uuid"] == (
+        "bad_res=0;bad_agent=0;bad_date=0;bad_measures=0"
+    )
+
+    # 1. plain duplicate: count and both moments move
+    dup = rows(n) + [rows(n)[0]]
+    assert audit(dup)["QUEUE"]["conversation_id"] != clean["QUEUE"][
+        "conversation_id"
+    ]
+
+    # 2. compensated drop+duplicate: drop QUEUE of tasks 1 and 4,
+    #    duplicate QUEUE of tasks 2 and 3 — count unchanged, id_sum
+    #    unchanged (-1-4+2+3=0), but id_sumsq moves (-1-16+4+9=-4)
+    comp = [
+        r for r in rows(n)
+        if not (r[0] == "QUEUE" and r[1] in ("TKS-1", "TKS-4"))
+    ]
+    comp += [r for r in rows(n) if r[0] == "QUEUE" and r[1] in ("TKS-2", "TKS-3")]
+    got = audit(comp)["QUEUE"]["conversation_id"]
+    assert f"rows={n};id_sum={n * (n - 1) // 2};" in got  # count+sum blind
+    assert got != clean["QUEUE"]["conversation_id"]  # sumsq catches it
+
+    # 3-5. field corruptions: each flips exactly its own counter
+    for col_idx, expect in ((3, "bad_agent=1"), (2, "bad_res=1")):
+        bad = rows(n)
+        r0 = list(bad[0])
+        r0[col_idx] = "WRONG-9"
+        bad[0] = tuple(r0)
+        assert expect in audit(bad)["QUEUE"]["agent_uuid"]
+    bad = rows(n)
+    r0 = list(bad[0])
+    r0[4] = r0[4] + dt.timedelta(seconds=1)
+    bad[0] = tuple(r0)
+    assert "bad_date=1" in audit(bad)["QUEUE"]["agent_uuid"]
+    bad = rows(n)
+    r0 = list(bad[1])
+    r0[7] = 299  # talk_time off by one on a CONVERSATION row
+    bad[1] = tuple(r0)
+    a = audit(bad)
+    assert "bad_measures=1" in a["CONVERSATION"]["agent_uuid"]
+    assert "bad_measures=0" in a["QUEUE"]["agent_uuid"]

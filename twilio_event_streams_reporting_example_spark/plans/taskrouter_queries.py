@@ -644,6 +644,97 @@ def _scale_stream_summary_golden_rows(n_tasks: int) -> list[dict]:
     ]
 
 
+def segment_audit_summary(seg: DataFrame) -> DataFrame:
+    """The single-pass audit reduction over a segments DataFrame — one
+    row per segment kind in the stream family's column shape (see
+    ``_scale_stream_summary_golden_rows`` for the fingerprint design).
+    Separated from the streaming runner so its DETECTION power is
+    unit-testable: tests/test_streaming.py's negative controls feed
+    hand-corrupted row sets (duplicate, compensated drop+duplicate,
+    wrong agent/date/measures) and assert the fingerprint moves."""
+    from ..taskrouter.scale import BASE_EPOCH_S, SPACING_S
+
+    # Single-pass audit expressions (see the golden-rows docstring
+    # for why moments + per-row counters replace countDistincts:
+    # O(1) aggregation state vs an OOM-ing 5-way distinct expand).
+    i = F.substring("conversation_id", 5, 20).cast("long")
+    is_conv = F.col("segment_kind") == "CONVERSATION"
+    expected_date = F.timestamp_seconds(
+        F.lit(BASE_EPOCH_S)
+        + i * SPACING_S
+        + F.when(is_conv, F.lit(15)).otherwise(F.lit(0))
+    )
+    measures_ok = F.when(
+        is_conv,
+        (F.col("queue_time") == 15)
+        & (F.col("ring_time") == 10)
+        & (F.col("talk_time") == 300)
+        & (F.col("wrapup_time") == 45),
+    ).otherwise(
+        (F.col("queue_time") == 15)
+        & F.col("ring_time").isNull()
+        & F.col("talk_time").isNull()
+        & F.col("wrapup_time").isNull()
+    )
+
+    def _bad(cond) -> F.Column:
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+    out = (
+        seg.groupBy("segment_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(i).alias("id_sum"),
+            F.sum(i * i).alias("id_sumsq"),
+            F.min(i).alias("id_min"),
+            F.max(i).alias("id_max"),
+            _bad(
+                F.col("reservation_sid")
+                != F.concat(F.lit("RSS-"), i.cast("string"))
+            ).alias("bad_res"),
+            _bad(
+                F.col("agent_uuid")
+                != F.concat(F.lit("WKS-"), (i % 50).cast("string"))
+            ).alias("bad_agent"),
+            _bad(F.col("date") != expected_date).alias("bad_date"),
+            _bad(~measures_ok).alias("bad_measures"),
+            F.max("date").alias("max_date"),
+            F.min("date").alias("min_date"),
+            F.sum("queue_time").alias("sum_queue"),
+            F.sum("ring_time").alias("sum_ring"),
+            F.sum("talk_time").alias("sum_talk"),
+            F.sum("wrapup_time").alias("sum_wrapup"),
+        )
+        .select(
+            "segment_kind",
+            F.concat(
+                F.lit("rows="), F.col("n_rows").cast("string"),
+                F.lit(";id_sum="), F.col("id_sum").cast("string"),
+                F.lit(";id_sumsq="), F.col("id_sumsq").cast("string"),
+            ).alias("conversation_id"),
+            F.concat(
+                F.lit("id_min="), F.col("id_min").cast("string"),
+                F.lit(";id_max="), F.col("id_max").cast("string"),
+            ).alias("reservation_sid"),
+            F.concat(
+                F.lit("bad_res="), F.col("bad_res").cast("string"),
+                F.lit(";bad_agent="), F.col("bad_agent").cast("string"),
+                F.lit(";bad_date="), F.col("bad_date").cast("string"),
+                F.lit(";bad_measures="),
+                F.col("bad_measures").cast("string"),
+            ).alias("agent_uuid"),
+            F.col("max_date").alias("date"),
+            F.col("sum_queue").alias("queue_time"),
+            F.col("sum_ring").alias("ring_time"),
+            F.col("sum_talk").alias("talk_time"),
+            F.col("sum_wrapup").alias("wrapup_time"),
+            F.lit(None).cast("string").alias("abandoned"),
+            F.unix_timestamp("min_date").alias("abandon_time"),
+        )
+    )
+    return out
+
+
 def scale_stream_summary(
     spark: SparkSession, n_tasks: int = SCALE_STREAM_TASKS
 ) -> DataFrame:
@@ -651,100 +742,20 @@ def scale_stream_summary(
     closed-form conversations (streaming/taskrouter_stream.py::
     run_scale_stream — ordered multi-batch replay, RocksDB state,
     durable parquet sink) and reduce the 2*n_tasks result rows
-    DISTRIBUTIVELY to one summary row per segment kind in the stream
-    family's column shape. The reduction happens before the sink's
-    tempdir vanishes; the 2-row result is localCheckpointed (the
-    ``taskrouter_segments_incremental`` pattern)."""
+    DISTRIBUTIVELY with :func:`segment_audit_summary`. The reduction
+    happens before the sink's tempdir vanishes; the 2-row result is
+    localCheckpointed (the ``taskrouter_segments_incremental``
+    pattern)."""
     import tempfile
 
     from ..registry import persistent_rdd_entries, pin_new_checkpoints
     from ..streaming.taskrouter_stream import run_scale_stream
 
-    from ..taskrouter.scale import BASE_EPOCH_S, SPACING_S
-
     sc = spark.sparkContext
     before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
         seg = run_scale_stream(spark, d, n_tasks)
-        # Single-pass audit expressions (see the golden-rows docstring
-        # for why moments + per-row counters replace countDistincts:
-        # O(1) aggregation state vs an OOM-ing 5-way distinct expand).
-        i = F.substring("conversation_id", 5, 20).cast("long")
-        is_conv = F.col("segment_kind") == "CONVERSATION"
-        expected_date = F.timestamp_seconds(
-            F.lit(BASE_EPOCH_S)
-            + i * SPACING_S
-            + F.when(is_conv, F.lit(15)).otherwise(F.lit(0))
-        )
-        measures_ok = F.when(
-            is_conv,
-            (F.col("queue_time") == 15)
-            & (F.col("ring_time") == 10)
-            & (F.col("talk_time") == 300)
-            & (F.col("wrapup_time") == 45),
-        ).otherwise(
-            (F.col("queue_time") == 15)
-            & F.col("ring_time").isNull()
-            & F.col("talk_time").isNull()
-            & F.col("wrapup_time").isNull()
-        )
-
-        def _bad(cond) -> F.Column:
-            return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
-
-        out = (
-            seg.groupBy("segment_kind")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(i).alias("id_sum"),
-                F.sum(i * i).alias("id_sumsq"),
-                F.min(i).alias("id_min"),
-                F.max(i).alias("id_max"),
-                _bad(
-                    F.col("reservation_sid")
-                    != F.concat(F.lit("RSS-"), i.cast("string"))
-                ).alias("bad_res"),
-                _bad(
-                    F.col("agent_uuid")
-                    != F.concat(F.lit("WKS-"), (i % 50).cast("string"))
-                ).alias("bad_agent"),
-                _bad(F.col("date") != expected_date).alias("bad_date"),
-                _bad(~measures_ok).alias("bad_measures"),
-                F.max("date").alias("max_date"),
-                F.min("date").alias("min_date"),
-                F.sum("queue_time").alias("sum_queue"),
-                F.sum("ring_time").alias("sum_ring"),
-                F.sum("talk_time").alias("sum_talk"),
-                F.sum("wrapup_time").alias("sum_wrapup"),
-            )
-            .select(
-                "segment_kind",
-                F.concat(
-                    F.lit("rows="), F.col("n_rows").cast("string"),
-                    F.lit(";id_sum="), F.col("id_sum").cast("string"),
-                    F.lit(";id_sumsq="), F.col("id_sumsq").cast("string"),
-                ).alias("conversation_id"),
-                F.concat(
-                    F.lit("id_min="), F.col("id_min").cast("string"),
-                    F.lit(";id_max="), F.col("id_max").cast("string"),
-                ).alias("reservation_sid"),
-                F.concat(
-                    F.lit("bad_res="), F.col("bad_res").cast("string"),
-                    F.lit(";bad_agent="), F.col("bad_agent").cast("string"),
-                    F.lit(";bad_date="), F.col("bad_date").cast("string"),
-                    F.lit(";bad_measures="),
-                    F.col("bad_measures").cast("string"),
-                ).alias("agent_uuid"),
-                F.col("max_date").alias("date"),
-                F.col("sum_queue").alias("queue_time"),
-                F.col("sum_ring").alias("ring_time"),
-                F.col("sum_talk").alias("talk_time"),
-                F.col("sum_wrapup").alias("wrapup_time"),
-                F.lit(None).cast("string").alias("abandoned"),
-                F.unix_timestamp("min_date").alias("abandon_time"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = segment_audit_summary(seg).localCheckpoint(eager=True)
     pin_new_checkpoints(sc, before)
     return out.withColumn("keying", F.lit("bucketed_scale"))
 
