@@ -1,0 +1,168 @@
+"""The committed plan-audit artifact is clean, covers the benched
+registry exactly, and the scanner it came from can actually DETECT the
+anti-patterns it gates — proven on live plans, not just synthetic
+strings. A regression here is a 100 TB incident that stays invisible
+at sf0.1: a cartesian join or a row-at-a-time Python UDF is correct
+and fast on 60k rows and fatal on 10^11."""
+
+import json
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from plan_audit import BNLJ_ALLOWLIST, GATED_NODE, scan_plan  # noqa: E402
+
+_ARTIFACT = os.path.join(_REPO, "PLAN_AUDIT.json")
+
+
+def _artifact() -> dict:
+    with open(_ARTIFACT) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------
+# committed artifact: clean, complete, and self-consistent (no Spark)
+# ---------------------------------------------------------------------
+
+
+def test_committed_audit_is_clean():
+    art = _artifact()
+    assert art["violations"] == []
+    assert art["n_queries"] == len(art["queries"])
+    for name, row in art["queries"].items():
+        assert "error" not in row, f"{name} failed to build at audit time"
+        assert row["violations"] == [], name
+
+
+def test_committed_audit_covers_benched_registry_exactly():
+    """Every spec.bench query has an audited plan; nothing extra. The
+    registry import needs no SparkSession, so this stays a fast check
+    even though the artifact itself took a sweep to produce."""
+    from twilio_event_streams_reporting_example_spark.registry import (
+        all_queries,
+    )
+
+    benched = {n for n, s in all_queries().items() if s.bench}
+    assert set(_artifact()["queries"]) == benched
+
+
+def test_committed_audit_bnlj_hits_are_allowlisted_with_reasons():
+    """Each BroadcastNestedLoopJoin hit in the artifact must sit inside
+    its allowlist bound AND carry the recorded justification (what the
+    tiny broadcast side is) — the audit's whole point is that a hit
+    without a reason is a violation, not a shrug."""
+    art = _artifact()
+    for name, row in art["queries"].items():
+        n = row["counts"][GATED_NODE]
+        if n == 0:
+            assert row["allowlisted"] == [], name
+            continue
+        entry = BNLJ_ALLOWLIST.get(name)
+        assert entry is not None, f"{name} carries BNLJ but is not allowlisted"
+        assert n <= entry["max_nodes"], name
+        assert row["allowlisted"], name
+        assert row["allowlisted"][0]["reason"] == entry["reason"], name
+    # the allowlist itself must not rot: every allowlisted name is a
+    # real registered query (an entry for a renamed/deleted query is a
+    # hole the gate would silently stop covering)
+    assert set(BNLJ_ALLOWLIST) <= set(art["queries"])
+
+
+def test_committed_audit_has_no_cartesian_or_row_udf_anywhere():
+    art = _artifact()
+    for name, row in art["queries"].items():
+        assert row["counts"]["CartesianProduct"] == 0, name
+        assert row["counts"]["BatchEvalPython"] == 0, name
+
+
+# ---------------------------------------------------------------------
+# detection power: the scanner flags live anti-pattern plans
+# ---------------------------------------------------------------------
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scanner_flags_live_cartesian_product(spark):
+    """A genuine unconditioned join with broadcasting disabled plans as
+    CartesianProduct; the scanner must flag it under ANY name —
+    cartesians have no allowlist."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(100)
+        b = spark.range(100).withColumnRenamed("id", "id2")
+        plan = _executed(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" in plan  # the control is real
+    res = scan_plan("knn_methods", plan)  # even an allowlisted name
+    assert any("CartesianProduct" in v for v in res["violations"])
+
+
+def test_scanner_flags_live_row_at_a_time_udf(spark):
+    """F.udf on a data path plans as BatchEvalPython (row-at-a-time,
+    pickled) — always a violation; ArrowEvalPython (pandas_udf) is the
+    sanctioned escape and must NOT trip the same rule."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    plan = _executed(spark.range(10).select(slow("id").alias("y")))
+    assert "BatchEvalPython" in plan
+    res = scan_plan("events_filter_project", plan)
+    assert any("BatchEvalPython" in v for v in res["violations"])
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fast(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    arrow_plan = _executed(spark.range(10).select(fast("id").alias("y")))
+    assert "ArrowEvalPython" in arrow_plan
+    res = scan_plan("events_filter_project", arrow_plan)
+    assert res["violations"] == []
+    assert res["counts"]["ArrowEvalPython"] == 1
+
+
+def test_scanner_flags_live_non_allowlisted_bnlj(spark):
+    """A broadcast cross join in a query with no allowlist entry is a
+    violation even though the node itself is sometimes legitimate."""
+    from pyspark.sql import functions as F
+
+    one = spark.range(1).withColumnRenamed("id", "k")
+    plan = _executed(spark.range(100).crossJoin(F.broadcast(one)))
+    assert GATED_NODE in plan
+    res = scan_plan("events_filter_project", plan)
+    assert any("not allowlisted" in v for v in res["violations"])
+
+
+def test_scanner_flags_allowlist_bound_exceeded():
+    """One MORE BNLJ than the measured bound means a new nested-loop
+    crept into an allowlisted query — flagged, not absorbed."""
+    bound = BNLJ_ALLOWLIST["sampling_suite"]["max_nodes"]
+    plan = "\n".join(f"+- {GATED_NODE} BuildRight" for _ in range(bound + 1))
+    res = scan_plan("sampling_suite", plan)
+    assert any("exceeds allowlisted max" in v for v in res["violations"])
+    # ... and exactly at the bound it passes, recording the reason
+    plan_ok = "\n".join(f"+- {GATED_NODE} BuildRight" for _ in range(bound))
+    res_ok = scan_plan("sampling_suite", plan_ok)
+    assert res_ok["violations"] == []
+    assert res_ok["allowlisted"][0]["count"] == bound
+
+
+def test_scanner_counts_are_exact_node_matches():
+    """BatchEvalPython must not be counted inside ArrowEvalPython text
+    and vice versa — the two rules have opposite verdicts."""
+    res = scan_plan("q", "+- ArrowEvalPython [f(id)]")
+    assert res["counts"]["BatchEvalPython"] == 0
+    assert res["counts"]["ArrowEvalPython"] == 1
+    assert res["violations"] == []

@@ -67,6 +67,15 @@ def main() -> int:
         "oracle-compare",
         [sys.executable, "tools/check_queries.py", "--all", sf_dir],
     )
+    # plan anti-pattern sweep (round-15): a cartesian join or a
+    # row-at-a-time Python UDF is invisible to both checks above at
+    # sf0.001 — correct results, tolerable wall time — and fatal at
+    # 100 TB. --no-artifact: the gate validates, it does not rewrite
+    # the committed PLAN_AUDIT.json.
+    ok &= _run(
+        "plan-audit",
+        [sys.executable, "tools/plan_audit.py", sf_dir, "--no-artifact"],
+    )
     if ok:
         print("[gate] ALL GREEN — snapshot allowed")
         return 0
