@@ -80,6 +80,66 @@ def test_committed_audit_has_no_cartesian_or_row_udf_anywhere():
         assert row["counts"]["BatchEvalPython"] == 0, name
 
 
+def test_committed_audit_streaming_section_is_clean_and_complete():
+    """The streaming surface never runs in the batch bench, so the
+    audit plans every unstarted pipeline separately. Pin: all nine
+    pipelines audited, zero violations, and exactly ONE stateful
+    operator per plan — a second applyInPandasWithState/
+    transformWithState node appearing in a lifecycle plan means the
+    pipeline grew a hidden stateful stage (double state stores, double
+    shuffles at 100 TB). The per-family node kind is pinned too: the
+    TWS variants must plan as TransformWithStateInPySpark, the classic
+    variants as FlatMapGroupsInPandasWithState, the built-in windowed
+    aggs as StateStoreSave (+ SessionWindowStateStoreSave for session
+    windows)."""
+    art = _artifact()
+    s = art["streaming"]
+    assert art["n_streaming"] == len(s) == 9
+    expected_stateful = {
+        "stream:segments_per_task": "FlatMapGroupsInPandasWithState",
+        "stream:segments_bucketed": "FlatMapGroupsInPandasWithState",
+        "stream:segments_wide": "FlatMapGroupsInPandasWithState",
+        "stream:agent_status": "FlatMapGroupsInPandasWithState",
+        "stream:agent_status_wide": "FlatMapGroupsInPandasWithState",
+        "stream:segments_tws": "TransformWithStateInPySpark",
+        "stream:segments_tws_bucketed": "TransformWithStateInPySpark",
+        "stream:hourly_event_counts": "StateStoreSave",
+        "stream:user_sessions": "SessionWindowStateStoreSave",
+    }
+    assert set(s) == set(expected_stateful)
+    for name, row in s.items():
+        assert row["violations"] == [], name
+        assert row["counts"]["CartesianProduct"] == 0, name
+        assert row["counts"]["BatchEvalPython"] == 0, name
+        c = row["counts"]
+        assert c[expected_stateful[name]] == 1, name
+        # exactly one custom stateful operator per lifecycle plan
+        custom = (
+            c["FlatMapGroupsInPandasWithState"]
+            + c["TransformWithStateInPySpark"]
+        )
+        if expected_stateful[name] in (
+            "FlatMapGroupsInPandasWithState",
+            "TransformWithStateInPySpark",
+        ):
+            assert custom == 1, name
+        else:
+            assert custom == 0, name
+
+
+def test_scanner_stateful_counts_do_not_overlap():
+    """FlatMapGroupsInPandas (the batch applyInPandas node) is a
+    prefix of FlatMapGroupsInPandasWithState (the streaming stateful
+    node); the scanner must count them separately or every streaming
+    lifecycle plan would also report a phantom batch node."""
+    res = scan_plan("q", "+- FlatMapGroupsInPandasWithState [seg(...)]")
+    assert res["counts"]["FlatMapGroupsInPandasWithState"] == 1
+    assert res["counts"]["FlatMapGroupsInPandas"] == 0
+    res2 = scan_plan("q", "+- FlatMapGroupsInPandas [profile(...)]")
+    assert res2["counts"]["FlatMapGroupsInPandas"] == 1
+    assert res2["counts"]["FlatMapGroupsInPandasWithState"] == 0
+
+
 # ---------------------------------------------------------------------
 # detection power: the scanner flags live anti-pattern plans
 # ---------------------------------------------------------------------

@@ -20,12 +20,14 @@ local[32] result into a 100 TB incident:
 This tool makes that audit a committed, reproducible artifact instead
 of a per-round manual sweep: it builds every ``spec.bench`` query at a
 small SF (plan shape, not data volume, is what's audited — the same
-choice tests/test_plans.py makes), scans the executed-plan string
-against the rule set, and writes ``PLAN_AUDIT.json`` at the repo root
-with per-query counters, every allowlisted hit WITH its recorded
-justification, and a flat ``violations`` list. Exit is non-zero on any
-violation, so it can gate a snapshot exactly like
-tools/pre_snapshot_gate.py.
+choice tests/test_plans.py makes; measured identical violation-axis
+counters at sf0.001 and sf0.1), scans the executed-plan string against
+the rule set, does the same for every UNSTARTED streaming pipeline's
+physical plan (rate-source inputs — see ``streaming_plans``), and
+writes ``PLAN_AUDIT.json`` at the repo root with per-query counters,
+every allowlisted hit WITH its recorded justification, and a flat
+``violations`` list. Exit is non-zero on any violation, so it can gate
+a snapshot exactly like tools/pre_snapshot_gate.py.
 
 The allowlist is name-scoped and justified: each entry names the tiny
 broadcast side and, where one exists, the shape test that pins the
@@ -74,7 +76,22 @@ INFO_NODES = (
     "FlatMapGroupsInPandas",
     "SortMergeJoin",
     "BroadcastHashJoin",
+    # streaming stateful operators — exactly one per lifecycle plan is
+    # the designed shape (Spark rejects two applyInPandasWithStates in
+    # one query anyway); the counters make that pinnable from the
+    # artifact. StateStoreSave/SessionWindowStateStoreSave are the
+    # built-in streaming-agg state nodes (hourly windows, sessions).
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPySpark",
+    "StateStoreSave",
+    "SessionWindowStateStoreSave",
 )
+
+# "FlatMapGroupsInPandas" must not also count the WithState stateful
+# operator (substring); everything else is an exact non-overlapping
+# node name, so plain escaped matching is enough.
+_NODE_PATTERNS = {n: re.escape(n) for n in INFO_NODES}
+_NODE_PATTERNS["FlatMapGroupsInPandas"] = r"FlatMapGroupsInPandas(?!WithState)"
 
 # Queries allowed to carry BroadcastNestedLoopJoin nodes, with the
 # recorded reason (what the tiny broadcast side IS) and the shape test
@@ -139,7 +156,7 @@ def scan_plan(name: str, plan: str) -> dict:
     """Scan ONE executed-plan string against the rule set. Pure
     function of (name, plan) so tests can prove detection power on
     live and synthetic plans without touching the artifact."""
-    counts = {n: len(re.findall(re.escape(n), plan)) for n in INFO_NODES}
+    counts = {n: len(re.findall(_NODE_PATTERNS[n], plan)) for n in INFO_NODES}
     # BatchEvalPython must not match ArrowEvalPython (distinct node
     # names — re.escape keeps the match exact, no substring overlap).
     violations: list[str] = []
@@ -178,6 +195,72 @@ def scan_plan(name: str, plan: str) -> dict:
     }
 
 
+def streaming_plans(spark) -> dict[str, str]:
+    """Physical plans of every UNSTARTED streaming pipeline — Spark
+    plans a streaming DataFrame without executing it (the same
+    mechanism tests/test_plans.py::test_agent_status_stream_plan_shape
+    uses), so the audit covers the streaming surface the batch bench
+    never builds. Inputs are synthetic rate-source frames: plan shape
+    is a function of the transformations, not the data. Sink-side
+    harnesses (foreachBatch upsert, parquet writers) have no plannable
+    DataFrame and stay covered by the correctness gate instead."""
+    from pyspark.sql import functions as F
+
+    from twilio_event_streams_reporting_example_spark.streaming.sessions import (
+        user_sessions_stream,
+    )
+    from twilio_event_streams_reporting_example_spark.streaming.taskrouter_stream import (
+        agent_status_emissions_stream,
+        hourly_event_counts_stream,
+        parse_stream,
+        segment_emissions_stream,
+        wide_agent_status_stream,
+        wide_conversation_segments_stream,
+    )
+
+    raw = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr("CAST(value AS STRING) as value")
+    )
+    ev = parse_stream(raw)
+    rate = spark.readStream.format("rate").load()
+    sess_in = rate.select(
+        F.col("value").alias("user_id"),
+        F.col("timestamp").alias("tts"),
+        (F.col("value") * 1.0).alias("value"),
+    )
+    builders = {
+        "stream:segments_per_task": lambda: segment_emissions_stream(ev),
+        "stream:segments_bucketed": lambda: segment_emissions_stream(
+            ev, buckets=8
+        ),
+        "stream:segments_tws": lambda: segment_emissions_stream(ev, tws=True),
+        "stream:segments_tws_bucketed": lambda: segment_emissions_stream(
+            ev, tws=True, buckets=8
+        ),
+        "stream:segments_wide": lambda: wide_conversation_segments_stream(ev),
+        "stream:agent_status": lambda: agent_status_emissions_stream(ev),
+        "stream:agent_status_wide": lambda: wide_agent_status_stream(ev),
+        "stream:hourly_event_counts": lambda: hourly_event_counts_stream(ev),
+        "stream:user_sessions": lambda: user_sessions_stream(sess_in),
+    }
+    import contextlib
+    import io
+
+    plans: dict[str, str] = {}
+    for name, build in builders.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            build().explain(mode="extended")
+        s = buf.getvalue()
+        # scan the PHYSICAL section only: stateful operator names repeat
+        # identically in the analyzed/optimized logical sections, which
+        # would triple-count them
+        plans[name] = s[s.index("== Physical Plan ==") :]
+    return plans
+
+
 def audit(spark, sf_dir: str) -> dict:
     """Build every benched query, scan its executed plan, return the
     artifact dict. Plan capture does not evaluate the query, but
@@ -208,9 +291,16 @@ def audit(spark, sf_dir: str) -> dict:
         finally:
             release_caches()
             spark.catalog.clearCache()
+    streaming: dict[str, dict] = {}
+    for name, plan in streaming_plans(spark).items():
+        row = scan_plan(name, plan)
+        streaming[name] = row
+        flat_violations.extend(row["violations"])
     return {
         "sf_dir": sf_dir,
         "n_queries": len(queries),
+        "n_streaming": len(streaming),
+        "streaming": streaming,
         "rules": {
             "violation_nodes": list(VIOLATION_NODES),
             "gated_node": GATED_NODE,
@@ -239,7 +329,8 @@ def main() -> int:
     for v in art["violations"]:
         print(f"[plan-audit] VIOLATION {v}")
     print(
-        f"[plan-audit] {art['n_queries']} queries, "
+        f"[plan-audit] {art['n_queries']} batch queries + "
+        f"{art['n_streaming']} streaming plans, "
         f"{len(art['violations'])} violations"
     )
     return 1 if art["violations"] else 0

@@ -1957,7 +1957,7 @@ def _xaudio_formula(k: int):
     return s0, s1, n * 10_000_000 + rate * 100 + ch
 
 
-# -------- third-party IMAGE producers (stored items 96-101) ---------------
+# -------- third-party IMAGE producers (stored items 96-103) ---------------
 #
 # Round-13 closed the "all fixture bytes are self-produced" gap for
 # audio via CPython's stdlib codecs; this is the image analogue. The
