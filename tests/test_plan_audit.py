@@ -15,7 +15,16 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
-from plan_audit import BNLJ_ALLOWLIST, GATED_NODE, scan_plan  # noqa: E402
+from plan_audit import (  # noqa: E402
+    BNLJ_ALLOWLIST,
+    GATED_NODE,
+    SCAN_FULL_ALLOWLIST,
+    WIDE_SCAN_MIN_COLS,
+    check_scans,
+    collect_scans,
+    dedupe_scans,
+    scan_plan,
+)
 
 _ARTIFACT = os.path.join(_REPO, "PLAN_AUDIT.json")
 
@@ -58,15 +67,18 @@ def test_committed_audit_bnlj_hits_are_allowlisted_with_reasons():
     without a reason is a violation, not a shrug."""
     art = _artifact()
     for name, row in art["queries"].items():
+        bnlj_hits = [
+            a for a in row["allowlisted"] if a["node"] == GATED_NODE
+        ]
         n = row["counts"][GATED_NODE]
         if n == 0:
-            assert row["allowlisted"] == [], name
+            assert bnlj_hits == [], name
             continue
         entry = BNLJ_ALLOWLIST.get(name)
         assert entry is not None, f"{name} carries BNLJ but is not allowlisted"
         assert n <= entry["max_nodes"], name
-        assert row["allowlisted"], name
-        assert row["allowlisted"][0]["reason"] == entry["reason"], name
+        assert bnlj_hits, name
+        assert bnlj_hits[0]["reason"] == entry["reason"], name
     # the allowlist itself must not rot: every allowlisted name is a
     # real registered query (an entry for a renamed/deleted query is a
     # hole the gate would silently stop covering)
@@ -78,6 +90,90 @@ def test_committed_audit_has_no_cartesian_or_row_udf_anywhere():
     for name, row in art["queries"].items():
         assert row["counts"]["CartesianProduct"] == 0, name
         assert row["counts"]["BatchEvalPython"] == 0, name
+
+
+def test_committed_audit_scans_are_pruned_or_allowlisted():
+    """Every batch row carries its parquet-scan pruning facts; any
+    full-width read of a wide table must be allowlisted with a reason.
+    The one designed hit is events_filter_project (the wide-projection
+    demonstration query genuinely consumes all 6 event columns);
+    everything else must show a pruned ReadSchema — the 100 TB
+    regression this gates is a dropped .select turning a 2-column
+    aggregate into a full-table read, invisible to pytest and the
+    oracle compare."""
+    art = _artifact()
+    full_width_hits = {}
+    for name, row in art["queries"].items():
+        assert "scans" in row, name
+        for s in row["scans"]:
+            assert s["n_read"] <= s["n_table"], (name, s)
+            if (
+                s["n_read"] == s["n_table"]
+                and s["n_table"] >= WIDE_SCAN_MIN_COLS
+            ):
+                full_width_hits[name] = s["table"]
+                hits = [
+                    a
+                    for a in row["allowlisted"]
+                    if a["node"] == "FullWidthScan"
+                    and a["table"] == s["table"]
+                ]
+                assert hits and hits[0]["reason"], (name, s)
+    assert full_width_hits == {"events_filter_project": "events"}
+    # the allowlist must not rot: every entry names a real audited query
+    assert set(SCAN_FULL_ALLOWLIST) <= set(art["queries"])
+
+
+def test_committed_audit_wide_scans_carry_pushed_filters_where_filtered():
+    """The filter queries' scans must show non-empty PushedFilters —
+    predicate pushdown reaching the parquet reader is the other half
+    of the scan contract (mirrors test_plans'
+    test_events_filter_pushdown, but pinned on the committed artifact
+    so the gate sees it too)."""
+    art = _artifact()
+    efp = art["queries"]["events_filter_project"]["scans"][0]
+    assert efp["pushed_filters"] not in ("", "[]")
+    pricing = art["queries"]["pricing_summary"]["scans"]
+    assert any(s["pushed_filters"] not in ("", "[]") for s in pricing)
+
+
+def test_scan_checker_flags_live_unpruned_scan(spark, sf_dir):
+    """Detection power on a LIVE plan: loading events (6 cols) without
+    a .select plans a full-width FileSourceScan; collect_scans must
+    see exactly that and check_scans must flag it under any
+    non-allowlisted name — while the same read through a projection
+    passes. Also proves the walker descends AQE's leaf wrapper."""
+    import os as _os
+
+    from twilio_event_streams_reporting_example_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    bad = ev.filter("value > 5.0")  # no projection: reads all 6 cols
+    scans = dedupe_scans(
+        collect_scans(bad._jdf.queryExecution().executedPlan())
+    )
+    assert len(scans) == 1
+    s = scans[0]
+    assert s["table"] == "events"
+    assert s["n_read"] == s["n_table"] >= WIDE_SCAN_MIN_COLS
+    res = check_scans("sessionize_events", scans)
+    assert any("full-width scan" in v for v in res["violations"])
+    # the allowlisted query absorbs the same scan WITH its reason
+    res_ok = check_scans("events_filter_project", scans)
+    assert res_ok["violations"] == []
+    assert res_ok["allowlisted"][0]["table"] == "events"
+    assert res_ok["allowlisted"][0]["reason"]
+    # ... and a projected read is pruned, so neither flags it
+    good = ev.filter("value > 5.0").select("event_id", "user_id")
+    pruned = dedupe_scans(
+        collect_scans(good._jdf.queryExecution().executedPlan())
+    )
+    # 3 = the 2 projected columns + the filter column the scan needs
+    assert pruned[0]["n_read"] == 3 < pruned[0]["n_table"]
+    assert check_scans("sessionize_events", pruned)["violations"] == []
+    assert _os.path.basename(pruned[0]["table"]) == "events"
 
 
 def test_committed_audit_streaming_section_is_clean_and_complete():

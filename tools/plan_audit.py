@@ -15,7 +15,12 @@ local[32] result into a 100 TB incident:
   - ``BatchEvalPython``         — a row-at-a-time Python UDF on a data
                                   path (the sanctioned Python escapes are
                                   Arrow-batched: ArrowEvalPython,
-                                  MapInPandas, FlatMapGroupsInPandas).
+                                  MapInPandas, FlatMapGroupsInPandas);
+  - an unpruned scan            — a parquet scan reading the FULL
+                                  schema of a wide table (a dropped
+                                  ``.select`` costs milliseconds at
+                                  sf0.1 and a full-table read at
+                                  100 TB); see ``collect_scans``.
 
 This tool makes that audit a committed, reproducible artifact instead
 of a per-round manual sweep: it builds every ``spec.bench`` query at a
@@ -152,6 +157,114 @@ BNLJ_ALLOWLIST: dict[str, dict] = {
 }
 
 
+# Column-pruning gate: a scan that reads the FULL schema of a wide
+# table is the third local[32]-invisible scale killer — at sf0.1 the
+# extra columns cost milliseconds; at 100 TB a dropped .select turns a
+# 2-column aggregate into a full-table read. A full-width scan of a
+# table with >= WIDE_SCAN_MIN_COLS columns is a violation unless the
+# (query, table) pair is allowlisted with the recorded reason. Tiny
+# dimensions (region 2, nation 3, the 3-col media fixture) legitimately
+# read whole rows and sit under the threshold.
+WIDE_SCAN_MIN_COLS = 6
+
+SCAN_FULL_ALLOWLIST: dict[str, dict] = {
+    "events_filter_project": {
+        "tables": ["events"],
+        "reason": (
+            "the query IS the wide-projection demonstration (SURVEY "
+            "P1-P5): all 6 event columns feed the output — filter + "
+            "CASE mapping + nested-JSON extraction over the full row "
+            "(plans/relational.py:224); full-width read is the "
+            "semantics, not a missing .select"
+        ),
+    },
+}
+
+
+def collect_scans(jnode) -> list[dict]:
+    """Walk ONE JVM physical-plan tree and return every parquet scan's
+    pruning facts: table (basename of the scan location), n_read (the
+    scan's requiredSchema width — exact, unlike the truncated
+    ReadSchema string in explain output), n_table (the relation's full
+    schema width), the read column names, and the PushedFilters text.
+    Descends through the two leaf wrappers that hide child plans:
+    AdaptiveSparkPlanExec (AQE wraps the whole query as a leaf) and
+    InMemoryTableScanExec (cached relations). localCheckpoint spines
+    surface as RDDScanExec — no file scan to audit, by design: their
+    producing scan was audited when the materialization query built."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return collect_scans(jnode.inputPlan())
+    if cls == "InMemoryTableScanExec":
+        return collect_scans(jnode.relation().cachedPlan())
+    if cls == "FileSourceScanExec":
+        rs = jnode.requiredSchema()
+        loc = jnode.relation().location().rootPaths().head().toString()
+        opt = jnode.metadata().get("PushedFilters")
+        return [
+            {
+                "table": os.path.basename(loc).removesuffix(".parquet"),
+                "n_read": rs.size(),
+                "n_table": jnode.relation().dataSchema().size(),
+                "columns": sorted(
+                    rs.apply(j).name() for j in range(rs.size())
+                ),
+                "pushed_filters": str(opt.get()) if opt.isDefined() else "",
+            }
+        ]
+    out: list[dict] = []
+    ch = jnode.children()
+    for i in range(ch.size()):
+        out.extend(collect_scans(ch.apply(i)))
+    return out
+
+
+def dedupe_scans(scans: list[dict]) -> list[dict]:
+    """The same pruned scan repeats across union branches (knn_methods
+    reads embeddings 2/3 forty-one times); collapse identical scans to
+    one row with a count so the artifact stays readable."""
+    seen: dict[tuple, dict] = {}
+    for s in scans:
+        key = (s["table"], s["n_read"], s["n_table"], tuple(s["columns"]))
+        if key in seen:
+            seen[key]["count"] += 1
+        else:
+            seen[key] = {**s, "count": 1}
+    return [seen[k] for k in sorted(seen)]
+
+
+def check_scans(name: str, scans: list[dict]) -> dict:
+    """Pure check over collected scan rows (mirrors scan_plan's
+    contract so tests can prove detection power without an artifact):
+    full-width read of a wide table outside the allowlist → violation;
+    inside the allowlist → an ``allowlisted`` entry carrying the
+    recorded reason, same as the BNLJ gate — a hit without a reason is
+    a violation, not a shrug."""
+    violations: list[str] = []
+    allowlisted: list[dict] = []
+    for s in scans:
+        if (
+            s["n_read"] >= s["n_table"]
+            and s["n_table"] >= WIDE_SCAN_MIN_COLS
+        ):
+            entry = SCAN_FULL_ALLOWLIST.get(name)
+            if entry is None or s["table"] not in entry["tables"]:
+                violations.append(
+                    f"{name}: full-width scan of {s['table']} "
+                    f"({s['n_table']} cols, not allowlisted)"
+                )
+            else:
+                allowlisted.append(
+                    {
+                        "node": "FullWidthScan",
+                        "table": s["table"],
+                        "n_table": s["n_table"],
+                        "reason": entry["reason"],
+                    }
+                )
+    return {"violations": violations, "allowlisted": allowlisted}
+
+
 def scan_plan(name: str, plan: str) -> dict:
     """Scan ONE executed-plan string against the rule set. Pure
     function of (name, plan) so tests can prove detection power on
@@ -279,8 +392,12 @@ def audit(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            row = scan_plan(name, plan)
+            jplan = df._jdf.queryExecution().executedPlan()
+            row = scan_plan(name, jplan.toString())
+            row["scans"] = dedupe_scans(collect_scans(jplan))
+            scan_res = check_scans(name, row["scans"])
+            row["violations"].extend(scan_res["violations"])
+            row["allowlisted"].extend(scan_res["allowlisted"])
             row["build_sec"] = round(time.perf_counter() - t0, 3)
             queries[name] = row
             flat_violations.extend(row["violations"])
@@ -306,6 +423,10 @@ def audit(spark, sf_dir: str) -> dict:
             "gated_node": GATED_NODE,
             "allowlist": {
                 k: v["max_nodes"] for k, v in sorted(BNLJ_ALLOWLIST.items())
+            },
+            "wide_scan_min_cols": WIDE_SCAN_MIN_COLS,
+            "scan_full_allowlist": {
+                k: v["tables"] for k, v in sorted(SCAN_FULL_ALLOWLIST.items())
             },
         },
         "violations": flat_violations,
