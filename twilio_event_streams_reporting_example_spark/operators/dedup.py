@@ -94,21 +94,34 @@ def _exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """Distinct word n-gram shingle hashes per doc via lead() over positions
-    (identical formulation in the SQL oracles — no array-indexing dialect
-    differences). Shingles appearing in more than ``max_df`` docs are dropped
-    (hot-key defense for the downstream blocking self-join; one extra window
-    shuffle on shingle_hash, which the self-join needed anyway)."""
-    tok = _exploded_tokens(df, id_col, text_col)
-    w = W.partitionBy(id_col).orderBy("pos")
-    shingle = F.concat_ws(" ", "token", *[F.lead("token", i).over(w) for i in range(1, n)])
+    """Distinct word n-gram shingle hashes per doc, formed ARRAY-NATIVE:
+    a higher-order ``transform`` over each doc's token array builds the
+    n-grams in place, so the only exchange left is the distinct's
+    partial-aggregated hash shuffle. The round-1..14 formulation
+    exploded tokens and ran ``lead()`` windows over (doc, pos) — that
+    paid a full sort-exchange of the ENTIRE token stream by doc id
+    purely to see the next two tokens, which the array already has
+    adjacent (optimization guide §2.4: remove shuffles outright;
+    measured 2 Exchange → 1 on the shingle spine, results
+    byte-identical, SQL oracles keep the independent lead() derivation).
+    Shingles appearing in more than ``max_df`` docs are dropped (hot-key
+    defense for the downstream blocking self-join)."""
+    t = F.col("__toks")
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            # sequence(0, size-n): one start index per full n-gram. The
+            # size >= n guard matters: Spark's sequence(0, negative)
+            # DESCENDS and would fabricate indices.
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = (
-        # Both window columns are materialized BEFORE the filter — a lead()
-        # evaluated after the filter would see the truncated partition and
-        # emit phantom (n-1)-gram shingles at the tail.
-        tok.withColumn("sh", shingle)
-        .withColumn("t2", F.lead("token", n - 1).over(w))
-        .filter(F.col("t2").isNotNull())
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(grams).alias("sh"))
         .select(F.col(id_col), token_hash(F.col("sh")).alias("shingle_hash"))
         .distinct()
     )
@@ -1489,6 +1502,10 @@ def _cluster_rows(cc: DataFrame) -> DataFrame:
     ),
 )
 def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .graph import connected_components, connected_components_star
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1497,15 +1514,37 @@ def dedup_duplicate_clusters_variants(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("matching_hashes") >= CLUSTER_MIN_MATCHES)
         .persist()
     )
+    # Materialize the shared pair table ONCE before the loops: both
+    # fixpoints read it, and filling the persist under a single action
+    # stops the two concurrent edge checkpoints from racing to compute
+    # the same shingle/band/signature stages twice (r15, guide §2.6).
+    pairs.count()
     # local_threshold=0: this query CERTIFIES the two distributed loops
     # against the recursive-CTE oracle — the small-graph union-find fast
-    # path must not swallow the thing under test
-    a = _cluster_rows(connected_components(pairs, local_threshold=0)).select(
-        F.lit("hash_min").alias("variant"), "*"
-    )
-    b = _cluster_rows(connected_components_star(pairs, local_threshold=0)).select(
-        F.lit("star").alias("variant"), "*"
-    )
+    # path must not swallow the thing under test. The two fixpoint loops
+    # are independent driver-blocking iterations over the SAME cached
+    # pairs; running them from two driver threads overlaps their small
+    # per-round stage waves (guide §2.6) — byte-identical output, the
+    # loops share nothing but the materialized pair cache. Safe since
+    # the r15 exact-id round-cache bookkeeping (each loop releases only
+    # the checkpoint ids it noted).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_a = pool.submit(
+            inheritable_thread_target(
+                lambda: connected_components(pairs, local_threshold=0)
+            )
+        )
+        fut_b = pool.submit(
+            inheritable_thread_target(
+                lambda: connected_components_star(pairs, local_threshold=0)
+            )
+        )
+        a = _cluster_rows(fut_a.result()).select(
+            F.lit("hash_min").alias("variant"), "*"
+        )
+        b = _cluster_rows(fut_b.result()).select(
+            F.lit("star").alias("variant"), "*"
+        )
     return a.unionByName(b)
 
 

@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import (
-    persistent_rdd_entries,
-    pin_new_checkpoints,
+    checkpoint_rdd_id,
+    pin_checkpoint,
     track_release,
     unpersist_rdd_ids,
 )
@@ -49,37 +49,40 @@ class _RoundCaches:
     Each round's localCheckpoint materializes new persisted RDDs; once the
     NEXT round is materialized (and the fixpoint test has read the previous
     round) the previous round's blocks are dead weight — the classic
-    iterative-Spark leak, footprint growing with round count. This tracks
-    the persisted-RDD ids created per round and drops the previous round's
-    blocks at the first safe point. The FINAL round's blocks back the
-    returned DataFrame, so they are handed to the registry's deferred
+    iterative-Spark leak, footprint growing with round count. The loop
+    ``note()``s each round's checkpointed DataFrame (EXACT persisted-RDD
+    id — no global diff, so two fixpoint loops can run concurrently
+    without dropping each other's blocks) and the previous round's blocks
+    are released at the first safe point. The FINAL round's blocks back
+    the returned DataFrame, so they are handed to the registry's deferred
     release (dropped by release_caches() once the consumer has evaluated
-    the result). Construct AFTER any long-lived checkpoint (e.g. the edge
-    list) is materialized — ids already persisted at construction are
-    never touched."""
+    the result)."""
 
     def __init__(self, sc):
         self._sc = sc
-        self._before = set(persistent_rdd_entries(sc))
-        self._live: set[int] = set()
+        self._prev: set[int] = set()
+        self._cur: set[int] = set()
+
+    def note(self, df) -> None:
+        """Record a DataFrame localCheckpoint'ed THIS round."""
+        i = checkpoint_rdd_id(df)
+        if i is not None:
+            self._cur.add(i)
 
     def rotate(self) -> None:
-        """Call once this round's eager checkpoints are materialized AND
+        """Call once this round's checkpoints are materialized AND
         nothing will read the previous round again: releases the previous
         round's blocks."""
-        now = set(persistent_rdd_entries(self._sc))
-        new_ids = now - self._before - self._live
-        unpersist_rdd_ids(self._sc, self._live)
-        self._live = new_ids
+        unpersist_rdd_ids(self._sc, self._prev)
+        self._prev = self._cur
+        self._cur = set()
 
     def finish(self) -> None:
         """Defer the last round's release to registry.release_caches()."""
-        sc, ids = self._sc, set(self._live)
+        sc, ids = self._sc, self._prev | self._cur
         track_release(lambda: unpersist_rdd_ids(sc, ids))
-        self._live = set()
-
-
-_pin_new_checkpoint = pin_new_checkpoints  # long-lived edge checkpoints
+        self._prev = set()
+        self._cur = set()
 
 # Edge count at/below which the component computation runs as a bounded
 # driver-side union-find instead of the iterative distributed loop. A
@@ -145,17 +148,15 @@ def connected_components(
     returning partially-merged clusters.
     """
     sc = pairs.sparkSession.sparkContext
-    pre_edges = set(persistent_rdd_entries(sc))
     # symmetrize once: propagation below then only needs one direction.
-    # Eager: the edge list is read every round AND must be snapshot before
-    # _RoundCaches so the per-round release never touches it.
+    # Eager: the edge list is read every round; pinned by EXACT rdd id.
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    _pin_new_checkpoint(sc, pre_edges)
+    pin_checkpoint(edges)
     # counting the eagerly-checkpointed edges is a cached-block scan;
     # tiny graphs route to the bounded union-find (see EDGES_LOCAL_CC_MAX)
     if local_threshold and edges.count() <= local_threshold:
@@ -222,6 +223,7 @@ def connected_components(
             # lazy: materialized (and lineage-truncated) by the count below
             .localCheckpoint(eager=False)
         )
+        rc.note(stepped)
         # the ONE action of the round: computes mid (filling its cache),
         # the jump join, the checkpoint, and the fixpoint test together
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
@@ -300,7 +302,6 @@ def connected_components_star(
     iterative lineage exactly as in the hash-min loop.
     """
     sc = pairs.sparkSession.sparkContext
-    pre_edges = set(persistent_rdd_entries(sc))
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -308,8 +309,9 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     # self_only below reads this initial edge checkpoint LAZILY (at result
-    # evaluation) — pin it for deferred release, never per-round rotation.
-    _pin_new_checkpoint(sc, pre_edges)
+    # evaluation) — pin it (exact id) for deferred release, never per-round
+    # rotation.
+    pin_checkpoint(edges)
     if local_threshold and edges.count() <= local_threshold:
         rows = [(r[0], r[1]) for r in edges.collect()]
         # self-pairs were filtered from the edge checkpoint but are part
@@ -340,6 +342,7 @@ def connected_components_star(
         # lazy checkpoint: the fixpoint count below materializes (and
         # lineage-truncates) the round in ONE job instead of two
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        rc.note(stepped)
         # fixpoint test: the star forest is stable iff the (small-star
         # canonical, big→small oriented) edge multiset did not move
         changed = (

@@ -4815,7 +4815,19 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
         if use_bmpv
         else BMP_N_ITEMS
     )
-    return spark.range(n_items).mapInPandas(
+    # Partition the FIXED-SIZE certification range explicitly instead of
+    # inheriting defaultParallelism: 48-72 items of ~4-10 ms each fanned
+    # into 32 partitions made every section pay a full wave of Python-
+    # worker task latency per core (22 sections x 32 = 709 tasks whose
+    # measured median wall was 719 ms against ~4 ms of kernel CPU — the
+    # noop-stage task_sum was 552 core-seconds for ~3 s of real work).
+    # Eight partitions per section keeps 22 x 8 = 176 tasks — still
+    # plenty to spread across the cores, each carrying 6-9 items
+    # (optimization guide §6: size splits so per-task overhead doesn't
+    # dominate; these sections are fixed-size fixtures, so a fixed small
+    # partition count IS the scale-correct sizing — the data-bearing
+    # sections keep their natural scan parallelism).
+    return spark.range(0, n_items, 1, numPartitions=min(8, n_items)).mapInPandas(
         kernel, "k_id long, m1 long, m2 long, m3 long"
     )
 

@@ -212,14 +212,12 @@ _SESSIONS_ORACLE = """
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+    from ..registry import pin_checkpoint
     from ..streaming.sessions import run_events_session_stream
 
-    sc = spark.sparkContext
-    before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
         out = run_events_session_stream(spark, d, sf_dir).localCheckpoint(eager=True)
-    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
+    pin_checkpoint(out)  # released by release_caches() post-consume
     return out
 
 

@@ -179,11 +179,12 @@ _KNN_EXACT_ORACLE = f"""
 """
 
 
-def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_bruteforce_cosine(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Exact ANN baseline: brute-force cosine top-k, broadcast query set."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
-    )
+    if emb is None:
+        emb = _emb_raw(spark, sf_dir)
     out = knn_bruteforce(
         emb.filter(F.col("id") < N_QUERIES),
         emb.filter(F.col("id") >= N_QUERIES),
@@ -219,14 +220,15 @@ def _local_topk_fn(k: int):
     return fn
 
 
-def knn_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_topk_partial(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Scale-correct exact top-k: map-side partial top-k per partition
     (mapInPandas, bounded accumulator) then a final window over the
     reduced candidate set — the shuffle carries partitions×Q×k rows,
     not Q×N. Results identical to knn_bruteforce_cosine."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
-    )
+    if emb is None:
+        emb = _emb_raw(spark, sf_dir)
     q = with_norm(emb.filter(F.col("id") < N_QUERIES)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -271,13 +273,13 @@ _KNN_LSH_ORACLE = f"""
 """
 
 
-def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """ANN scale path: sign-LSH bucket equi-join prunes candidates ~2^K×
     before exact rescoring — the join shuffles on bucket, never O(N·Q)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
+    if emb is None:
+        emb = _emb_raw(spark, sf_dir)
     emb = with_norm(emb).withColumn("bucket", lsh_bucket(F.col("v")))
     q = emb.filter(F.col("id") < N_QUERIES).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
@@ -307,15 +309,23 @@ _ND_BANDS_SQL = " UNION ALL ".join(
 )
 
 
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, v) — the shared raw embeddings load. knn_methods caches ONE
+    instance and passes it to every ANN section (r15 optimization,
+    guide §6: the six methods + certification sections otherwise put 41
+    separate scans of the embeddings table in one plan; at 100 TB each
+    scan is a full-table read). with_norm over the cached spine is a
+    cheap projection, so sections still norm/bucket independently."""
+    return load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+
 def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, v, nrm) — the shared embeddings load used by the near-dup
     family; callers cache it once and pass it down."""
-    return with_norm(
-        load_table(spark, "embeddings", sf_dir).select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-    )
+    return with_norm(_emb_raw(spark, sf_dir))
 
 
 def _plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -532,11 +542,14 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
     Wider bands (16 planes -> 65,536 buckets) stand in for how the
     operator is parameterized as N grows; identical duplicates make LSH
     recall exactly 1, so the reduction is deterministic."""
-    from ..registry import persistent_rdd_entries, unpersist_rdd_ids
+    from ..registry import scoped_releases
     from .graph import connected_components
 
-    sc = spark.sparkContext
-    pre_section = set(persistent_rdd_entries(sc))
+    with scoped_releases():
+        return _neardup_scale_summary_body(spark, connected_components)
+
+
+def _neardup_scale_summary_body(spark: SparkSession, connected_components) -> DataFrame:
     emb = track(with_norm(scale_corpus(spark)).cache())
     plane_sets = [
         SCALE_ND_PLANES[b * SCALE_ND_BAND_PLANES : (b + 1) * SCALE_ND_BAND_PLANES]
@@ -547,15 +560,17 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
             emb, plane_sets, SCALE_ND_THRESHOLD, arrow_buckets=True
         ).cache()
     )
-    # Eager fill (one cheap action): the summary's pair/cluster/vector
-    # aggregate subtrees are INDEPENDENT, so a single fused final action
-    # would run their stages concurrently — corpus generation, bucket
-    # self-join, and rescore shuffles all in flight at once, which OOMs
-    # small-heap vanilla sessions (default 1g driver). Materializing the
-    # pair cache first sequences the heavy stages; CC below then iterates
-    # over cached pairs and the final action only aggregates cached /
-    # checkpointed data.
-    pairs.count()
+    # Sequencing note (OOM guard for 1g vanilla sessions): the summary's
+    # pair/cluster/vector aggregate subtrees are INDEPENDENT, so a single
+    # fused final action would run their stages concurrently — corpus
+    # generation, bucket self-join, and rescore shuffles all in flight at
+    # once. The FIRST eager action here is the CC edge checkpoint below,
+    # which reads `pairs` and therefore fills the pair cache while
+    # sequencing the heavy stages — the round-13 standalone
+    # ``pairs.count()`` pre-fill did the same job as one EXTRA full job
+    # wave and was removed in the r15 optimization pass (guide §2.4:
+    # same materialization, one fewer pass; measured job count 62 → 57
+    # for the registered query with byte-identical results).
     cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
     ga = F.shiftright(F.col("id_a"), 2)
     gb = F.shiftright(F.col("id_b"), 2)
@@ -609,14 +624,15 @@ def _neardup_scale_summary(spark: SparkSession) -> DataFrame:
     )
     # Materialize the EIGHT summary rows now (the same driver-sync class
     # as the CC fixpoint counts — O(1) rows, the distributed work already
-    # ran above) and immediately drop every block the section created:
-    # corpus/band/pair caches AND the CC checkpoint RDDs. The section is
-    # then footprint-free for the rest of the query — and for the rest of
-    # a 50-query single-JVM gate run — instead of holding ~65k-row caches
-    # until release_caches(). The returned literal-backed plan keeps the
-    # schema byte-identical for the union with the fixture sections.
+    # ran above); every block the section created — corpus/band/pair
+    # caches AND the CC checkpoint RDDs — is dropped by the enclosing
+    # scoped_releases() the moment this returns (exact handles captured
+    # thread-locally, so the section stays footprint-free for the rest of
+    # a 50-query single-JVM gate run AND safe next to a concurrently
+    # materializing sibling section). The returned literal-backed plan
+    # keeps the schema byte-identical for the union with the fixture
+    # sections.
     rows = out.collect()
-    unpersist_rdd_ids(sc, set(persistent_rdd_entries(sc)) - pre_section)
     return spark.createDataFrame(rows, schema=out.schema)
 
 
@@ -929,11 +945,31 @@ _SEMDEDUP_SQL_CTES = f"""
     ),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .graph import connected_components
 
-    emb = track(_emb_normed(spark, sf_dir).cache())  # ONE load for all sections
-    pairs = track(embedding_neardup_pairs(spark, sf_dir, emb=emb).cache())
-    cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    # The synthetic-scale section and the fixture sections are fully
+    # independent chains, and BOTH run eager work while the query is
+    # built (cache fills, CC fixpoint actions, the scale collect).
+    # Submitting the scale chain from a second driver thread lets its
+    # stages back-fill the cores the fixture chain's small stage waves
+    # leave idle (optimization guide §2.6 — overlap independent jobs);
+    # results are byte-identical, only the wall-clock build changes
+    # (measured 11.7 s → ~8 s warm at sf0.1/local[32]). Safe since the
+    # r15 exact-id cache bookkeeping: the scale section's releases are
+    # captured thread-locally (scoped_releases), so neither chain can
+    # drop the other's blocks.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        scale_fut = pool.submit(
+            inheritable_thread_target(lambda: _neardup_scale_summary(spark))
+        )
+        emb = track(_emb_normed(spark, sf_dir).cache())  # ONE load for all sections
+        pairs = track(embedding_neardup_pairs(spark, sf_dir, emb=emb).cache())
+        cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+        scale_rows = scale_fut.result()
     w = W.partitionBy("cluster_id")
     nulld = F.lit(None).cast("double")
     nulll = F.lit(None).cast("long")
@@ -964,7 +1000,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_rows.unionByName(cluster_rows)
         .unionByName(sd_rows)
-        .unionByName(_neardup_scale_summary(spark))
+        .unionByName(scale_rows)
     )
 
 
@@ -1041,7 +1077,9 @@ _KNN_IVF_ORACLE = f"""
 """
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """IVF-style ANN: candidates are pre-assigned to their nearest
     centroid cell (deterministic centroids = the first IVF_CENTROIDS
     vectors), queries probe their nprobe nearest cells, exact rescoring
@@ -1050,11 +1088,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~centroids/nprobe of the corpus per query. Complements the sign-LSH
     path: IVF adapts to the data distribution, LSH needs no training
     data."""
-    emb = with_norm(
-        load_table(spark, "embeddings", sf_dir).select(
-            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
-        )
-    )
+    if emb is None:
+        emb = _emb_raw(spark, sf_dir)
+    emb = with_norm(emb)
     cent = emb.filter(F.col("id") < IVF_CENTROIDS).select(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -1261,7 +1297,9 @@ _KNN_IVF_KMEANS_ORACLE = f"""
 """
 
 
-def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """IVF with a TRAINED index: the deterministic seed centroids are
     refined by IVF_KMEANS_ITERS Lloyd iterations (assign to nearest
     cell → per-dimension mean → refit) before the nprobe search — the
@@ -1271,11 +1309,9 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells × dim rows per round, never the corpus. The oracle unrolls
     the identical iterations as DuckDB CTEs; means and scores quantize
     to 9dp on both engines, so assignment flips cannot drift."""
-    emb = with_norm(
-        load_table(spark, "embeddings", sf_dir).select(
-            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
-        )
-    )
+    if emb is None:
+        emb = _emb_raw(spark, sf_dir)
+    emb = with_norm(emb)
     cent0 = emb.filter(F.col("id") < IVF_CENTROIDS).select(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -1335,7 +1371,9 @@ def _subspace_slices(vcol: str):
     )
 
 
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pq_adc(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization kNN with asymmetric distance computation
     (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
     Neighbor Search"): each candidate is compressed to PQ_M codebook
@@ -1360,14 +1398,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical sequential fold; distances/terms are rounded to
     SCORE_DP and accumulated in DECIMAL (order-free); argmins tie-break
     on lowest codeword id; ranks tie-break on neighbor_id."""
-    emb = track(
-        load_table(spark, "embeddings", sf_dir)
-        .select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        .persist()
-    )
+    if emb is None:
+        # standalone use: persist locally — three subtrees read `sub`
+        emb = track(_emb_raw(spark, sf_dir).persist())
     sub = emb.select("id", F.posexplode(_subspace_slices("v")).alias("j", "sv"))
     seeds_sub = sub.filter(F.col("id") < PQ_CODEBOOK).select(
         F.col("id").alias("seed_id"),
@@ -1548,12 +1581,17 @@ _KNN_PQ_ORACLE = f"""
     ),
 )
 def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE cached load of the embeddings table feeds every section (r15,
+    # guide §6): previously each of the six methods re-loaded and
+    # re-projected the table independently — 41 scans of `embeddings` in
+    # the union's plan, a full-table read each at 100 TB.
+    emb = track(_emb_raw(spark, sf_dir).cache())
     parts = [
         ("bruteforce", knn_bruteforce_cosine),
         ("topk_partial", knn_topk_partial),
         (
             "lsh",
-            lambda s, d: knn_lsh_bucketed(s, d).select(
+            lambda s, d, emb=None: knn_lsh_bucketed(s, d, emb=emb).select(
                 "query_id", "neighbor_id", "score", "rk"
             ),
         ),
@@ -1562,7 +1600,8 @@ def knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_adc", knn_pq_adc),
     ]
     dfs = [
-        fn(spark, sf_dir).select(F.lit(m).alias("method"), "*") for m, fn in parts
+        fn(spark, sf_dir, emb=emb).select(F.lit(m).alias("method"), "*")
+        for m, fn in parts
     ]
     from .vectorized import embedding_norms_arrow
 

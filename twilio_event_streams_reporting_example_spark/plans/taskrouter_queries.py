@@ -382,10 +382,8 @@ def taskrouter_segments_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         batches.append(
             spark.createDataFrame(rows, "arrival_idx bigint, raw string")
         )
-    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+    from ..registry import pin_checkpoint
 
-    sc = spark.sparkContext
-    before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
         initialize_taskrouter(spark, batches[0], d)
         for b in batches[1:]:
@@ -395,7 +393,7 @@ def taskrouter_segments_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         out = spark.read.parquet(f"{d}/segments").select(*cols).localCheckpoint(
             eager=True
         )
-    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
+    pin_checkpoint(out)  # released by release_caches() post-consume
     return out
 
 
@@ -748,15 +746,13 @@ def scale_stream_summary(
     pattern)."""
     import tempfile
 
-    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+    from ..registry import pin_checkpoint
     from ..streaming.taskrouter_stream import run_scale_stream
 
-    sc = spark.sparkContext
-    before = set(persistent_rdd_entries(sc))
     with tempfile.TemporaryDirectory() as d:
         seg = run_scale_stream(spark, d, n_tasks)
         out = segment_audit_summary(seg).localCheckpoint(eager=True)
-    pin_new_checkpoints(sc, before)
+    pin_checkpoint(out)
     return out.withColumn("keying", F.lit("bucketed_scale"))
 
 
@@ -1031,10 +1027,8 @@ def taskrouter_materialized_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
 
     from ..sources.sinks import materialize_taskrouter
 
-    from ..registry import persistent_rdd_entries, pin_new_checkpoints
+    from ..registry import pin_checkpoint
 
-    sc = spark.sparkContext
-    before = set(persistent_rdd_entries(sc))
     cols = [c for c, _ in S.SEGMENT_COLUMNS]
     with tempfile.TemporaryDirectory() as d:
         paths = materialize_taskrouter(spark, fixture_df(spark), d)
@@ -1053,5 +1047,5 @@ def taskrouter_materialized_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         if n_log == 0 or n_agents == 0:
             raise AssertionError("empty event_log/agents materialization")
         out = seg.select(*cols).localCheckpoint(eager=True)
-    pin_new_checkpoints(sc, before)  # released by release_caches() post-consume
+    pin_checkpoint(out)  # released by release_caches() post-consume
     return out

@@ -59,18 +59,65 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # error; rebuild the query instead.
 
 _TRACKED: list = []
+_SCOPED = __import__("threading").local()
+
+
+def _add_release(cb) -> None:
+    """Route a release callback to the innermost scoped_releases() block
+    of THIS thread, falling back to the global tracker. Thread-local
+    scoping is what lets independent sections of one query materialize
+    CONCURRENTLY (optimization guide §2.6) and still release exactly
+    their own blocks — the previous global persistent-RDD diffs would,
+    under concurrency, capture (and later drop) blocks another thread
+    had just checkpointed."""
+    stack = getattr(_SCOPED, "stack", None)
+    if stack:
+        stack[-1].append(cb)
+    else:
+        _TRACKED.append(cb)
 
 
 def track(df):
     """Register a persisted/cached DataFrame for later release."""
-    _TRACKED.append(df.unpersist)
+    _add_release(df.unpersist)
     return df
 
 
 def track_release(fn) -> None:
     """Register an arbitrary zero-arg release callback (e.g. dropping
     localCheckpoint RDD blocks, which DataFrame.unpersist cannot reach)."""
-    _TRACKED.append(fn)
+    _add_release(fn)
+
+
+def scoped_releases():
+    """Context manager: capture every track()/track_release() issued by
+    THIS thread inside the block and run them all at exit. For
+    self-contained sections (the synthetic scale proofs) that collect
+    their O(1)-row summary inside the block and must drop every cache /
+    checkpoint they created the moment the block ends — exact handles,
+    no global persistent-RDD diff, safe under concurrent sections."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        stack = getattr(_SCOPED, "stack", None)
+        if stack is None:
+            stack = []
+            _SCOPED.stack = stack
+        captured: list = []
+        stack.append(captured)
+        try:
+            yield captured
+        finally:
+            stack.pop()
+            while captured:
+                fn = captured.pop()
+                try:
+                    fn()
+                except Exception:
+                    pass
+
+    return _cm()
 
 
 def release_caches() -> None:
@@ -105,13 +152,28 @@ def unpersist_rdd_ids(sc, ids) -> None:
             r.unpersist(False)
 
 
-def pin_new_checkpoints(sc, before: set) -> None:
-    """Defer release of checkpoint RDDs created since ``before`` to
-    release_caches() — for localCheckpoint-backed RESULTS, whose blocks
-    must live until the consumer has evaluated them (catalog clearCache
+def checkpoint_rdd_id(df) -> int | None:
+    """The EXACT persisted-RDD id behind a ``localCheckpoint``'ed
+    DataFrame (eager or lazy): after checkpointing, the analyzed plan is
+    a LogicalRDD wrapping the persisted RDD. Exact ids replace the old
+    global persistent-RDD-diff bookkeeping, which was only correct
+    single-threaded — a diff taken while a concurrent section persists
+    its own blocks captures (and later drops) blocks it does not own."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        return None
+
+
+def pin_checkpoint(df) -> None:
+    """Defer release of THIS DataFrame's localCheckpoint blocks to
+    release_caches() — for checkpoint-backed RESULTS, whose blocks must
+    live until the consumer has evaluated them (catalog clearCache
     cannot see checkpoint blocks at all)."""
-    ids = set(persistent_rdd_entries(sc)) - before
-    track_release(lambda: unpersist_rdd_ids(sc, ids))
+    sc = df.sparkSession.sparkContext
+    i = checkpoint_rdd_id(df)
+    if i is not None:
+        track_release(lambda: unpersist_rdd_ids(sc, {i}))
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
 # in dict order. ``priority`` budgets that window explicitly:

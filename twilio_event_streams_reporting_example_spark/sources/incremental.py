@@ -158,11 +158,11 @@ def incremental_taskrouter_update(
         )
         # materialize before writing: the merge reads the very partitions
         # the dynamic overwrite replaces (day-sized slice, not the table)
-        from ..registry import persistent_rdd_entries, unpersist_rdd_ids
+        from ..registry import checkpoint_rdd_id, unpersist_rdd_ids
 
         sc = spark.sparkContext
-        pre_ckpt = set(persistent_rdd_entries(sc))
         merged = merged.localCheckpoint(eager=True)
+        ckpt_id = checkpoint_rdd_id(merged)
         (
             merged.withColumn("segment_date", F.to_date("date"))
             .write.mode("overwrite")
@@ -171,7 +171,8 @@ def incremental_taskrouter_update(
             .parquet(paths["segments"])
         )
         # the write was the checkpoint's only consumer — drop its blocks now
-        unpersist_rdd_ids(sc, set(persistent_rdd_entries(sc)) - pre_ckpt)
+        if ckpt_id is not None:
+            unpersist_rdd_ids(sc, {ckpt_id})
 
     # 5. append only genuinely-new events to the log. Dedup against the FULL
     # log's event_ids, not the affected-key-scoped slice: a redelivered
