@@ -4436,6 +4436,14 @@ def multimodal_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Partitions per fixed-size codec certification section (see the sizing
+# note inside _codec_roundtrip_items). Interleaved A/B on the whole
+# registered query (r15): 8 → 2 parts cut the certification union's task
+# count 176 → 44 and its per-task overhead share ~4x with no loss of
+# core coverage (22 sections x 2 = 44 concurrent tasks).
+_CODEC_SECTION_PARTS = 2
+
+
 def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     """(k_id, m1, m2, m3): per-image channel sums computed from pixels
     that went THROUGH a real dependency-free codec — each item is
@@ -4821,15 +4829,16 @@ def _codec_roundtrip_items(spark: SparkSession, section: str) -> DataFrame:
     # worker task latency per core (22 sections x 32 = 709 tasks whose
     # measured median wall was 719 ms against ~4 ms of kernel CPU — the
     # noop-stage task_sum was 552 core-seconds for ~3 s of real work).
-    # Eight partitions per section keeps 22 x 8 = 176 tasks — still
-    # plenty to spread across the cores, each carrying 6-9 items
-    # (optimization guide §6: size splits so per-task overhead doesn't
-    # dominate; these sections are fixed-size fixtures, so a fixed small
-    # partition count IS the scale-correct sizing — the data-bearing
-    # sections keep their natural scan parallelism).
-    return spark.range(0, n_items, 1, numPartitions=min(8, n_items)).mapInPandas(
-        kernel, "k_id long, m1 long, m2 long, m3 long"
-    )
+    # _CODEC_SECTION_PARTS partitions per section keeps 22 sections'
+    # tasks concurrent across the certification union without letting
+    # per-task overhead dominate (optimization guide §6: size splits so
+    # per-task overhead doesn't dominate; these sections are fixed-size
+    # fixtures, so a fixed small partition count IS the scale-correct
+    # sizing — the data-bearing sections keep their natural scan
+    # parallelism).
+    return spark.range(
+        0, n_items, 1, numPartitions=min(_CODEC_SECTION_PARTS, n_items)
+    ).mapInPandas(kernel, "k_id long, m1 long, m2 long, m3 long")
 
 
 def frame_sample(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:

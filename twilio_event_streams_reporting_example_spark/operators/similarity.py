@@ -724,11 +724,14 @@ def semantic_dedup(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    # (id, centroid_id) — persisted: read by both self-join sides AND the
-    # final spine; without it the broadcast-assign pass runs 3x.
-    assign = track(_nearest_cell(_scored_cells(emb, cent)).persist())
-    mem = assign.join(emb, "id").select(
-        F.col("centroid_id").alias("cell_id"), "id", "v", "nrm"
+    # (cell_id, id, v, nrm) — the per-row array argmax keeps v/nrm on the
+    # assignment row (no groupBy(id), no join-back; guide §2.4).
+    # Persisted: read by both self-join sides AND the final spine;
+    # without it the broadcast-assign pass runs 3x.
+    mem = track(
+        _cell_scored_arr(emb, cent)
+        .select(_nearest_cell_col().alias("cell_id"), "id", "v", "nrm")
+        .persist()
     )
     a = mem.select(
         "cell_id", F.col("id").alias("vid"), F.col("v").alias("av"),
@@ -751,10 +754,10 @@ def semantic_dedup(
     dup = mates.groupBy("vid").agg(F.max("cos").alias("best_lower_cos"))
     w = W.partitionBy("cell_id")
     return (
-        assign.join(dup, assign.id == dup.vid, "left")
+        mem.join(dup, mem.id == dup.vid, "left")
         .select(
             F.col("id").alias("vec_id"),
-            F.col("centroid_id").alias("cell_id"),
+            "cell_id",
             "best_lower_cos",
             F.when(F.col("best_lower_cos") >= tau, F.lit(0))
             .otherwise(F.lit(1))
@@ -800,9 +803,8 @@ def semantic_dedup_representative(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    assign = _nearest_cell(_scored_cells(emb, cent))
-    mem = assign.join(emb, "id").select(
-        F.col("centroid_id").alias("cell_id"), "id", "v", "nrm"
+    mem = _cell_scored_arr(emb, cent).select(
+        _nearest_cell_col().alias("cell_id"), "id", "v", "nrm"
     )
 
     def select_reps(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1077,61 +1079,94 @@ _KNN_IVF_ORACLE = f"""
 """
 
 
+def _cell_scored_arr(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, v, nrm, cscores): per-vector centroid scores as ONE sorted
+    array column — cscores[0] is the nearest cell, slice(1, nprobe) the
+    probe cells.
+
+    The centroid set is collected into a single array row and broadcast;
+    scoring + argmax/arg-top-nprobe are then per-row array expressions.
+    The r1-r14 formulation exploded emb x cent to n_cells rows per
+    vector and took the argmax back with a groupBy(id) — a corpus-wide
+    hash exchange — whose consumers then RE-JOINED v/nrm by id, a second
+    corpus exchange (and the nprobe side paid a row_number window over
+    the same exploded rows). Removing both is optimization guide §2.4
+    (remove shuffles outright): at 100 TB the assignment becomes pure
+    map-side work riding the scan.
+
+    Determinism: identical expressions (rounded cosine) and identical
+    tie rule — the array is sorted by (cscore, -centroid_id) ascending
+    then reversed, i.e. (cscore DESC, centroid_id ASC), exactly the old
+    max_by(centroid_id, struct(cscore, -centroid_id)) argmax and the old
+    probes window ORDER BY cscore DESC, centroid_id."""
+    arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cv", "cnrm"))).alias(
+            "cents"
+        )
+    )
+    scored = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    rounded(
+                        cosine(F.col("v"), c["cv"], F.col("nrm"), c["cnrm"])
+                    ).alias("cscore"),
+                    (-c["centroid_id"]).alias("ncid"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )
+    )
+    return emb.crossJoin(F.broadcast(arr)).select(
+        "id", "v", "nrm", scored.alias("cscores")
+    )
+
+
+def _nearest_cell_col() -> Column:
+    """centroid_id of the nearest cell from a ``cscores`` array column."""
+    return F.col("cscores")[0]["centroid_id"]
+
+
 def knn_ivf(
     spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> DataFrame:
     """IVF-style ANN: candidates are pre-assigned to their nearest
     centroid cell (deterministic centroids = the first IVF_CENTROIDS
     vectors), queries probe their nprobe nearest cells, exact rescoring
-    only within probed cells. The assignment is a broadcast map-side
-    argmax — the only wide exchange is the cell equi-join, pruning
-    ~centroids/nprobe of the corpus per query. Complements the sign-LSH
-    path: IVF adapts to the data distribution, LSH needs no training
-    data."""
+    only within probed cells. Assignment and probe selection are
+    per-row array expressions over one broadcast centroid array
+    (:func:`_cell_scored_arr`) — the only wide exchange is the cell
+    equi-join, pruning ~centroids/nprobe of the corpus per query.
+    Complements the sign-LSH path: IVF adapts to the data distribution,
+    LSH needs no training data."""
     if emb is None:
         emb = _emb_raw(spark, sf_dir)
     emb = with_norm(emb)
     cent = emb.filter(F.col("id") < IVF_CENTROIDS).select(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
-    cell_score = rounded(
-        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
-    ).alias("cscore")
-    scored_cells = emb.crossJoin(F.broadcast(cent)).select(
-        "id", "v", "nrm", "centroid_id", cell_score
-    )
+    scored_cells = _cell_scored_arr(emb, cent)
 
-    # candidates: hard assignment to the single nearest cell (map-side
-    # argmax — broadcast join + partial-combining max_by, no wide shuffle
-    # of the corpus beyond its natural partitioning)
-    assign = (
-        scored_cells.filter(F.col("id") >= N_QUERIES)
-        .groupBy("id")
-        .agg(F.max_by("centroid_id", F.struct(F.col("cscore"), -F.col("centroid_id"))).alias(
-            "centroid_id"
-        ))
-    )
-    cand = assign.join(
-        emb.select("id", "v", "nrm"), "id"
-    ).select(
+    # candidates: hard assignment to the single nearest cell — a per-row
+    # projection (v/nrm stay on the row; no groupBy, no join-back)
+    cand = scored_cells.filter(F.col("id") >= N_QUERIES).select(
         F.col("id").alias("neighbor_id"),
-        "centroid_id",
+        _nearest_cell_col().alias("centroid_id"),
         F.col("v").alias("cv2"),
         F.col("nrm").alias("cn2"),
     )
 
-    # queries: probe the nprobe nearest cells
-    pw = W.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+    # queries: probe the nprobe nearest cells (array slice, no window)
     probes = (
         scored_cells.filter(F.col("id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(pw))
-        .filter(F.col("pr") <= IVF_NPROBE)
         .select(
             F.col("id").alias("query_id"),
-            "centroid_id",
+            F.explode(F.slice("cscores", 1, IVF_NPROBE)).alias("probe"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
         )
+        .select("query_id", F.col("probe")["centroid_id"].alias("centroid_id"), "qv", "qn")
     )
 
     rescored = probes.join(cand, "centroid_id").select(
@@ -1152,31 +1187,14 @@ def knn_ivf(
 IVF_KMEANS_ITERS = 2  # Lloyd rounds refining the deterministic init
 
 
-def _scored_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(id, v, nrm, centroid_id, cscore) for every (vector, centroid)."""
-    cell_score = rounded(
-        cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"))
-    ).alias("cscore")
-    return emb.crossJoin(F.broadcast(cent)).select(
-        "id", "v", "nrm", "centroid_id", cell_score
-    )
-
-
-def _nearest_cell(scored: DataFrame) -> DataFrame:
-    """(id, centroid_id): hard argmax assignment, map-side combined."""
-    return scored.groupBy("id").agg(
-        F.max_by("centroid_id", F.struct(F.col("cscore"), -F.col("centroid_id"))).alias(
-            "centroid_id"
-        )
-    )
-
-
 def kmeans_refine(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
     """Lloyd's algorithm as DataFrame ops: assign → per-dimension mean →
-    re-assemble, ``iters`` times. Every iteration is one broadcast
-    assignment (no shuffle of the corpus) plus one partial-aggregated
-    groupBy on (cell, dimension) — the canonical scalable k-means shape;
-    at 100 TB the only wide exchange is DIM rows per cell.
+    re-assemble, ``iters`` times. Assignment is a per-row array argmax
+    over one broadcast centroid array (:func:`_cell_scored_arr` — the
+    r1-r14 groupBy(id) argmax + join-back cost TWO corpus exchanges per
+    Lloyd round; guide §2.4), so every iteration's only wide exchange is
+    the partial-aggregated groupBy on (cell, dimension) — DIM rows per
+    cell out — the canonical scalable k-means shape.
 
     Determinism: assignment argmax breaks ties on the rounded score then
     lowest centroid_id; per-dimension means are rounded to SCORE_DP so
@@ -1185,10 +1203,11 @@ def kmeans_refine(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
     """
     train = emb.filter(F.col("id") >= N_QUERIES)  # queries never train the index
     for _ in range(iters):
-        assign = _nearest_cell(_scored_cells(train, cent))
+        assigned = _cell_scored_arr(train, cent).select(
+            _nearest_cell_col().alias("centroid_id"), "v"
+        )
         means = (
-            assign.join(train.select("id", "v"), "id")
-            .select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("val"), SCORE_DP).alias("mval"))
         )
@@ -1304,11 +1323,12 @@ def knn_ivf_kmeans(
     refined by IVF_KMEANS_ITERS Lloyd iterations (assign to nearest
     cell → per-dimension mean → refit) before the nprobe search — the
     standard IVF training step (Lloyd 1982; IVF-flat as in FAISS).
-    Every iteration is a broadcast argmax plus one (cell × dimension)-
-    keyed partial aggregation — at 100 TB the shuffle carries only
-    n_cells × dim rows per round, never the corpus. The oracle unrolls
-    the identical iterations as DuckDB CTEs; means and scores quantize
-    to 9dp on both engines, so assignment flips cannot drift."""
+    Every iteration is a per-row broadcast-array argmax plus one
+    (cell × dimension)-keyed partial aggregation — at 100 TB the shuffle
+    carries only n_cells × dim rows per round, never the corpus. The
+    oracle unrolls the identical iterations as DuckDB CTEs; means and
+    scores quantize to 9dp on both engines, so assignment flips cannot
+    drift."""
     if emb is None:
         emb = _emb_raw(spark, sf_dir)
     emb = with_norm(emb)
@@ -1316,26 +1336,25 @@ def knn_ivf_kmeans(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
     cent = kmeans_refine(emb, cent0, IVF_KMEANS_ITERS)
-    scored_cells = _scored_cells(emb, cent)
+    scored_cells = _cell_scored_arr(emb, cent)
 
-    assign = _nearest_cell(scored_cells.filter(F.col("id") >= N_QUERIES))
-    cand = assign.join(emb.select("id", "v", "nrm"), "id").select(
+    cand = scored_cells.filter(F.col("id") >= N_QUERIES).select(
         F.col("id").alias("neighbor_id"),
-        "centroid_id",
+        _nearest_cell_col().alias("centroid_id"),
         F.col("v").alias("cv2"),
         F.col("nrm").alias("cn2"),
     )
 
-    pw = W.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("centroid_id"))
     probes = (
         scored_cells.filter(F.col("id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(pw))
-        .filter(F.col("pr") <= IVF_NPROBE)
         .select(
             F.col("id").alias("query_id"),
-            "centroid_id",
+            F.explode(F.slice("cscores", 1, IVF_NPROBE)).alias("probe"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
+        )
+        .select(
+            "query_id", F.col("probe")["centroid_id"].alias("centroid_id"), "qv", "qn"
         )
     )
 
@@ -1386,13 +1405,18 @@ def knn_pq_adc(
     Why this is the 100 TB ANN memory path: the candidate corpus is
     M * log2(K) = 32 bits/vector instead of 64 float64s — the index
     fits in RAM at ~64x compression and the raw vectors are never
-    touched after encoding. Plan shape: encoding is one broadcast join
-    (128 codeword rows) + per-(cand, subspace) argmin; the ADC scan is
-    a broadcast of Q query subvectors + a (query, cand)-keyed partial
-    aggregation. In production the per-query 8x16 lookup table makes
-    the scan table-lookup-only, and the final top-k composes with the
-    bounded-accumulator form (knn_topk_partial) so the shuffle carries
-    partitions*Q*k rows — both noted here, neither changes semantics.
+    touched after encoding. Plan shape (r15, guide §2.3/§2.4): encoding
+    is one broadcast join (PQ_M codeword-array rows) + a PER-ROW
+    array_min argmin — the r1-r14 groupBy(cand, j) argmin exchanged 16x
+    the coded rows; the only corpus-wide exchange left is the
+    groupBy(cand) that assembles each candidate's PQ_M (j, code) int
+    pairs, i.e. ~the 32-bit codes themselves, never codeword vectors.
+    The ADC scan is the paper's production form: ONE broadcast row
+    carrying the per-query 8x16 term lookup tables (round(<q_j, cw>))
+    plus the codeword-norm table, so scoring is table-lookup folds over
+    the code array. The final top-k can further compose with the
+    bounded-accumulator form (knn_topk_partial) so that shuffle carries
+    partitions*Q*k rows — noted, not needed at this Q.
 
     Cross-engine exactness: every dot product is the proven
     bit-identical sequential fold; distances/terms are rounded to
@@ -1411,58 +1435,128 @@ def knn_pq_adc(
     cand_sub = sub.filter(F.col("id") >= N_QUERIES).select(
         F.col("id").alias("cand_id"), "j", F.col("sv").alias("vj")
     )
+    # per-subspace codeword ARRAYS (PQ_M tiny rows, PQ_CODEBOOK structs
+    # each, seed ids 0..PQ_CODEBOOK-1 contiguous so code == array index)
+    seeds_arr = seeds_sub.groupBy("j").agg(
+        F.array_sort(F.collect_list(F.struct("seed_id", "cwn2", "cw"))).alias("cws")
+    )
     # encode: nearest codeword per (candidate, subspace) — ||v||^2 - 2<v,c>
-    # + ||c||^2 in a FIXED expression order on both engines
-    dists = cand_sub.join(F.broadcast(seeds_sub), "j").select(
-        "cand_id",
-        "j",
-        "seed_id",
-        "cwn2",
-        "cw",
-        rounded(
-            dot(F.col("vj"), F.col("vj"))
-            - 2 * dot(F.col("vj"), F.col("cw"))
-            + dot(F.col("cw"), F.col("cw"))
-        ).alias("dist"),
-    )
-    codes = (
-        dists.groupBy("cand_id", "j")
-        .agg(
-            F.min_by(
-                F.struct(
-                    F.col("seed_id").alias("code"),
-                    F.col("cwn2"),
-                    F.col("cw"),
-                ),
-                F.struct(F.col("dist"), F.col("seed_id")),
-            ).alias("best")
+    # + ||c||^2 in a FIXED expression order on both engines; the argmin
+    # (tie → lowest seed_id) is a per-row array_min over (dist, seed_id)
+    # structs. r1-r14 exploded cand x 16 codewords and took the argmin
+    # back with a groupBy(cand, j) — a corpus-wide exchange of 16x the
+    # coded rows (guide §2.4: removed outright).
+    best = F.array_min(
+        F.transform(
+            F.col("cws"),
+            lambda c: F.struct(
+                rounded(
+                    dot(F.col("vj"), F.col("vj"))
+                    - 2 * dot(F.col("vj"), c["cw"])
+                    + dot(c["cw"], c["cw"])
+                ).alias("dist"),
+                c["seed_id"].alias("code"),
+            ),
         )
-        .select("cand_id", "j", "best.code", "best.cwn2", "best.cw")
     )
-    cnorm = codes.groupBy("cand_id").agg(
-        F.sqrt(F.sum(F.col("cwn2").cast(_PQ_DEC)).cast("double")).alias("cnrm")
+    codes = cand_sub.join(F.broadcast(seeds_arr), "j").select(
+        "cand_id", "j", best["code"].alias("code")
     )
-    qsub = sub.filter(F.col("id") < N_QUERIES).select(
-        F.col("id").alias("query_id"), "j", F.col("sv").alias("qj")
+    # THE compressed index: PQ_M (j, code) int pairs per candidate — the
+    # only corpus-wide exchange of the method now carries ~the 32-bit
+    # codes the docstring promises, never codeword vectors or raw floats.
+    codes_per_cand = codes.groupBy("cand_id").agg(
+        F.array_sort(F.collect_list(F.struct("j", "code"))).alias("cs")
     )
-    qnorm = with_norm(emb.filter(F.col("id") < N_QUERIES)).select(
-        F.col("id").alias("query_id"), F.col("nrm").alias("qn")
+    # ONE broadcast row with the classic ADC lookup tables (production
+    # form per Jegou et al.): cn2s[j][code] = ||codeword||^2 (rounded),
+    # and per query luts[j][code] = round(<q_j, codeword>, SCORE_DP) —
+    # 8 queries x 8 subspaces x 16 codewords of precomputed terms, so
+    # the scan is table-lookup-only. Values are the IDENTICAL rounded
+    # dot products the r14 per-pair join computed; the decimal fold
+    # accumulates them in the same exact arithmetic (sums fit
+    # decimal(28,12) with orders of magnitude to spare, so the per-step
+    # cast is lossless and order-free like the old SUM).
+    seeds_by_j = seeds_arr.agg(
+        F.array_sort(F.collect_list(F.struct("j", "cws"))).alias("sj")
+    ).select(F.transform("sj", lambda s: s["cws"]).alias("sj"))
+    qarr = (
+        with_norm(emb.filter(F.col("id") < N_QUERIES))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("id").alias("query_id"),
+                        F.col("nrm").alias("qn"),
+                        _subspace_slices("v").alias("qsubs"),
+                    )
+                )
+            ).alias("qs")
+        )
     )
-    terms = codes.join(F.broadcast(qsub), "j").select(
-        "query_id",
-        "cand_id",
-        rounded(dot(F.col("qj"), F.col("cw"))).alias("term"),
+    lut = qarr.crossJoin(F.broadcast(seeds_by_j)).select(
+        F.transform(
+            F.col("sj"), lambda cws: F.transform(cws, lambda c: c["cwn2"])
+        ).alias("cn2s"),
+        F.transform(
+            F.col("qs"),
+            lambda q: F.struct(
+                q["query_id"].alias("query_id"),
+                q["qn"].alias("qn"),
+                F.transform(
+                    F.col("sj"),
+                    lambda cws, j: F.transform(
+                        cws,
+                        lambda c: rounded(
+                            dot(F.element_at(q["qsubs"], j + 1), c["cw"])
+                        ),
+                    ),
+                ).alias("terms"),
+            ),
+        ).alias("qs"),
     )
-    adc = terms.groupBy("query_id", "cand_id").agg(
-        F.sum(F.col("term").cast(_PQ_DEC)).cast("double").alias("dot_hat")
-    )
+    zero = F.lit(0).cast(_PQ_DEC)
+
+    def _lookup_sum(table) -> Column:
+        # sum over the candidate's 8 (j, code) pairs of table[j][code],
+        # accumulated in DECIMAL exactly like the old SUM(... :: DEC)
+        return F.aggregate(
+            F.col("cs"),
+            zero,
+            lambda a, c: (
+                a
+                + F.element_at(
+                    F.element_at(table, c["j"].cast("int") + 1), c["code"].cast("int") + 1
+                ).cast(_PQ_DEC)
+            ).cast(_PQ_DEC),
+        ).cast("double")
+
     scored = (
-        adc.join(F.broadcast(qnorm), "query_id")
-        .join(cnorm, "cand_id")
+        codes_per_cand.crossJoin(F.broadcast(lut))
         .select(
-            "query_id",
             F.col("cand_id").alias("neighbor_id"),
-            rounded(F.col("dot_hat") / (F.col("qn") * F.col("cnrm"))).alias("score"),
+            F.sqrt(_lookup_sum(F.col("cn2s"))).alias("cnrm"),
+            "cs",
+            "qs",
+        )
+        .select(
+            "neighbor_id",
+            F.explode(
+                F.transform(
+                    F.col("qs"),
+                    lambda q: F.struct(
+                        q["query_id"].alias("query_id"),
+                        rounded(
+                            _lookup_sum(q["terms"]) / (q["qn"] * F.col("cnrm"))
+                        ).alias("score"),
+                    ),
+                )
+            ).alias("qsc"),
+        )
+        .select(
+            F.col("qsc")["query_id"].alias("query_id"),
+            "neighbor_id",
+            F.col("qsc")["score"].alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
