@@ -44,6 +44,36 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _probe_loop(_arg: int = 0) -> int:
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return s
+
+
+def _cpu_probe_mc(n: int = 8) -> float:
+    """Multi-core calibration: wall seconds for ``n`` processes each
+    running the same fixed loop as the single-core probe (round-15
+    lesson: this box's SINGLE-core probe stayed flat at 0.34-0.60 s
+    across sessions whose 8-32-core Spark throughput drifted 2-3x —
+    hypervisor-level multi-core degradation the single probe cannot
+    see, so probe-scaled budgets never stretched). ``n`` is FIXED at 8
+    regardless of SPARK_GRAFT_CPUS so the number is comparable between
+    the sf0.1 record (32 cores) and the sf0.001 CI gate (8 cores).
+    Published as ``cpu_probe_mc8_sec``; runs before the Spark session
+    starts so nothing competes with it."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+        t0 = time.perf_counter()
+        with ctx.Pool(n) as pool:
+            pool.map(_probe_loop, range(n))
+        return round(time.perf_counter() - t0, 3)
+    except Exception:
+        return 0.0  # probe is best-effort; 0 = unavailable, ratio falls back
+
+
 _LOAD_REFUSE_15MIN = 8.0  # 32-cpu box: 15-min load > 8 = co-tenant storm
 
 
@@ -85,6 +115,7 @@ def refusal_payload(load15: float, sf) -> dict:
             "value": rec.get("value"),
             "cold_total": rec.get("cold_total"),
             "cpu_probe_sec": rec.get("cpu_probe_sec"),
+            "cpu_probe_mc8_sec": rec.get("cpu_probe_mc8_sec"),
             "sf": rec.get("sf"),
             "loadavg_start": (rec.get("loadavg") or {}).get("start"),
             "recorded_at": rec.get("recorded_at"),
@@ -151,7 +182,10 @@ def warm_stats(all_runs: dict) -> tuple[dict, float, dict]:
 
 
 def budget_overages(
-    live_queries: dict, live_probe: float, recorded: dict
+    live_queries: dict,
+    live_probe: float,
+    recorded: dict,
+    live_probe_mc: float = 0.0,
 ) -> tuple[dict, float, float]:
     """The CI perf-budget rule, shared by tests/test_bench_contract.py
     and its negative controls: which queries in an all-cold sf0.001
@@ -193,6 +227,18 @@ def budget_overages(
         host_ratio = min(4.0, max(1.0, live_probe / rec_probe))
     else:
         host_ratio = 1.0  # old record without a probe: raw budgets
+    # Multi-core drift (r15): the single-core probe misses hypervisor-
+    # level parallel-throughput degradation (measured: probe flat at
+    # 0.34-0.36 while back-to-back idle gate runs spiked disjoint
+    # query spans 5-10x). When BOTH the record and the live run carry
+    # the 8-process probe, the ratio takes whichever axis drifted
+    # more; the [1, 4] clamp still stops a degenerate probe from
+    # hiding a 10x-class plan regression.
+    rec_probe_mc = recorded.get("cpu_probe_mc8_sec") or 0.0
+    if live_probe_mc > 0 and rec_probe_mc > 0:
+        host_ratio = max(
+            host_ratio, min(4.0, max(1.0, live_probe_mc / rec_probe_mc))
+        )
     live_times = [v for v in live_queries.values() if v >= 0]
     floor = 6.0 * statistics.median(live_times) if live_times else 0.0
     over = {}
@@ -245,6 +291,7 @@ def main() -> int:
     from twilio_event_streams_reporting_example_spark.session import get_spark
 
     cpu_probe_sec = _cpu_probe()
+    cpu_probe_mc8_sec = _cpu_probe_mc()
     spark = get_spark("bench")
 
     # Contention sentinel (round-6 lesson: the official artifact was
@@ -391,6 +438,7 @@ def main() -> int:
         "sf": sf,
         "loadavg": {"start": load_start, "end": load_end},
         "cpu_probe_sec": cpu_probe_sec,
+        "cpu_probe_mc8_sec": cpu_probe_mc8_sec,
         "rerun_outliers": rerun_outliers,
         "rerun_direction": rerun_direction,
         # Provenance stamp surfaced by the refusal path so a refused

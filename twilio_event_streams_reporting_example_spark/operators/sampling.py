@@ -161,13 +161,14 @@ PACK_BUDGET = 4 * CHUNK_TOKENS  # packed context-window budget in tokens
         "order into fixed {b}-token bins (bin_id = exclusive-prefix-sum "
         "div budget — the standard streaming pack; a chunk never splits, "
         "a bin may overflow by at most one chunk tail). The prefix sum is "
-        "computed in the SCALE-SAFE two-phase form: per-doc running sums "
-        "partition by doc_id, and only ONE ROW PER DOCUMENT (its chunk-"
-        "token total) flows through the global ordering that assigns doc "
-        "start offsets — the chunk rows themselves never pass through a "
-        "single-partition window. The oracle derives bin_id with a "
-        "direct global SQL cumsum — the two formulations must agree "
-        "bit-for-bit."
+        "computed in the SCALE-SAFE two-LEVEL form (r15): per-doc running "
+        "sums partition by doc_id; doc totals are RANGE-partitioned by "
+        "doc_id (order-preserving) for per-partition exclusive sums; and "
+        "only ONE ROW PER RANGE PARTITION flows through the remaining "
+        "global ordering — neither the chunk rows nor the doc rows ever "
+        "pass through a single-partition window. The oracle derives "
+        "bin_id with a direct global SQL cumsum — the two formulations "
+        "must agree bit-for-bit."
     ).replace("{k}", str(CHUNK_TOKENS)).replace("{b}", str(PACK_BUDGET)),
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,15 +207,59 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunks.withColumn(
         "cum_in_doc", F.sum("chunk_tokens").over(w_doc) - F.col("chunk_tokens")
     )
-    # phase 2: ONE row per doc (its total) through the global offset
-    # window; at 100 TB this is the doc-count-sized table, and the join
-    # back is co-partitioned on doc_id with phase 1's shuffle
+    # phase 2: doc start offsets via a TWO-LEVEL prefix sum (r15; guide
+    # §2.4/§5 — the previous form ran one global orderBy window over the
+    # doc-count-sized total table, i.e. a single-partition sort of every
+    # document row at 100 TB). Range-partitioning by doc_id is ORDER-
+    # PRESERVING across partitions (every doc_id in partition i sorts
+    # before every doc_id in partition i+1, whatever bounds the range
+    # sampler picks), so a per-partition exclusive running sum plus each
+    # partition's exclusive total-offset is exactly the global exclusive
+    # prefix sum — bit-identical bin_ids. Only ONE ROW PER RANGE
+    # PARTITION (its dt total) crosses the remaining global window,
+    # which is bounded by the shuffle-partition count, not the corpus.
+    #
+    # The range-partitioned table is localCheckpoint'ed (eager, the CC
+    # operators' pattern) because BOTH consumers — the intra-partition
+    # running sum and the per-partition totals — must observe the SAME
+    # partitioner: two independent range exchanges sample their bounds
+    # independently (verified: the unpersisted plan carries 2
+    # rangepartitioning Exchanges and no ReusedExchange), and divergent
+    # bounds would mis-join pid offsets. A plain .persist() is NOT
+    # enough — spark_partition_id() is nondeterministic, so the
+    # CacheManager's canonicalized-plan lookup matches only one of the
+    # two consumers and the other re-plans its own exchange (verified:
+    # 2 rangepartitioning with 2 distinct pid exprIds). Checkpointing
+    # truncates the lineage to one already-partitioned RDD that both
+    # branches scan.
+    from ..registry import pin_checkpoint
+
     doc_tot = chunks.groupBy("doc_id").agg(F.sum("chunk_tokens").alias("dt"))
-    w_glob = (
-        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    parts = (
+        doc_tot.repartitionByRange("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    doc_off = doc_tot.select(
-        "doc_id", F.coalesce(F.sum("dt").over(w_glob), F.lit(0)).alias("doc_off")
+    pin_checkpoint(parts)
+    w_in = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    intra = parts.withColumn(
+        "off_in", F.coalesce(F.sum("dt").over(w_in), F.lit(0).cast("long"))
+    )
+    w_p = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    poff = (
+        parts.groupBy("pid")
+        .agg(F.sum("dt").alias("pt"))
+        .select(
+            "pid", F.coalesce(F.sum("pt").over(w_p), F.lit(0).cast("long")).alias("poff")
+        )
+    )
+    doc_off = (
+        intra.join(F.broadcast(poff), "pid")
+        .select("doc_id", (F.col("off_in") + F.col("poff")).alias("doc_off"))
     )
     return (
         chunks.join(doc_off, "doc_id")
