@@ -109,12 +109,17 @@ _NODE_PATTERNS["FlatMapGroupsInPandas"] = r"FlatMapGroupsInPandas(?!WithState)"
 # :236,:575,:1064,:1124; textstats.py:468.
 BNLJ_ALLOWLIST: dict[str, dict] = {
     "knn_methods": {
-        "max_nodes": 12,
+        "max_nodes": 14,
         "reason": (
             "the exact brute-force and partial-top-k variants broadcast "
             "the 8-row query batch against the corpus (operators/"
             "similarity.py:122, :236), repeated across the 6-method "
-            "union and its agreement-certification sections; pinned by "
+            "union and its agreement-certification sections, plus the "
+            "r15 IVF/PQ rework's broadcast ONE-ROW tables (the collected "
+            "centroid array at similarity.py:1121 and the PQ-ADC "
+            "per-query LUT/seed rows at :1497, :1535 — the map-side "
+            "scoring that replaced the per-vector corpus exchanges; "
+            "12 -> 14 measured at sf0.001); pinned by "
             "tests/test_plans.py::test_knn_methods_only_exact_variants_"
             "broadcast_nested_loop"
         ),
