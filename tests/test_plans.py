@@ -207,9 +207,30 @@ def test_doc_text_profile_single_partitioning(spark, sf_dir):
 
 def test_knn_methods_only_exact_variants_broadcast_nested_loop(spark, sf_dir):
     """The union plan may contain the exact variants' deliberate 8-row
-    broadcast cross joins but no cartesian product anywhere."""
+    broadcast cross joins but no cartesian product anywhere.
+
+    r16 (advisor ask): the BNLJ allowlist cap in tools/plan_audit.py
+    must not be the sole guard — every BNLJ in this plan has to be one
+    of the deliberate CONDITION-FREE cross joins against a broadcast
+    tiny frame (the 8-row query batch, the 1-row collected centroid
+    array, the 1-row PQ LUT/seed rows). A degenerated equi-join hiding
+    under the cap would surface as a BNLJ with a join condition (or a
+    non-Cross build) and fail the shape assertion; a NEW cross join
+    creeping in fails the exact count."""
+    import re
+
     plan = _plan(spark, "knn_methods", sf_dir)
     assert "CartesianProduct" not in plan
+    bnlj = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(bnlj) == 14, (len(bnlj), bnlj)
+    for ln in bnlj:
+        # shape: "BroadcastNestedLoopJoin BuildLeft|BuildRight, Cross"
+        # and NOTHING after (a condition would print ", (expr)")
+        assert re.search(
+            r"BroadcastNestedLoopJoin Build(Left|Right), Cross\s*$", ln
+        ), ln
 
 
 def test_corpus_prep_tokenizes_once(spark, sf_dir):
@@ -444,9 +465,48 @@ def test_doc_chunking_two_level_prefix_sum(spark, sf_dir):
     # exactly two ExistingRDD scans and no other source for pid)
     rdd_scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
     assert len(rdd_scans) == 2, rdd_scans
-    # the lone unpartitioned window runs over the per-partition totals
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    unpartitioned = [s for s in specs if "ASC NULLS FIRST" in s.split(",")[0]]
-    assert unpartitioned, "expected the pid-level global window"
-    for s in unpartitioned:
-        assert s.lstrip().startswith("pid#"), s
+    # the lone unpartitioned window runs over the per-partition totals.
+    # r16 (advisor ask): match the FULL spec up to its frame clause
+    # (the old `[^)]*` truncated at the first ')' inside
+    # specifiedwindowframe) and split the keys at top parenthesis
+    # level, so a composite or expression partition key misclassifies
+    # loudly (count mismatch) instead of silently; the expected window
+    # count is asserted explicitly.
+    specs = re.findall(
+        r"windowspecdefinition\((.*?),\s*specifiedwindowframe\(", plan
+    )
+    assert len(specs) == 3, specs  # w_doc(doc_id), w_in(pid), w_p(global)
+
+    def _top_level_parts(s: str) -> list[str]:
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        return parts
+
+    # a part is an ORDER key iff it carries a sort direction; every
+    # part before the first order key is a partition key
+    def _partition_keys(spec: str) -> list[str]:
+        keys = []
+        for p in _top_level_parts(spec):
+            if " ASC NULLS " in f" {p} " or " DESC NULLS " in f" {p} " or (
+                p.endswith(("ASC NULLS FIRST", "ASC NULLS LAST",
+                            "DESC NULLS FIRST", "DESC NULLS LAST"))
+            ):
+                break
+            keys.append(p)
+        return keys
+
+    part_keys = [_partition_keys(s) for s in specs]
+    unpartitioned = [s for s, k in zip(specs, part_keys) if not k]
+    assert len(unpartitioned) == 1, (specs, part_keys)
+    # ...and that global window orders by pid over the totals table
+    assert unpartitioned[0].lstrip().startswith("pid#"), unpartitioned

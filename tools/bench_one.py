@@ -8,7 +8,8 @@ instrumentation the optimization guide asks for per query:
   - jobs/stages submitted during the run (statusTracker deltas) — the
     scheduler-floor signal behind PLANS #25;
   - optionally dumps ``.explain("formatted")`` of the built DataFrame
-    to ``plans/r15/<query>_<tag>.txt`` (``--plans <tag>``).
+    to ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default
+    r16; ``--plans <tag>``).
 
 Usage:
     python tools/bench_one.py q1 [q2 ...] [--reps N] [--plans before]
@@ -71,7 +72,9 @@ def main() -> int:
     except Exception:
         pass
 
-    plans_dir = os.path.join(REPO, "plans", "r15")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 

@@ -232,11 +232,28 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 rangepartitioning with 2 distinct pid exprIds). Checkpointing
     # truncates the lineage to one already-partitioned RDD that both
     # branches scan.
+    # Caveats (same register the CC operators keep for their checkpoint
+    # use): the EAGER localCheckpoint runs the scan+tokenize+per-doc
+    # aggregate at query-BUILD time and truncates lineage, so the
+    # partitioned totals are non-recomputable on executor/block loss
+    # (a lost block fails the query instead of recomputing — acceptable
+    # for a deterministic re-runnable batch job, the standard
+    # localCheckpoint trade) and the blocks live until release_caches().
+    # numPartitions is passed EXPLICITLY (r16 advisor ask — the bare
+    # call inherits spark.sql.shuffle.partitions silently): the value
+    # IS the session's shuffle-partition setting, stated in code so the
+    # coupling is visible. That is also the right sizing rule: the
+    # table is one ~16-byte row per document, so even 10^10 docs /
+    # a few hundred partitions is tens of MB per partition, and the
+    # prefix-sum result is partition-count-INVARIANT (any split of an
+    # order-preserving range partitioning yields the same global
+    # exclusive sums), so a deployment can raise the setting freely.
     from ..registry import pin_checkpoint
 
+    n_range_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     doc_tot = chunks.groupBy("doc_id").agg(F.sum("chunk_tokens").alias("dt"))
     parts = (
-        doc_tot.repartitionByRange("doc_id")
+        doc_tot.repartitionByRange(n_range_parts, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
